@@ -1,0 +1,178 @@
+"""MVT bytes -> high-level VectorTile.
+
+From-scratch reimplementation of the reference decode path
+(`tile` entry, lib/Geography/VectorTile.hs:70-71; `fromProtobuf`
+instances, lib/Geography/VectorTile/Internal.hs:96-143;
+`feats`/`getMeta`, Internal.hs:295-317), over the hand-rolled wire
+scanner in .wire and vectorized geometry in .geometry.
+
+Semantics replicated exactly:
+- duplicate layer names: last wins (Internal.hs:99)
+- layer with zero features -> error (Internal.hs:296)
+- GeomType UNKNOWN / missing -> error (Internal.hs:308)
+- Value with no field set -> error; first-set-field wins in declaration
+  order string,float,double,int,uint,sint,bool (Internal.hs:127-135)
+- tags: odd trailing index silently dropped (Util.hs:29-31); index out
+  of dictionary range -> error (reference crashes on Seq.index)
+- extent defaults to 4096 when absent (Internal.hs:111)
+- unknown fields / extensions discarded (Tile.hs:50-51)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wire
+from .geometry import (
+    GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON, GeometryError,
+    decode_linestrings, decode_points, decode_polygons,
+)
+from .model import (
+    BV, DO, FL, I64V, S64V, ST, W64V, DEFAULT_EXTENT, Feature, Layer, VectorTile,
+)
+
+
+class CodecError(ValueError):
+    """Decode failure — the reference's `Left Text` channel."""
+
+
+def _decode_value(buf, start: int, end: int):
+    """Tile.Value message -> Val tuple (Internal.hs:127-135). Later
+    occurrences of a field overwrite earlier (wire merge), then the
+    first set field in declaration order wins."""
+    fields = {}
+    for fno, wtype, val in wire.scan_fields(buf, start, end):
+        if fno == 1 and wtype == wire.LEN:
+            s, e = val
+            fields[1] = bytes(buf[s:e])
+        elif fno == 2 and wtype == wire.I32:
+            s, e = val
+            fields[2] = float(np.frombuffer(buf[s:e], dtype="<f4")[0])
+        elif fno == 3 and wtype == wire.I64:
+            s, e = val
+            fields[3] = float(np.frombuffer(buf[s:e], dtype="<f8")[0])
+        elif fno == 4 and wtype == wire.VARINT:
+            fields[4] = wire.u64_to_int64(val)
+        elif fno == 5 and wtype == wire.VARINT:
+            fields[5] = val
+        elif fno == 6 and wtype == wire.VARINT:
+            # sint64 zigzag (64-bit, no truncation: standard wire sint64)
+            fields[6] = (val >> 1) ^ -(val & 1)
+        elif fno == 7 and wtype == wire.VARINT:
+            fields[7] = bool(val)
+    for fno, tag in ((1, ST), (2, FL), (3, DO), (4, I64V), (5, W64V), (6, S64V), (7, BV)):
+        if fno in fields:
+            return (tag, fields[fno])
+    raise CodecError("Value decode: No legal Value type offered")
+
+
+def _decode_feature_raw(buf, start: int, end: int):
+    """Tile.Feature message -> (fid, tags u32[], geom_type, geometry u32[]).
+    Accepts packed and unpacked repeated encodings (Feature.hs:57-62)."""
+    fid = 0
+    geom_type = None
+    tags_parts, geom_parts = [], []
+    for fno, wtype, val in wire.scan_fields(buf, start, end):
+        if fno == 1 and wtype == wire.VARINT:
+            fid = val
+        elif fno == 2:
+            if wtype == wire.LEN:
+                s, e = val
+                tags_parts.append(wire.uvarint_decode_array(buf[s:e]))
+            elif wtype == wire.VARINT:
+                tags_parts.append(np.array([val], dtype=np.uint64))
+        elif fno == 3 and wtype == wire.VARINT:
+            geom_type = val
+        elif fno == 4:
+            if wtype == wire.LEN:
+                s, e = val
+                geom_parts.append(wire.uvarint_decode_array(buf[s:e]))
+            elif wtype == wire.VARINT:
+                geom_parts.append(np.array([val], dtype=np.uint64))
+    tags = np.concatenate(tags_parts).astype(np.uint32) if tags_parts else np.empty(0, np.uint32)
+    geometry = np.concatenate(geom_parts).astype(np.uint32) if geom_parts else np.empty(0, np.uint32)
+    return fid, tags, geom_type, geometry
+
+
+def _get_meta(keys: list, values: list, tags: np.ndarray) -> dict:
+    """tags (k_idx, v_idx) pairs -> metadata dict in tag order
+    (`getMeta`, Internal.hs:314-317); odd trailing tag dropped."""
+    t = tags
+    if t.size % 2:
+        t = t[:-1]
+    meta = {}
+    nk, nv = len(keys), len(values)
+    for i in range(0, t.size, 2):
+        k, v = int(t[i]), int(t[i + 1])
+        if k >= nk or v >= nv:
+            raise CodecError(f"tag index out of range: ({k},{v}) vs ({nk},{nv})")
+        meta[keys[k]] = values[v]
+    return meta
+
+
+def _decode_layer(buf, start: int, end: int) -> Layer:
+    version = 1
+    name = b""
+    extent = None
+    keys: list[bytes] = []
+    value_spans: list[tuple[int, int]] = []
+    feature_spans: list[tuple[int, int]] = []
+    for fno, wtype, val in wire.scan_fields(buf, start, end):
+        if fno == 15 and wtype == wire.VARINT:
+            version = val
+        elif fno == 1 and wtype == wire.LEN:
+            s, e = val
+            name = bytes(buf[s:e])
+        elif fno == 2 and wtype == wire.LEN:
+            feature_spans.append(val)
+        elif fno == 3 and wtype == wire.LEN:
+            s, e = val
+            keys.append(bytes(buf[s:e]))
+        elif fno == 4 and wtype == wire.LEN:
+            value_spans.append(val)
+        elif fno == 5 and wtype == wire.VARINT:
+            extent = val
+    if not feature_spans:
+        raise CodecError("VectorTile.features: `[RawFeature]` empty")
+    values = [_decode_value(buf, s, e) for s, e in value_spans]
+    layer = Layer(name=name, version=version,
+                  extent=DEFAULT_EXTENT if extent is None else extent)
+    for s, e in feature_spans:
+        fid, tags, geom_type, geometry = _decode_feature_raw(buf, s, e)
+        meta = _get_meta(keys, values, tags)
+        try:
+            if geom_type == GEOM_POINT:
+                layer.points.append(Feature(fid, meta, decode_points(geometry)))
+            elif geom_type == GEOM_LINESTRING:
+                layer.linestrings.append(Feature(fid, meta, decode_linestrings(geometry)))
+            elif geom_type == GEOM_POLYGON:
+                layer.polygons.append(Feature(fid, meta, decode_polygons(geometry)))
+            else:
+                raise CodecError("Geometry type of UNKNOWN given.")
+        except GeometryError as g:
+            raise CodecError(str(g)) from g
+    return layer
+
+
+def decode_tile(buf: bytes) -> VectorTile:
+    """`tile` (lib/Geography/VectorTile.hs:70-71). Raises CodecError."""
+    try:
+        tile = VectorTile()
+        for fno, wtype, val in wire.scan_fields(buf, 0, len(buf)):
+            if fno == 3 and wtype == wire.LEN:
+                s, e = val
+                layer = _decode_layer(buf, s, e)
+                tile.layers[layer.name] = layer  # dup name: last wins
+        return tile
+    except wire.WireError as w:
+        raise CodecError(str(w)) from w
+
+
+def decode_tile_safe(buf: bytes):
+    """Never raises: returns (VectorTile | None, error_message | None) —
+    the engine's row-level error channel (errors become an `error`
+    column, never an exception kill)."""
+    try:
+        return decode_tile(buf), None
+    except (CodecError, Exception) as e:  # noqa: BLE001 — row-level isolation
+        return None, f"{type(e).__name__}: {e}"

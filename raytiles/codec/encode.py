@@ -1,0 +1,131 @@
+"""High-level VectorTile -> MVT bytes.
+
+From-scratch reimplementation of the reference encode path (`untile`,
+lib/Geography/VectorTile.hs:74-75; `toProtobuf` instances +
+`totalMeta`/`unfeats`, lib/Geography/VectorTile/Internal.hs:101-143,
+321-344), emitting the exact wire layout of the reference's generated
+writers:
+
+- Layer field emission order: name(tag 10), features(18), keys(26),
+  values(34), extent(40), version(120 LAST) — Layer.hs:51-55.
+- Feature field order: id(8, ALWAYS written, even 0 — Internal.hs:339),
+  tags(18, packed, omitted when empty), type(24), geometry(34, packed)
+  — Feature.hs:37-40.
+- Value field tags: string 10, float 21, double 25, int 32, uint 40,
+  sint 48 (zigzag64), bool 56 — Value.hs:53-57.
+- Tile: repeated field 3 (tag 26) of Layer messages — Tile.hs:56.
+- Feature order within a layer: points, then linestrings, then
+  polygons (Internal.hs:123-125).
+
+Determinism choices where the reference is HashMap-ordered (arbitrary):
+- layers are emitted sorted by name (reference: HashMap.elems order,
+  Internal.hs:101-102);
+- key/value dictionaries are built in first-appearance order over the
+  features (reference: HashSet order, Internal.hs:321-329).
+Both are deterministic supersets: the reference's own conformance test
+is the decode->encode fixpoint, not raw-byte equality (Test.hs:93-96).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wire
+from .geometry import (
+    GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON,
+    encode_linestrings, encode_points, encode_polygons,
+)
+from .model import BV, DO, FL, I64V, S64V, ST, W64V, Feature, Layer, VectorTile
+
+
+def _encode_value(val) -> bytes:
+    tag, v = val
+    out: list[bytes] = []
+    if tag == ST:
+        wire.put_len_field(out, 1, v if isinstance(v, bytes) else str(v).encode("utf-8"))
+    elif tag == FL:
+        wire.put_float_field(out, 2, v)
+    elif tag == DO:
+        wire.put_double_field(out, 3, v)
+    elif tag == I64V:
+        wire.put_varint_field(out, 4, wire.int64_to_u64(int(v)))
+    elif tag == W64V:
+        wire.put_varint_field(out, 5, int(v))
+    elif tag == S64V:
+        n = int(v)
+        wire.put_varint_field(out, 6, ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF)
+    elif tag == BV:
+        wire.put_varint_field(out, 7, 1 if v else 0)
+    else:
+        raise ValueError(f"unknown Val tag: {tag!r}")
+    return b"".join(out)
+
+
+def _geometry_commands(geom_type: int, geometry) -> np.ndarray:
+    if geom_type == GEOM_POINT:
+        return encode_points(geometry)
+    if geom_type == GEOM_LINESTRING:
+        return encode_linestrings(geometry)
+    if geom_type == GEOM_POLYGON:
+        return encode_polygons(geometry)
+    raise ValueError(f"unknown geom type {geom_type}")
+
+
+def _encode_feature(feature: Feature, geom_type: int,
+                    key_index: dict, val_index: dict) -> bytes:
+    """`unfeats` (Internal.hs:332-344)."""
+    out: list[bytes] = []
+    wire.put_varint_field(out, 1, int(feature.fid))  # id always written
+    if feature.metadata:
+        tags = np.empty(2 * len(feature.metadata), dtype=np.uint32)
+        for i, (k, v) in enumerate(feature.metadata.items()):
+            tags[2 * i] = key_index[k]
+            tags[2 * i + 1] = val_index[v]
+        wire.put_packed_field(out, 2, tags)
+    wire.put_varint_field(out, 3, geom_type)
+    wire.put_packed_field(out, 4, _geometry_commands(geom_type, feature.geometry))
+    return b"".join(out)
+
+
+def total_meta(layer: Layer) -> tuple[list, list]:
+    """Distinct keys / distinct values across all features of a layer,
+    first-appearance order (reference `totalMeta`, Internal.hs:321-329,
+    with a fixed deterministic order instead of HashSet order)."""
+    keys: dict = {}
+    vals: dict = {}
+    for group in (layer.points, layer.linestrings, layer.polygons):
+        for f in group:
+            for k, v in f.metadata.items():
+                keys.setdefault(k, None)
+                vals.setdefault(v, None)
+    return list(keys), list(vals)
+
+
+def encode_layer(layer: Layer) -> bytes:
+    """`toProtobuf @Layer` (Internal.hs:114-125)."""
+    keys, vals = total_meta(layer)
+    key_index = {k: i for i, k in enumerate(keys)}
+    val_index = {v: i for i, v in enumerate(vals)}
+    out: list[bytes] = []
+    wire.put_len_field(out, 1, layer.name)
+    for group, gt in ((layer.points, GEOM_POINT),
+                      (layer.linestrings, GEOM_LINESTRING),
+                      (layer.polygons, GEOM_POLYGON)):
+        for f in group:
+            wire.put_len_field(out, 2, _encode_feature(f, gt, key_index, val_index))
+    for k in keys:
+        wire.put_len_field(out, 3, k)
+    for v in vals:
+        wire.put_len_field(out, 4, _encode_value(v))
+    wire.put_varint_field(out, 5, int(layer.extent))  # always written (Internal.hs:124)
+    wire.put_varint_field(out, 15, int(layer.version))  # version last (Layer.hs:55)
+    return b"".join(out)
+
+
+def encode_tile(tile: VectorTile) -> bytes:
+    """`untile` (lib/Geography/VectorTile.hs:74-75); layers sorted by
+    name for determinism."""
+    out: list[bytes] = []
+    for name in sorted(tile.layers):
+        wire.put_len_field(out, 3, encode_layer(tile.layers[name]))
+    return b"".join(out)

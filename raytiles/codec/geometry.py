@@ -1,0 +1,320 @@
+"""MVT geometry-command codec, vectorized with numpy.
+
+Reimplements (from scratch, against the published MVT 2.1 spec and the
+reference's observable semantics) the geometry layer of the reference:
+
+- zigzag encode/decode with the reference's exact 32-bit truncation on
+  decode (reference: lib/Geography/VectorTile/Internal.hs:221-229)
+- command integers (cmd = n & 7, count = n >> 3; MoveTo=1, LineTo=2,
+  ClosePath=7) (Internal.hs:233-246)
+- delta <-> absolute coordinates as prefix scans (Internal.hs:349-364)
+- per-geometry-type command-stream state machines (Internal.hs:153-213):
+  * Point:       exactly one MoveTo
+  * LineString:  (MoveTo(1+) LineTo(1+))+ — extra MoveTo points beyond
+                 the first are silently dropped (Internal.hs:170)
+  * Polygon:     (MoveTo(1+) LineTo(2+) ClosePath)+ — decoded rings are
+                 stored closed (head appended, Internal.hs:198); hole
+                 attachment: after an exterior, following rings with
+                 area <= 0 are its holes (Internal.hs:202-206)
+- shoelace ("surveyor") area, positive = exterior under y-down
+  (lib/Geography/VectorTile/Geometry.hs:76-81)
+
+Geometry containers (engine-side):
+- points geometry:      int64 ndarray of shape (n, 2)
+- linestring geometry:  list of int64 ndarrays (each (n, 2), n >= 2)
+- polygon geometry:     list of rings-lists: each polygon is a list of
+  closed rings [(exterior, hole, hole, ...)], every ring an (n, 2)
+  int64 ndarray with ring[0] == ring[-1]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MOVE_TO = 1
+LINE_TO = 2
+CLOSE_PATH = 7
+
+GEOM_UNKNOWN = 0
+GEOM_POINT = 1
+GEOM_LINESTRING = 2
+GEOM_POLYGON = 3
+
+
+class GeometryError(ValueError):
+    """Invalid command stream (the reference's `Left` channel)."""
+
+
+# ---------------------------------------------------------------------------
+# zigzag
+# ---------------------------------------------------------------------------
+
+def zig(values: np.ndarray) -> np.ndarray:
+    """Z-encode int64 -> uint32 (reference zig, Internal.hs:221-223:
+    64-bit zigzag truncated to Word32)."""
+    v = np.asarray(values, dtype=np.int64)
+    z = (v << np.int64(1)) ^ (v >> np.int64(63))
+    return z.astype(np.uint64).astype(np.uint32)
+
+
+def unzig(values: np.ndarray) -> np.ndarray:
+    """Decode zigzag uint32 -> int64 through an int32 truncation,
+    replicating the reference's `fromIntegral (... :: Int32)`
+    (Internal.hs:226-229)."""
+    n = np.asarray(values, dtype=np.uint32)
+    un = (n >> np.uint32(1)) ^ (-(n & np.uint32(1)).astype(np.int64)).astype(np.uint64).astype(np.uint32)
+    return un.astype(np.int32).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# command integers
+# ---------------------------------------------------------------------------
+
+def parse_commands(cmds: np.ndarray) -> list[tuple[int, int, np.ndarray]]:
+    """Split a feature's flat uint32 command array into
+    [(cmd_id, count, zigzagged_params)] (reference `commands`,
+    Internal.hs:251-264).
+
+    Params are the raw (still zigzagged) uint32 values; an odd trailing
+    parameter is silently dropped when pairing, as in the reference's
+    pairsWith (Util.hs:29-31).
+    """
+    cmds = np.asarray(cmds, dtype=np.uint32)
+    out = []
+    pos = 0
+    n = cmds.size
+    while pos < n:
+        header = int(cmds[pos])
+        cmd = header & 7
+        count = header >> 3
+        pos += 1
+        if cmd in (MOVE_TO, LINE_TO):
+            params = cmds[pos:pos + 2 * count]
+            pos += 2 * count
+            out.append((cmd, count, params))
+        elif cmd == CLOSE_PATH:
+            if count != 1:
+                raise GeometryError(f"ClosePath was given a parameter count: {count}")
+            out.append((CLOSE_PATH, 1, cmds[0:0]))
+        else:
+            raise GeometryError(f"Invalid command integer {cmd} found in: {header:X}")
+    return out
+
+
+def _pairs(params: np.ndarray) -> np.ndarray:
+    """Unzig + pair into (n, 2) int64 deltas; odd trailing value
+    dropped (Util.hs:29-31)."""
+    d = unzig(params)
+    if d.size % 2:
+        d = d[:-1]
+    return d.reshape(-1, 2)
+
+
+def command_header(cmd: int, count: int) -> int:
+    return (cmd & 7) | (count << 3)
+
+
+# ---------------------------------------------------------------------------
+# decode: commands -> absolute geometry
+# ---------------------------------------------------------------------------
+
+def decode_points(cmds: np.ndarray) -> np.ndarray:
+    """Exactly one MoveTo (Internal.hs:153-156)."""
+    parsed = parse_commands(cmds)
+    if len(parsed) != 1 or parsed[0][0] != MOVE_TO:
+        raise GeometryError("Invalid command found in Point feature")
+    deltas = _pairs(parsed[0][2])
+    if deltas.shape[0] == 0:
+        raise GeometryError("No points given!")
+    return np.cumsum(deltas, axis=0)
+
+
+def decode_linestrings(cmds: np.ndarray) -> list[np.ndarray]:
+    """Pairs of MoveTo(take head only) + LineTo(n>=1); cursor threads
+    across linestrings within the feature (Internal.hs:165-174)."""
+    parsed = parse_commands(cmds)
+    if len(parsed) % 2:
+        raise GeometryError("LineString decode: Invalid command sequence given.")
+    segments = []  # per-segment delta arrays
+    for i in range(0, len(parsed), 2):
+        mcmd, _, mparams = parsed[i]
+        lcmd, _, lparams = parsed[i + 1]
+        if mcmd != MOVE_TO or lcmd != LINE_TO:
+            raise GeometryError("LineString decode: Invalid command sequence given.")
+        mp = _pairs(mparams)
+        lp = _pairs(lparams)
+        if mp.shape[0] == 0:
+            raise GeometryError("LineString decode: empty MoveTo")
+        # only the FIRST MoveTo point is used (Internal.hs:170)
+        segments.append(np.concatenate([mp[:1], lp], axis=0))
+    if not segments:
+        return []
+    lengths = [s.shape[0] for s in segments]
+    absolute = np.cumsum(np.concatenate(segments, axis=0), axis=0)
+    out = []
+    start = 0
+    for ln in lengths:
+        out.append(absolute[start:start + ln])
+        start += ln
+    return out
+
+
+def decode_polygons(cmds: np.ndarray) -> list[list[np.ndarray]]:
+    """Rings = MoveTo(head) + LineTo(>=1) + ClosePath; decoded rings are
+    closed by appending the first point (Internal.hs:198). Hole
+    grouping: first ring of a run is the exterior; subsequent rings
+    with area <= 0 attach to it as holes until a ring with area > 0
+    starts the next polygon (Internal.hs:202-206).
+
+    Returns a list of polygons; each polygon is [exterior, hole, ...],
+    all rings closed.
+    """
+    parsed = parse_commands(cmds)
+    if len(parsed) % 3:
+        raise GeometryError(f"Polygon decode: Invalid command sequence given: {cmds!r}")
+    ring_deltas = []
+    for i in range(0, len(parsed), 3):
+        mcmd, _, mparams = parsed[i]
+        lcmd, _, lparams = parsed[i + 1]
+        ccmd = parsed[i + 2][0]
+        if mcmd != MOVE_TO or lcmd != LINE_TO or ccmd != CLOSE_PATH:
+            raise GeometryError(f"Polygon decode: Invalid command sequence given: {cmds!r}")
+        mp = _pairs(mparams)
+        lp = _pairs(lparams)
+        if mp.shape[0] == 0:
+            raise GeometryError("Polygon decode: empty MoveTo")
+        ring_deltas.append(np.concatenate([mp[:1], lp], axis=0))
+    if not ring_deltas:
+        return []
+    lengths = [r.shape[0] for r in ring_deltas]
+    absolute = np.cumsum(np.concatenate(ring_deltas, axis=0), axis=0)
+    rings = []
+    start = 0
+    for ln in lengths:
+        open_ring = absolute[start:start + ln]
+        rings.append(np.concatenate([open_ring, open_ring[:1]], axis=0))
+        start += ln
+    # hole attachment by run-grouping on the shoelace sign
+    areas = [surveyor(r) for r in rings]
+    polys: list[list[np.ndarray]] = []
+    i = 0
+    n = len(rings)
+    while i < n:
+        group = [rings[i]]
+        i += 1
+        while i < n and areas[i] <= 0:
+            group.append(rings[i])
+            i += 1
+        polys.append(group)
+    return polys
+
+
+# ---------------------------------------------------------------------------
+# encode: absolute geometry -> commands
+# ---------------------------------------------------------------------------
+
+def encode_points(points: np.ndarray) -> np.ndarray:
+    """Single MoveTo of running diffs (Internal.hs:159)."""
+    pts = np.asarray(points, dtype=np.int64).reshape(-1, 2)
+    deltas = np.diff(pts, axis=0, prepend=np.zeros((1, 2), dtype=np.int64))
+    n = pts.shape[0]
+    out = np.empty(1 + 2 * n, dtype=np.uint32)
+    out[0] = command_header(MOVE_TO, n)
+    out[1:] = zig(deltas.ravel())
+    return out
+
+
+def encode_linestrings(lines: list[np.ndarray]) -> np.ndarray:
+    """Per linestring: MoveTo[first-diff], LineTo[rest]; cursor carries
+    over (Internal.hs:176-179)."""
+    chunks = []
+    cursor = np.zeros(2, dtype=np.int64)
+    for line in lines:
+        pts = np.asarray(line, dtype=np.int64).reshape(-1, 2)
+        deltas = np.diff(pts, axis=0, prepend=cursor.reshape(1, 2))
+        cursor = pts[-1]
+        n = pts.shape[0]
+        chunk = np.empty(2 + 2 * n, dtype=np.uint32)
+        chunk[0] = command_header(MOVE_TO, 1)
+        chunk[1:3] = zig(deltas[0])
+        chunk[3] = command_header(LINE_TO, n - 1)
+        chunk[4:] = zig(deltas[1:].ravel())
+        chunks.append(chunk)
+    if not chunks:
+        return np.empty(0, dtype=np.uint32)
+    return np.concatenate(chunks)
+
+
+def encode_polygons(polys: list[list[np.ndarray]]) -> np.ndarray:
+    """Per ring (exterior then its holes, Internal.hs:208-213): drop the
+    closing point, MoveTo head, LineTo rest, ClosePath; cursor carries
+    across rings and polygons."""
+    chunks = []
+    cursor = np.zeros(2, dtype=np.int64)
+    for rings in polys:
+        for ring in rings:
+            pts = np.asarray(ring, dtype=np.int64).reshape(-1, 2)[:-1]  # drop closing point
+            deltas = np.diff(pts, axis=0, prepend=cursor.reshape(1, 2))
+            cursor = pts[-1]
+            n = pts.shape[0]
+            chunk = np.empty(3 + 2 * n, dtype=np.uint32)
+            chunk[0] = command_header(MOVE_TO, 1)
+            chunk[1:3] = zig(deltas[0])
+            chunk[3] = command_header(LINE_TO, n - 1)
+            chunk[4:4 + 2 * (n - 1)] = zig(deltas[1:].ravel())
+            chunk[-1] = command_header(CLOSE_PATH, 1)
+            chunks.append(chunk)
+    if not chunks:
+        return np.empty(0, dtype=np.uint32)
+    return np.concatenate(chunks)
+
+
+# ---------------------------------------------------------------------------
+# area
+# ---------------------------------------------------------------------------
+
+def surveyor(ring: np.ndarray) -> float:
+    """Shoelace over a CLOSED ring (closing point excluded from the
+    scan), reference formula exactly (Geometry.hs:76-81): positive =>
+    exterior, negative => interior, y-down origin top-left."""
+    v = np.asarray(ring, dtype=np.int64).reshape(-1, 2)[:-1]
+    x = v[:, 0]
+    y_next = np.roll(v[:, 1], -1)
+    y_prev = np.roll(v[:, 1], 1)
+    return float(np.sum(x * (y_next - y_prev))) / 2.0
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """Exterior + hole areas (holes negative) — reference `area`
+    (Geometry.hs:68-69)."""
+    return float(sum(surveyor(r) for r in rings))
+
+
+def surveyor_batch(flat_xy: np.ndarray, ring_offsets: np.ndarray) -> np.ndarray:
+    """Vectorized shoelace over many closed rings at once.
+
+    flat_xy: (N, 2) concatenated ring coordinates (closed rings);
+    ring_offsets: int64 array of ring start offsets, with a final
+    sentinel N. Returns per-ring signed areas (float64).
+    """
+    x = flat_xy[:, 0].astype(np.int64)
+    y = flat_xy[:, 1].astype(np.int64)
+    starts = ring_offsets[:-1]
+    ends = ring_offsets[1:] - 1  # exclude closing point
+    # per-element next/prev indices within each ring's open span
+    n = x.size
+    idx = np.arange(n, dtype=np.int64)
+    ring_id = np.repeat(np.arange(starts.size), ring_offsets[1:] - ring_offsets[:-1])
+    open_mask = idx < ends[ring_id]  # drop each ring's closing point
+    oi = idx[open_mask]
+    rid = ring_id[open_mask]
+    nxt = oi + 1
+    at_end = nxt == ends[rid]
+    nxt = np.where(at_end, starts[rid], nxt)
+    prv = oi - 1
+    at_start = oi == starts[rid]
+    prv = np.where(at_start, ends[rid] - 1, prv)
+    contrib = x[oi] * (y[nxt] - y[prv])
+    sums = np.zeros(starts.size, dtype=np.int64)
+    np.add.at(sums, rid, contrib)
+    return sums / 2.0
