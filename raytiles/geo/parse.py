@@ -1,0 +1,96 @@
+"""Geoparsing: extract lat/lon mentions from web-page text.
+
+A stateless map_batches stage (regex compiled once per actor /
+process). Three mention grammars, chosen to be exactly re-expressible
+in the DuckDB oracle's regexp functions:
+
+  fmt1:  "located at 37.7749, -122.4194"
+  fmt2:  "(lat 51.5074, lon -0.1278)"
+  fmt3:  "40.7128N 74.0060W"           (hemisphere-suffixed, abs values)
+
+All coordinates are printed with exactly 4 decimals by the generator;
+the \\d{1,3}\\.\\d{4} shape keeps decoy numerals (prices "12.99",
+versions "3.2.1", dates "12.05.2024") from parsing. Mentions are
+indexed by appearance order within the document (mention_idx, 0-based).
+Out-of-range coordinates (|lat| > 85.05, |lon| > 180) are dropped.
+
+SQL twin (see __ray_entry__.oracle_sql):
+  unnest(regexp_extract_all(text, MASTER_RE)) with
+  generate_subscripts(...) for order, then per-match CASE parsing.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# NOTE: keep these three in sync with the oracle SQL in __ray_entry__.py.
+FMT1 = r"located at (-?\d{1,2}\.\d{4}), (-?\d{1,3}\.\d{4})"
+FMT2 = r"\(lat (-?\d{1,2}\.\d{4}), lon (-?\d{1,3}\.\d{4})\)"
+FMT3 = r"(\d{1,2}\.\d{4})([NS]) (\d{1,3}\.\d{4})([EW])"
+
+# alternation for in-order matching; grammars have disjoint prefixes
+MASTER_RE = f"(?:{FMT1})|(?:{FMT2})|(?:{FMT3})"
+
+MAX_LAT = 85.05
+
+
+class GeoParser:
+    """Callable class for map_batches actor pools: regex compiled once
+    in __init__ (per actor), vectorized-ish extraction per batch."""
+
+    def __init__(self) -> None:
+        self.master = re.compile(MASTER_RE)
+
+    def parse_series(self, texts: pd.Series):
+        """-> DataFrame (row_pos, mention_idx, lat, lon, matched_text)
+        with row_pos the positional index into ``texts``."""
+        # extractall runs the compiled master once per string (C loop in
+        # the regex engine); groups come back as match-ordered rows.
+        found = texts.str.extractall(self.master)
+        if found.empty:
+            return pd.DataFrame({"row_pos": np.empty(0, np.int64),
+                                 "mention_idx": np.empty(0, np.int32),
+                                 "lat": np.empty(0, np.float64),
+                                 "lon": np.empty(0, np.float64)})
+        # group columns: 0,1 = fmt1 lat/lon; 2,3 = fmt2; 4..7 = fmt3
+        g = found.to_numpy()
+        lat = np.empty(len(found), dtype=np.float64)
+        lon = np.empty(len(found), dtype=np.float64)
+        f1 = pd.notna(g[:, 0])
+        f2 = pd.notna(g[:, 2])
+        f3 = pd.notna(g[:, 4])
+        lat[f1] = g[f1, 0].astype(np.float64)
+        lon[f1] = g[f1, 1].astype(np.float64)
+        lat[f2] = g[f2, 2].astype(np.float64)
+        lon[f2] = g[f2, 3].astype(np.float64)
+        lat[f3] = g[f3, 4].astype(np.float64) * np.where(g[f3, 5] == "N", 1.0, -1.0)
+        lon[f3] = g[f3, 6].astype(np.float64) * np.where(g[f3, 7] == "E", 1.0, -1.0)
+        row_pos = found.index.get_level_values(0).to_numpy()
+        # mention_idx: appearance order within each row (extractall's
+        # "match" level is already per-row ordinal)
+        mention_idx = found.index.get_level_values("match").to_numpy().astype(np.int32)
+        keep = (np.abs(lat) <= MAX_LAT) & (np.abs(lon) <= 180.0)
+        out = pd.DataFrame({"row_pos": row_pos[keep],
+                            "mention_idx": mention_idx[keep],
+                            "lat": lat[keep], "lon": lon[keep]})
+        # re-number mention_idx densely after range-validation drops
+        if keep.all():
+            return out
+        out["mention_idx"] = out.groupby("row_pos").cumcount().astype(np.int32)
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """documents batch (url, text, ...) -> exploded mention rows
+        (url, mention_idx, lon, lat)."""
+        texts = batch["text"].reset_index(drop=True)
+        parsed = self.parse_series(texts)
+        urls = batch["url"].reset_index(drop=True).to_numpy()
+        return pd.DataFrame({
+            "url": urls[parsed["row_pos"].to_numpy()],
+            "mention_idx": parsed["mention_idx"].to_numpy(),
+            "lon": parsed["lon"].to_numpy(),
+            "lat": parsed["lat"].to_numpy(),
+        })

@@ -1,0 +1,116 @@
+"""XYZ / WebMercator tile math and a from-scratch hierarchical cell
+index (res 0-9), all vectorized float64 numpy.
+
+The cell index plays the role of H3 in the engine (north_star): a
+quadtree-style equirectangular hierarchy where resolution r covers the
+globe with a 2^(r+1) x 2^r lon/lat grid (r=0: two hemispheres), each
+cell splitting into 2x2 children at r+1. Cell ids pack
+(res, ix, iy) into an int64: id = (res << 56) | (ix << 28) | iy —
+chosen so the identical arithmetic is expressible in ANSI SQL for the
+DuckDB oracle (res*2^56 + ix*2^28 + iy fits BIGINT for res <= 9).
+
+Every formula here is written to match its SQL oracle twin
+word-for-word (same operation order, float64 throughout) so floor()
+boundaries agree bit-for-bit between numpy and DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LAT = 85.05  # WebMercator-safe latitude clamp used by the synth generator
+DEFAULT_EXTENT = 4096
+
+
+def lonlat_to_tile(lon: np.ndarray, lat: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) -> XYZ tile (x, y) at zoom z. y=0 is the north edge.
+
+    SQL twin:
+      x = CAST(floor((lon + 180.0) / 360.0 * 2^z) AS INT)  clipped to [0, 2^z-1]
+      y = CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 2^z) AS INT)
+    """
+    n = float(1 << z)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    xt = np.floor((lon + 180.0) / 360.0 * n)
+    rad = np.radians(lat)
+    yt = np.floor((1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / np.pi) / 2.0 * n)
+    xt = np.clip(xt, 0, n - 1).astype(np.int32)
+    yt = np.clip(yt, 0, n - 1).astype(np.int32)
+    return xt, yt
+
+
+def lonlat_to_local(lon: np.ndarray, lat: np.ndarray, z: int,
+                    tx: np.ndarray, ty: np.ndarray,
+                    extent: int = DEFAULT_EXTENT) -> tuple[np.ndarray, np.ndarray]:
+    """Tile-local integer coords in [0, extent-1] (y-down, matching the
+    MVT convention that (0,0) is the tile's top-left)."""
+    n = float(1 << z)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    fx = (lon + 180.0) / 360.0 * n - tx.astype(np.float64)
+    rad = np.radians(lat)
+    fy = (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / np.pi) / 2.0 * n - ty.astype(np.float64)
+    lx = np.clip(np.floor(fx * extent), 0, extent - 1).astype(np.int32)
+    ly = np.clip(np.floor(fy * extent), 0, extent - 1).astype(np.int32)
+    return lx, ly
+
+
+def tile_bounds(z: int, tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
+    """WebMercator-projected lon/lat bounding boxes (lon_min, lat_min,
+    lon_max, lat_max) of XYZ tiles; vectorized; returns (n, 4)."""
+    n = float(1 << z)
+    tx = np.asarray(tx, dtype=np.float64)
+    ty = np.asarray(ty, dtype=np.float64)
+    lon_min = tx / n * 360.0 - 180.0
+    lon_max = (tx + 1) / n * 360.0 - 180.0
+
+    def merc_lat(yt):
+        return np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * yt / n))))
+
+    lat_max = merc_lat(ty)
+    lat_min = merc_lat(ty + 1)
+    return np.stack([lon_min, lat_min, lon_max, lat_max], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# hierarchical cell index (H3-role), res 0-9
+# ---------------------------------------------------------------------------
+
+CELL_RES_BITS = 56
+CELL_IX_BITS = 28
+
+
+def cell_id(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Pack (res, ix, iy) -> int64.
+
+    SQL twin (BIGINT arithmetic):
+      ix = CAST(floor((lon + 180.0) / 360.0 * nx) AS BIGINT) clipped to [0, nx-1]
+      iy = CAST(floor((90.0 - lat) / 180.0 * ny) AS BIGINT)  clipped to [0, ny-1]
+      id = res * 72057594037927936 + ix * 268435456 + iy
+    with nx = 2^(res+1), ny = 2^res.
+    """
+    nx = float(1 << (res + 1))
+    ny = float(1 << res)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * nx), 0, nx - 1).astype(np.int64)
+    iy = np.clip(np.floor((90.0 - lat) / 180.0 * ny), 0, ny - 1).astype(np.int64)
+    return (np.int64(res) << np.int64(CELL_RES_BITS)) | (ix << np.int64(CELL_IX_BITS)) | iy
+
+
+def cell_parent(cid: np.ndarray) -> np.ndarray:
+    """Parent cell at res-1 (2x2 split ⇒ halve indices)."""
+    cid = np.asarray(cid, dtype=np.int64)
+    res = cid >> np.int64(CELL_RES_BITS)
+    ix = (cid >> np.int64(CELL_IX_BITS)) & np.int64((1 << CELL_RES_BITS - CELL_IX_BITS) - 1)
+    iy = cid & np.int64((1 << CELL_IX_BITS) - 1)
+    return ((res - 1) << np.int64(CELL_RES_BITS)) | ((ix >> 1) << np.int64(CELL_IX_BITS)) | (iy >> 1)
+
+
+def cell_unpack(cid: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    cid = np.asarray(cid, dtype=np.int64)
+    res = cid >> np.int64(CELL_RES_BITS)
+    ix = (cid >> np.int64(CELL_IX_BITS)) & np.int64((1 << (CELL_RES_BITS - CELL_IX_BITS)) - 1)
+    iy = cid & np.int64((1 << CELL_IX_BITS) - 1)
+    return res, ix, iy

@@ -1,0 +1,150 @@
+"""Geo layer: tile math vs known anchors, cell hierarchy, geoparser
+grammars + decoy rejection, R-tree vs brute force, PIP."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raytiles.geo import tilemath as tm
+from raytiles.geo.parse import GeoParser
+from raytiles.geo.rtree import PackedRTree, points_in_polygon
+
+
+def test_tile_anchor_values():
+    # well-known: San Francisco at z=12 -> slippy tile (655, 1583)
+    x, y = tm.lonlat_to_tile(np.array([-122.4194]), np.array([37.7749]), 12)
+    assert (x[0], y[0]) == (655, 1583)
+    # Greenwich at z=1 -> (1, 0) east/north quadrant
+    x, y = tm.lonlat_to_tile(np.array([0.0]), np.array([51.5]), 1)
+    assert (x[0], y[0]) == (1, 0)
+    # origin corner
+    x, y = tm.lonlat_to_tile(np.array([-180.0]), np.array([85.0]), 4)
+    assert (x[0], y[0]) == (0, 0)
+
+
+def test_tile_local_in_range():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179, 179, 1000)
+    lat = rng.uniform(-84, 84, 1000)
+    x, y = tm.lonlat_to_tile(lon, lat, 12)
+    lx, ly = tm.lonlat_to_local(lon, lat, 12, x, y)
+    assert lx.min() >= 0 and lx.max() < 4096
+    assert ly.min() >= 0 and ly.max() < 4096
+
+
+def test_tile_bounds_roundtrip():
+    z = 7
+    tx = np.array([20, 63, 100])
+    ty = np.array([30, 64, 90])
+    b = tm.tile_bounds(z, tx, ty)
+    cx = (b[:, 0] + b[:, 2]) / 2
+    cy = (b[:, 1] + b[:, 3]) / 2
+    gx, gy = tm.lonlat_to_tile(cx, cy, z)
+    assert np.array_equal(gx, tx) and np.array_equal(gy, ty)
+
+
+def test_cell_hierarchy():
+    lon = np.array([-122.4194, 2.3522, 139.6503])
+    lat = np.array([37.7749, 48.8566, 35.6762])
+    for r in range(1, 10):
+        child = tm.cell_id(lon, lat, r)
+        parent = tm.cell_id(lon, lat, r - 1)
+        assert np.array_equal(tm.cell_parent(child), parent)
+    res, ix, iy = tm.cell_unpack(tm.cell_id(lon, lat, 9))
+    assert (res == 9).all()
+    assert (ix < 2 ** 10).all() and (iy < 2 ** 9).all()
+
+
+def test_geoparser_grammars():
+    p = GeoParser()
+    texts = pd.Series([
+        "city located at 37.7749, -122.4194 downtown",
+        "point (lat 51.5074, lon -0.1278) here",
+        "at 40.7128N 74.0060W corner",
+        "mixed (lat 1.3521, lon 103.8198) then located at -33.8688, 151.2093 end",
+        "no geo price $12.99 version 3.25 on 12.05.2024 rated 4.5",
+        "",
+    ])
+    out = p.parse_series(texts)
+    got = out.groupby("row_pos").size().to_dict()
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2}
+    r0 = out[out.row_pos == 0].iloc[0]
+    assert r0.lat == 37.7749 and r0.lon == -122.4194
+    r2 = out[out.row_pos == 2].iloc[0]
+    assert r2.lat == 40.7128 and r2.lon == -74.0060
+    r3 = out[out.row_pos == 3]
+    assert r3.mention_idx.tolist() == [0, 1]
+    assert r3.iloc[1].lat == -33.8688
+
+
+def test_geoparser_range_validation():
+    p = GeoParser()
+    out = p.parse_series(pd.Series(["located at 89.0000, 10.0000 then located at 10.0000, 20.0000"]))
+    # |lat| > 85.05 dropped, survivor renumbered from 0
+    assert len(out) == 1
+    assert out.iloc[0].mention_idx == 0 and out.iloc[0].lat == 10.0
+
+
+def test_geoparser_call_shape():
+    p = GeoParser()
+    batch = pd.DataFrame({"url": ["u1", "u2"],
+                          "text": ["located at 1.0000, 2.0000", "nothing"]})
+    out = p(batch)
+    assert list(out.columns) == ["url", "mention_idx", "lon", "lat"]
+    assert out.url.tolist() == ["u1"]
+
+
+def test_rtree_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    boxes = rng.uniform(-100, 100, size=(300, 2))
+    boxes = np.concatenate([boxes, boxes + rng.uniform(1, 20, size=(300, 2))], axis=1)
+    tree = PackedRTree(boxes)
+    px = rng.uniform(-120, 120, 500)
+    py = rng.uniform(-120, 120, 500)
+    pi, bi = tree.query_points(px, py)
+    got = set(zip(pi.tolist(), bi.tolist()))
+    expect = set()
+    for i in range(px.size):
+        inside = (px[i] >= boxes[:, 0]) & (px[i] <= boxes[:, 2]) \
+            & (py[i] >= boxes[:, 1]) & (py[i] <= boxes[:, 3])
+        for j in np.flatnonzero(inside):
+            expect.add((i, int(j)))
+    assert got == expect
+
+
+def test_rtree_tiny_and_empty():
+    t1 = PackedRTree(np.array([[0, 0, 1, 1]]))
+    pi, bi = t1.query_points(np.array([0.5, 2.0]), np.array([0.5, 2.0]))
+    assert pi.tolist() == [0] and bi.tolist() == [0]
+    t0 = PackedRTree(np.empty((0, 4)))
+    pi, bi = t0.query_points(np.array([0.5]), np.array([0.5]))
+    assert pi.size == 0
+
+
+def test_rtree_tile_assignment_equals_floor_math():
+    """The broadcast-R-tree PIP assignment must agree with direct tile
+    arithmetic (the conformance the assign stage relies on)."""
+    z = 6
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179, 179, 2000)
+    lat = rng.uniform(-80, 80, 2000)
+    tx, ty = tm.lonlat_to_tile(lon, lat, z)
+    want = set(zip(range(lon.size), (tx.astype(int) * (1 << z) + ty).tolist()))
+    # R-tree over ALL z=6 tile bounds, shrunk slightly to break edge ties
+    allx, ally = np.meshgrid(np.arange(1 << z), np.arange(1 << z))
+    boxes = tm.tile_bounds(z, allx.ravel(), ally.ravel())
+    eps = 1e-9
+    boxes[:, :2] += eps
+    boxes[:, 2:] -= eps
+    tree = PackedRTree(boxes)
+    pi, bi = tree.query_points(lon, lat)
+    got = {(int(p), int(allx.ravel()[b]) * (1 << z) + int(ally.ravel()[b]))
+           for p, b in zip(pi, bi)}
+    assert got == want
+
+
+def test_points_in_polygon():
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=np.float64)
+    x = np.array([2.0, 5.0, -1.0, 3.9])
+    y = np.array([2.0, 2.0, 2.0, 3.9])
+    assert points_in_polygon(x, y, ring).tolist() == [True, False, False, True]

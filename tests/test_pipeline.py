@@ -1,0 +1,126 @@
+"""End-to-end pipeline tests on the deterministic synthetic webpages
+table (sf0.001 tier, 500 rows): stage-level units + full flagship run
+with decode-back verification against a single-process oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raytiles.codec.decode import decode_tile
+from raytiles.geo import tilemath as tm
+from raytiles.geo.parse import GeoParser
+from raytiles.pipeline.encode_stage import MvtEncoder
+from raytiles.pipeline.stages import merge_tile_partials, pack_tile_partials
+from raytiles.pipeline.synth import generate_webpages, webpages_path
+
+
+@pytest.fixture(scope="module")
+def webpages_500():
+    return generate_webpages(500)
+
+
+def oracle_assignments(table: pa.Table, zoom: int) -> pd.DataFrame:
+    """Single-process reference implementation: parse + assign without
+    Ray, used as the oracle for the distributed path."""
+    df = table.to_pandas()
+    parser = GeoParser()
+    mentions = parser(df[["url", "text"]])
+    x, y = tm.lonlat_to_tile(mentions.lon.to_numpy(), mentions.lat.to_numpy(), zoom)
+    lx, ly = tm.lonlat_to_local(mentions.lon.to_numpy(), mentions.lat.to_numpy(), zoom, x, y)
+    mentions["z"], mentions["x"], mentions["y"] = np.int32(zoom), x, y
+    mentions["local_x"], mentions["local_y"] = lx, ly
+    return mentions
+
+
+def test_synth_determinism():
+    a = generate_webpages(200)
+    b = generate_webpages(200)
+    assert a.equals(b)  # byte-identical text per url across runs
+
+
+def test_synth_schema(webpages_500):
+    t = webpages_500
+    assert [f.name for f in t.schema] == ["url", "warc_ts", "html", "text", "lang"]
+    assert t.schema.field("warc_ts").type == pa.timestamp("us")
+    assert t.schema.field("html").type == pa.binary()
+    # html wraps text exactly
+    assert t["html"][0].as_py() == b"<html><body>" + t["text"][0].as_py().encode() + b"</body></html>"
+
+
+def test_pack_merge_roundtrip(webpages_500):
+    mentions = oracle_assignments(webpages_500, 12)
+    batch = pa.Table.from_pandas(mentions, preserve_index=False)
+    packed = pack_tile_partials(batch)
+    assert packed.num_rows == mentions.groupby(["z", "x", "y"]).ngroups
+    # merging a single tile's partials flattens + sorts
+    one_key = packed.slice(0, 1)
+    merged = merge_tile_partials(one_key)
+    assert merged.num_rows == 1
+
+
+def test_encoder_roundtrip_small():
+    enc = MvtEncoder()
+    batch = pa.table({
+        "z": pa.array([12], pa.int32()), "x": pa.array([655], pa.int32()),
+        "y": pa.array([1583], pa.int32()),
+        "urls": pa.array([["https://a/1", "https://b/2"]], pa.list_(pa.string())),
+        "mention_idx": pa.array([[0, 1]], pa.list_(pa.int32())),
+        "local_x": pa.array([[100, 4095]], pa.list_(pa.int32())),
+        "local_y": pa.array([[0, 2048]], pa.list_(pa.int32())),
+    })
+    out = enc(batch)
+    assert out["n_features"][0].as_py() == 2
+    tile = decode_tile(out["mvt"][0].as_py())
+    layer = tile.layers[b"mentions"]
+    assert len(layer.points) == 2
+    f0 = layer.points[0]
+    assert f0.metadata[b"url"] == ("St", b"https://a/1")
+    assert f0.metadata[b"mention_idx"] == ("I64", 0)
+    assert f0.geometry.tolist() == [[100, 0]]
+    assert layer.points[1].geometry.tolist() == [[4095, 2048]]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributed:
+    def test_assignments_match_oracle(self, webpages_500, tmp_path):
+        import pyarrow.parquet as pq
+        from raytiles.pipeline.flagship import assignments_pipeline
+        path = str(tmp_path / "webpages.parquet")
+        pq.write_table(webpages_500, path)
+        got = assignments_pipeline(path, 12).to_pandas()
+        want = oracle_assignments(webpages_500, 12)
+        key = ["url", "mention_idx"]
+        got_s = got.sort_values(key).reset_index(drop=True)
+        want_s = want.sort_values(key).reset_index(drop=True)
+        assert len(got_s) == len(want_s)
+        for col in ["url", "mention_idx", "lon", "lat", "x", "y", "local_x", "local_y"]:
+            assert np.array_equal(got_s[col].to_numpy(), want_s[col].to_numpy()), col
+        # cell hierarchy consistency: every r>0 cell's parent matches r-1
+        for r in range(1, 10):
+            assert np.array_equal(
+                tm.cell_parent(got_s[f"cell_r{r}"].to_numpy()),
+                got_s[f"cell_r{r-1}"].to_numpy())
+
+    def test_flagship_tiles_decode_back(self, webpages_500, tmp_path):
+        import pyarrow.parquet as pq
+        from raytiles.pipeline.flagship import tiles_pipeline
+        path = str(tmp_path / "webpages.parquet")
+        pq.write_table(webpages_500, path)
+        tiles = tiles_pipeline(path, 12).to_pandas()
+        want = oracle_assignments(webpages_500, 12)
+        want_counts = want.groupby(["x", "y"]).size()
+        assert len(tiles) == len(want_counts)
+        assert tiles.n_features.sum() == len(want)
+        # decode a hot tile and verify features match the oracle rows
+        hot = tiles.sort_values("n_features", ascending=False).iloc[0]
+        tile = decode_tile(hot.mvt)
+        layer = tile.layers[b"mentions"]
+        sub = want[(want.x == hot.x) & (want.y == hot.y)] \
+            .sort_values(["url", "mention_idx"]).reset_index(drop=True)
+        assert len(layer.points) == hot.n_features == len(sub)
+        for i, f in enumerate(layer.points):
+            assert f.fid == i
+            assert f.metadata[b"url"] == ("St", sub.url[i].encode())
+            assert f.metadata[b"mention_idx"] == ("I64", int(sub.mention_idx[i]))
+            assert f.geometry.tolist() == [[int(sub.local_x[i]), int(sub.local_y[i])]]
