@@ -1,44 +1,251 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the raytiles engine (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library code these call.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import numpy as np
+import pandas as pd
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def _cast_int64(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# tiling-family queries (over the deterministic synthetic webpages table)
+# ---------------------------------------------------------------------------
+
+def _q_geoparse(sf_dir: str):
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.synth import webpages_path
+    df = geoparse(read_webpages(webpages_path(sf_dir))).to_pandas()
+    return _cast_int64(df, ["mention_idx"])[["url", "mention_idx", "lon", "lat"]]
+
+
+def _q_tile_assign(sf_dir: str):
+    from raytiles.pipeline.flagship import assignments_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    df = assignments_pipeline(webpages_path(sf_dir), 12).to_pandas()
+    cells = [f"cell_r{r}" for r in range(10)]
+    df = _cast_int64(df, ["mention_idx", "z", "x", "y", "local_x", "local_y"] + cells)
+    return df[["url", "mention_idx", "lon", "lat"] + cells
+              + ["z", "x", "y", "local_x", "local_y"]]
+
+
+def _q_tile_counts(sf_dir: str):
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    df = tiles_pipeline(webpages_path(sf_dir), 12).to_pandas()
+    df = _cast_int64(df, ["z", "x", "y", "n_features"])
+    return df[["z", "x", "y", "n_features"]]
+
+
+def _q_cell_counts(sf_dir: str):
+    from raytiles.pipeline.flagship import assignments_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    df = assignments_pipeline(webpages_path(sf_dir), 12).to_pandas()
+    g = df.groupby("cell_r5").agg(
+        n_mentions=("url", "size"), n_docs=("url", "nunique")).reset_index()
+    return _cast_int64(g, ["cell_r5", "n_mentions", "n_docs"])
+
+
+def _q_tiles_mvt(sf_dir: str):
+    """Full flagship output incl. the encoded MVT bytes (no SQL twin —
+    binary codec output; roundtrip correctness is checked by
+    mvt_roundtrip and pytest)."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    return tiles_pipeline(webpages_path(sf_dir), 12)
+
+
+def _q_mvt_roundtrip(sf_dir: str):
+    """Reference fixtures + synthetic tiles through decode->encode->
+    decode; every row must have ok=True (the 100% fixture pass-rate
+    criterion)."""
+    from raytiles.pipeline.roundtrip import roundtrip_pipeline
+    return roundtrip_pipeline()
+
+
+# ---------------------------------------------------------------------------
+# relational / text / dedup / similarity over the testdata tables
+# ---------------------------------------------------------------------------
+
+def _q_pricing(sf_dir: str):
+    from raytiles.ops.relational import pricing_summary
+    return pricing_summary(sf_dir)
+
+
+def _q_top_customers(sf_dir: str):
+    from raytiles.ops.relational import top_customers
+    return top_customers(sf_dir)
+
+
+def _q_events_hourly(sf_dir: str):
+    from raytiles.ops.relational import events_hourly
+    return events_hourly(sf_dir)
+
+
+def _q_token_counts(sf_dir: str):
+    from raytiles.ops.text import token_counts
+    return token_counts(sf_dir)
+
+
+def _q_quality(sf_dir: str):
+    from raytiles.ops.text import quality_scores
+    return quality_scores(sf_dir)
+
+
+def _q_lang_id(sf_dir: str):
+    from raytiles.ops.text import lang_id
+    return lang_id(sf_dir)
+
+
+def _q_doc_md5(sf_dir: str):
+    from raytiles.ops.text import doc_md5
+    return doc_md5(sf_dir)
+
+
+def _q_exact_dedup(sf_dir: str):
+    from raytiles.ops.dedup import exact_dedup
+    return exact_dedup(sf_dir)
+
+
+def _q_minhash_bands(sf_dir: str):
+    from raytiles.ops.dedup import minhash_bands
+    return minhash_bands(sf_dir)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from raytiles.ops.dedup import minhash_pairs
+    return minhash_pairs(sf_dir)
+
+
+def _q_jaccard_pairs(sf_dir: str):
+    from raytiles.ops.dedup import jaccard_verify
+    return jaccard_verify(sf_dir)
+
+
+def _q_simhash(sf_dir: str):
+    from raytiles.ops.dedup import simhash
+    return simhash(sf_dir)
+
+
+def _q_knn(sf_dir: str):
+    from raytiles.ops.similarity import knn_bruteforce
+    return knn_bruteforce(sf_dir)
+
+
+def _q_lsh_neardup(sf_dir: str):
+    from raytiles.ops.similarity import lsh_neardup_pairs
+    return lsh_neardup_pairs(sf_dir)
+
+
+def _q_winnow(sf_dir: str):
+    from raytiles.ops.text import winnow_fingerprints
+    return winnow_fingerprints(sf_dir)
+
+
+def _q_media_meta(sf_dir: str):
+    from raytiles.ops.media import media_meta
+    from raytiles.pipeline.synth import webpages_path
+    return media_meta(webpages_path(sf_dir))
+
+
+def _q_media_features(sf_dir: str):
+    from raytiles.ops.media import media_features
+    from raytiles.pipeline.synth import webpages_path
+    return media_features(webpages_path(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: webpages ->
+    geoparse -> assign -> aggregate -> MVT-encode."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    return tiles_pipeline(webpages_path("/root/testdata/sf0.001"), 12)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # tiling family (SURVEY §2 / north_star pipeline)
+        "geoparse": _q_geoparse,
+        "tile_assign": _q_tile_assign,
+        "tile_counts": _q_tile_counts,
+        "cell_counts": _q_cell_counts,
+        "tiles_mvt": _q_tiles_mvt,
+        "mvt_roundtrip": _q_mvt_roundtrip,
+        # relational operators
+        "pricing_summary": _q_pricing,
+        "top_customers": _q_top_customers,
+        "events_hourly": _q_events_hourly,
+        # text analysis
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "doc_md5": _q_doc_md5,
+        # dedup
+        "exact_dedup": _q_exact_dedup,
+        "minhash_bands": _q_minhash_bands,
+        "minhash_pairs": _q_minhash_pairs,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "simhash": _q_simhash,
+        # similarity search
+        "knn": _q_knn,
+        "lsh_neardup": _q_lsh_neardup,
+        # fingerprints / multimodal
+        "winnow_fingerprints": _q_winnow,
+        "media_meta": _q_media_meta,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raytiles import oracles
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_ORACLE)  # materialized deterministically on demand
+    return {
+        "geoparse": oracles.geoparse_sql(wp),
+        "tile_assign": oracles.tile_assign_sql(wp),
+        "tile_counts": oracles.tile_counts_sql(wp),
+        "cell_counts": oracles.cell_counts_sql(wp),
+        # tiles_mvt / mvt_roundtrip: binary codec output, rows-only
+        "pricing_summary": oracles.PRICING_SUMMARY_SQL,
+        "top_customers": oracles.TOP_CUSTOMERS_SQL,
+        "events_hourly": oracles.EVENTS_HOURLY_SQL,
+        "token_counts": oracles.TOKEN_COUNTS_SQL,
+        "quality_scores": oracles.QUALITY_SCORES_SQL,
+        "lang_id": oracles.LANG_ID_SQL,
+        "doc_md5": oracles.DOC_MD5_SQL,
+        "exact_dedup": oracles.EXACT_DEDUP_SQL,
+        "minhash_bands": oracles.minhash_bands_sql(),
+        "minhash_pairs": oracles.minhash_pairs_sql(),
+        # jaccard_pairs / simhash / lsh_neardup / winnow_fingerprints /
+        # media_features: rows-only (non-SQL-expressible or approximate)
+        "knn": oracles.knn_sql(),
+        "media_meta": oracles.media_meta_sql(wp),
+    }

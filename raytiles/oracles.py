@@ -1,0 +1,270 @@
+"""DuckDB oracle SQL builders — the ANSI-SQL twins of every
+SQL-expressible engine query (driver correctness gate).
+
+Each SQL string replicates the engine's computation EXACTLY:
+same regexes (RE2-compatible, ASCII), same float64 formula order,
+floor-quantization instead of round() where rounding modes differ,
+md5-derived hashing reproduced via ('0x' || substr(md5(s),1,16))::UBIGINT.
+"""
+
+from __future__ import annotations
+
+from .geo.parse import FMT1, FMT2, FMT3, MASTER_RE
+from .ops.dedup import SEED_CONSTS
+from .ops.text import STOP_RE, TOKEN_RE
+
+# RE2-compatible rewrites of the Python regexes (Python (?:..) works in
+# RE2 too; token/stop need the \b form DuckDB accepts)
+SQL_TOKEN_RE = "[0-9A-Za-z_]+"
+SQL_STOP_RE = r"\b(?:the|a|of|and|to)\b"
+ZOOM = 12
+EXTENT = 4096
+
+
+def mentions_cte(webpages_parquet: str) -> str:
+    """CTE producing (url, mention_idx, lon, lat) — the geoparse twin."""
+    return f"""
+matches AS (
+  SELECT url,
+         unnest(regexp_extract_all(text, '{MASTER_RE}')) AS mt,
+         generate_subscripts(regexp_extract_all(text, '{MASTER_RE}'), 1) AS mpos
+  FROM read_parquet('{webpages_parquet}')
+),
+parsed AS (
+  SELECT url, mpos,
+    CASE
+      WHEN mt LIKE 'located at%' THEN CAST(regexp_extract(mt, '{FMT1}', 1) AS DOUBLE)
+      WHEN mt LIKE '(lat%'       THEN CAST(regexp_extract(mt, '{FMT2}', 1) AS DOUBLE)
+      ELSE CAST(regexp_extract(mt, '(\\d{{1,2}}\\.\\d{{4}})([NS])', 1) AS DOUBLE)
+           * (CASE WHEN regexp_extract(mt, '(\\d{{1,2}}\\.\\d{{4}})([NS])', 2) = 'N' THEN 1.0 ELSE -1.0 END)
+    END AS lat,
+    CASE
+      WHEN mt LIKE 'located at%' THEN CAST(regexp_extract(mt, '{FMT1}', 2) AS DOUBLE)
+      WHEN mt LIKE '(lat%'       THEN CAST(regexp_extract(mt, '{FMT2}', 2) AS DOUBLE)
+      ELSE CAST(regexp_extract(mt, ' (\\d{{1,3}}\\.\\d{{4}})([EW])', 1) AS DOUBLE)
+           * (CASE WHEN regexp_extract(mt, ' (\\d{{1,3}}\\.\\d{{4}})([EW])', 2) = 'E' THEN 1.0 ELSE -1.0 END)
+    END AS lon
+  FROM matches
+),
+mentions AS (
+  SELECT url,
+         row_number() OVER (PARTITION BY url ORDER BY mpos) - 1 AS mention_idx,
+         lon, lat
+  FROM parsed
+  WHERE abs(lat) <= 85.05 AND abs(lon) <= 180.0
+)"""
+
+
+def _tile_exprs(z: int = ZOOM, extent: int = EXTENT) -> str:
+    n = float(1 << z)
+    return f"""
+assigned AS (
+  SELECT url, mention_idx, lon, lat,
+    CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}), 0), {n} - 1) AS BIGINT) AS x,
+    CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n}), 0), {n} - 1) AS BIGINT) AS y,
+    (lon + 180.0) / 360.0 * {n} AS fx,
+    (1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n} AS fy
+  FROM mentions
+),
+localized AS (
+  SELECT url, mention_idx, lon, lat, {z} AS z, x, y,
+    CAST(least(greatest(floor((fx - x) * {extent}), 0), {extent} - 1) AS BIGINT) AS local_x,
+    CAST(least(greatest(floor((fy - y) * {extent}), 0), {extent} - 1) AS BIGINT) AS local_y
+  FROM assigned
+)"""
+
+
+def _cell_expr(r: int) -> str:
+    nx = float(1 << (r + 1))
+    ny = float(1 << r)
+    return (f"{r} * 72057594037927936 "
+            f"+ CAST(least(greatest(floor((lon + 180.0) / 360.0 * {nx}), 0), {nx} - 1) AS BIGINT) * 268435456 "
+            f"+ CAST(least(greatest(floor((90.0 - lat) / 180.0 * {ny}), 0), {ny} - 1) AS BIGINT)")
+
+
+def geoparse_sql(webpages_parquet: str) -> str:
+    return (f"WITH {mentions_cte(webpages_parquet)} "
+            "SELECT url, mention_idx, lon, lat FROM mentions")
+
+
+def tile_assign_sql(webpages_parquet: str) -> str:
+    cells = ",\n    ".join(f"{_cell_expr(r)} AS cell_r{r}" for r in range(10))
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs()} "
+            f"SELECT url, mention_idx, lon, lat,\n    {cells},\n"
+            "    z, x, y, local_x, local_y FROM localized")
+
+
+def tile_counts_sql(webpages_parquet: str) -> str:
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs()} "
+            "SELECT z, x, y, count(*) AS n_features "
+            "FROM localized GROUP BY z, x, y")
+
+
+def cell_counts_sql(webpages_parquet: str) -> str:
+    return (f"WITH {mentions_cte(webpages_parquet)} "
+            f"SELECT {_cell_expr(5)} AS cell_r5, count(*) AS n_mentions, "
+            "count(DISTINCT url) AS n_docs FROM mentions GROUP BY 1")
+
+
+# ---------------------------------------------------------------------------
+# relational
+# ---------------------------------------------------------------------------
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+       round(sum(l_discount) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+TOP_CUSTOMERS_SQL = """
+SELECT o.o_custkey AS c_custkey, c.c_name, n.n_name,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY o.o_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity
+# ---------------------------------------------------------------------------
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       array_length(regexp_extract_all(text, '{SQL_TOKEN_RE}')) AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+QUALITY_SCORES_SQL = f"""
+WITH raw AS (
+  SELECT doc_id,
+         array_length(regexp_extract_all(text, '{SQL_TOKEN_RE}')) AS n_tokens,
+         array_length(regexp_extract_all(text, '{SQL_STOP_RE}')) AS n_stop,
+         length(regexp_replace(text, '[^0-9A-Za-z_]', '', 'g')) AS tok_chars
+  FROM documents
+), q AS (
+  SELECT doc_id, n_tokens,
+         floor(n_stop / greatest(n_tokens, 1) * 1000000) / 1000000 AS stop_ratio,
+         floor(tok_chars / greatest(n_tokens, 1) * 1000000) / 1000000 AS avg_token_len
+  FROM raw
+)
+SELECT doc_id, n_tokens, stop_ratio, avg_token_len,
+       floor((0.5 * least(n_tokens / 50.0, 1.0) + 0.3 * stop_ratio
+              + 0.2 * least(avg_token_len / 8.0, 1.0)) * 1000000) / 1000000 AS score
+FROM q
+"""
+
+LANG_ID_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         array_length(regexp_extract_all(lower(text), '\b(?:the|a|to|is|in)\b')) AS en,
+         array_length(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist)\b')) AS de,
+         array_length(regexp_extract_all(lower(text), '\b(?:le|la|les|et|est)\b')) AS fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+       WHEN de >= fr AND de > 0 THEN 'de'
+       WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+FROM c
+"""
+
+DOC_MD5_SQL = "SELECT doc_id, md5(text) AS h FROM documents"
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingles_cte() -> str:
+    return f"""
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{SQL_TOKEN_RE}')) AS w,
+         generate_subscripts(regexp_extract_all(text, '{SQL_TOKEN_RE}'), 1) AS pos
+  FROM documents
+),
+long_sh AS (
+  SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 2) OVER win IS NOT NULL
+),
+short_sh AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS s
+  FROM toks GROUP BY doc_id HAVING count(*) < 3
+),
+shingles AS (SELECT * FROM long_sh UNION ALL SELECT * FROM short_sh)"""
+
+
+def minhash_bands_sql() -> str:
+    mins = ",\n    ".join(
+        f"min(xor(h, {c}::UBIGINT)) AS m{i}" for i, c in enumerate(SEED_CONSTS))
+    bands = []
+    rpb = 2
+    for b in range(4):
+        key = " || '_' || ".join(f"m{b * rpb + j}::VARCHAR" for j in range(rpb))
+        bands.append(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"((('0x' || substr(md5({key}), 1, 16))::UBIGINT)::HUGEINT "
+            f"- CASE WHEN ('0x' || substr(md5({key}), 1, 16))::UBIGINT >= 9223372036854775808::UBIGINT "
+            f"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS band_hash FROM sig")
+    union = " UNION ALL ".join(bands)
+    return (f"WITH {_shingles_cte()}, "
+            "hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM shingles), "
+            f"sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id) "
+            f"{union}")
+
+
+def minhash_pairs_sql() -> str:
+    return (f"WITH bands AS ({minhash_bands_sql()}) "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM bands a JOIN bands b ON a.band_id = b.band_id "
+            "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id")
+
+
+def knn_sql(k: int = 10, n_queries: int = 8) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}),
+s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid AS query_id, nid AS neighbor_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+FROM s
+QUALIFY rank <= {k}
+"""
+
+
+def media_meta_sql(webpages_parquet: str) -> str:
+    return f"""
+SELECT url, octet_length(html) AS n_bytes,
+       octet_length(html) % 640 AS fake_width,
+       octet_length(html) % 480 AS fake_height
+FROM read_parquet('{webpages_parquet}')
+"""
