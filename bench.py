@@ -1,0 +1,170 @@
+"""Benchmark harness (driver-run, one JSON line on stdout).
+
+Headline: the flagship tiling pipeline (webpages -> geoparse -> assign
+-> aggregate -> MVT-encode -> consume) over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), plus representative operator pipelines.
+
+  python bench.py             # one run at RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling   # fresh processes at 8 and 32 cpus ->
+                              # throughput at both + scaling efficiency
+
+The synthetic webpages input is materialized (cached) before timing;
+an untimed read warms the page cache so timings measure compute +
+shuffle, not first-touch disk I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_benchmarks() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from raytiles.pipeline.synth import webpages_path
+    from raytiles.pipeline import flagship
+
+    wp = webpages_path(SF_DIR)  # materialize outside timing
+    # warm page cache (untimed)
+    import pyarrow.parquet as pq
+    n_docs = pq.read_table(wp, columns=["url"]).num_rows
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- headline: flagship end-to-end ---
+    # one untimed warm-up run first: Ray spawns worker processes
+    # lazily, so a cold first run measures process spawn + import, not
+    # the pipeline. Steady-state is what a long-running 100 TB job
+    # sees; the warm-up cost is reported separately as cold_start_sec.
+    import shutil
+    out_dir = f"/tmp/raytiles_bench/tiles_z12_{NUM_CPUS}"
+    t0 = time.time()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    flagship.tiles_pipeline(wp, 12).write_parquet(out_dir)
+    extras["cold_start_sec"] = round(time.time() - t0, 3)
+
+    # two timed steady-state runs; report the min (this host carries
+    # bursty background load from other tenants — min is the least
+    # biased estimator of the pipeline's own cost)
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        tiles = flagship.tiles_pipeline(wp, 12)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        tiles.write_parquet(out_dir)
+        runs.append(time.time() - t0)
+    t_e2e = min(runs)
+    queries["tiles_e2e"] = round(t_e2e, 3)
+    extras["tiles_e2e_runs"] = [round(r, 3) for r in runs]
+
+    n_tiles = sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    extras["docs_per_sec"] = round(n_docs / t_e2e, 1)
+    extras["tiles_per_sec"] = round(n_tiles / t_e2e, 1)
+    extras["n_docs"] = n_docs
+    extras["n_tiles"] = n_tiles
+
+    # --- decode: read the tiles we just wrote and decode every MVT ---
+    from raytiles.codec.decode import decode_tile_safe
+    import pyarrow as pa
+
+    def decode_batch(b: pa.Table) -> pa.Table:
+        n_feat = []
+        for mvt in b["mvt"]:
+            t, err = decode_tile_safe(mvt.as_py())
+            n_feat.append(-1 if t is None else
+                          sum(len(l.points) + len(l.linestrings) + len(l.polygons)
+                              for l in t.layers.values()))
+        return pa.table({"n": pa.array(n_feat, pa.int64())})
+
+    t0 = time.time()
+    total = ray.data.read_parquet(out_dir, columns=["mvt"]) \
+        .map_batches(decode_batch, batch_format="pyarrow", batch_size=256) \
+        .sum("n")
+    queries["mvt_decode"] = round(time.time() - t0, 3)
+    assert total >= 0
+
+    # --- representative operator pipelines (only when the testdata
+    # tables exist for this tier — the synthetic scaling tier has none)
+    if os.path.exists(os.path.join(SF_DIR, "lineitem.parquet")):
+        from raytiles.ops.relational import pricing_summary
+        t0 = time.time()
+        pricing_summary(SF_DIR).to_pandas()
+        queries["pricing_summary"] = round(time.time() - t0, 3)
+
+        from raytiles.ops.dedup import minhash_bands
+        t0 = time.time()
+        minhash_bands(SF_DIR).count()
+        queries["minhash_bands"] = round(time.time() - t0, 3)
+
+        from raytiles.ops.similarity import knn_bruteforce
+        t0 = time.time()
+        knn_bruteforce(SF_DIR).to_pandas()
+        queries["knn"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship_tiles_e2e",
+        "value": queries["tiles_e2e"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    # scaling tier: 3x sf0.1 so the parallel fraction dominates the
+    # fixed pipeline-fill/barrier latency (same input at both levels)
+    scaling_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sfbig")
+    from raytiles.pipeline.synth import webpages_path
+    webpages_path(scaling_dir)  # materialize once, outside both timings
+    os.environ["GRAFT_SF_DIR"] = scaling_dir
+    r_lo = one(lo)
+    r_hi = one(hi)
+    speedup = r_lo["value"] / r_hi["value"]
+    eff = speedup / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo.get("docs_per_sec"),
+        "docs_per_sec_32": r_hi.get("docs_per_sec"),
+        "tiles_per_sec_8": r_lo.get("tiles_per_sec"),
+        "tiles_per_sec_32": r_hi.get("tiles_per_sec"),
+        "speedup": round(speedup, 3),
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_benchmarks()))

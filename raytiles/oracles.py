@@ -28,7 +28,7 @@ matches AS (
   SELECT url,
          unnest(regexp_extract_all(text, '{MASTER_RE}')) AS mt,
          generate_subscripts(regexp_extract_all(text, '{MASTER_RE}'), 1) AS mpos
-  FROM read_parquet('{webpages_parquet}')
+  FROM read_parquet('{webpages_parquet}/*.parquet')
 ),
 parsed AS (
   SELECT url, mpos,
@@ -266,5 +266,5 @@ def media_meta_sql(webpages_parquet: str) -> str:
 SELECT url, octet_length(html) AS n_bytes,
        octet_length(html) % 640 AS fake_width,
        octet_length(html) % 480 AS fake_height
-FROM read_parquet('{webpages_parquet}')
+FROM read_parquet('{webpages_parquet}/*.parquet')
 """

@@ -11,20 +11,24 @@ import ray
 import ray.data
 
 from ..geo.parse import GeoParser
-from .encode_stage import MvtEncoder
-from .stages import TileAssigner, build_base_rtree, merge_tile_partials, pack_tile_partials
+from .encode_stage import FastPointEncoder, MvtEncoder
+from .stages import (TileAssigner, build_base_rtree, make_assign_fn,
+                     merge_tile_partials, pack_tile_partials)
 
 DEFAULT_ZOOM = 12
 
 
 def _pool_size(concurrency, frac: float = 0.33):
-    """Default actor-pool size: an autoscaling (1, ~cpus*frac) range so
-    three pools + read/write stages share the node without starving
-    each other (see ray_guide 'Stateful stages')."""
+    """Default actor-pool size: autoscaling (cpus//8, ~cpus*frac).
+    The floor scales with the cluster so pools ramp immediately at
+    high parallelism, while the SUM of floors across the pipeline's
+    three pools stays under the CPU count (fixed equal pools deadlock
+    a small cluster: 3 pools x 2 actors > 4 CPUs leaves a stage with
+    no actor)."""
     if concurrency is not None:
         return concurrency
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(2, int(cpus * frac)))
+    return (max(1, cpus // 8), max(2, int(cpus * frac)))
 
 
 def read_webpages(path: str, columns=("url", "text")) -> ray.data.Dataset:
@@ -35,36 +39,60 @@ def read_webpages(path: str, columns=("url", "text")) -> ray.data.Dataset:
 
 def geoparse(ds: ray.data.Dataset, *, concurrency=None, batch_size: int = 4096) -> ray.data.Dataset:
     """documents -> exploded mention rows (url, mention_idx, lon, lat).
-    Actor pool so the master regex compiles once per actor."""
-    return ds.map_batches(GeoParser, batch_format="pandas",
-                          batch_size=batch_size, concurrency=_pool_size(concurrency))
+    Task-based (regex compiled once per worker process via the
+    module-level cache): tasks elastically use every free CPU and skip
+    actor-pool spin-up latency."""
+    parser = GeoParser()
+
+    def parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return parser(batch)
+
+    return ds.map_batches(parse_batch, batch_format="pandas", batch_size=batch_size)
 
 
 def assign(ds: ray.data.Dataset, zoom: int = DEFAULT_ZOOM, *,
-           concurrency=None, batch_size: int = 8192) -> ray.data.Dataset:
+           concurrency=None, batch_size: int = 8192,
+           with_cells: bool = True) -> ray.data.Dataset:
     """mention rows -> tile/cell assignments. The base-zoom R-tree is
     built once on the driver and broadcast via ray.put (read in each
     actor's __init__, not re-shipped per batch)."""
     rtree_ref = ray.put(build_base_rtree())
-    return ds.map_batches(TileAssigner, batch_format="pandas",
-                          batch_size=batch_size, concurrency=_pool_size(concurrency),
-                          fn_constructor_kwargs={"zoom": zoom, "rtree_ref": rtree_ref})
+    return ds.map_batches(make_assign_fn(zoom, rtree_ref, with_cells=with_cells),
+                          batch_format="pandas", batch_size=batch_size)
 
 
 def aggregate_tiles(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Two-phase tile aggregation: per-batch partial pack (no shuffle)
-    then ONE groupby(z,x,y) shuffle over the packed partials."""
+    """Two-phase tile aggregation: per-batch partial pack into COARSE
+    cells (no shuffle), then ONE groupby(bucket) shuffle over the
+    packed partials, where bucket = hash(z, x>>4, y>>4) % 256 bounds
+    the group count; the merge re-splits each bucket into per-tile
+    packed rows with pure offset arithmetic (stages.py)."""
     packed = ds.map_batches(pack_tile_partials, batch_format="pyarrow")
-    return packed.groupby(["z", "x", "y"]).map_groups(
+    return packed.groupby("bucket").map_groups(
         merge_tile_partials, batch_format="pyarrow")
 
 
 def encode_tiles(ds: ray.data.Dataset, *, concurrency=None,
-                 batch_size: int = 64, extent: int = 4096) -> ray.data.Dataset:
-    """Packed tile rows -> {z,x,y,mvt,...} via the encoder actor pool."""
-    return ds.map_batches(MvtEncoder, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=_pool_size(concurrency),
-                          fn_constructor_kwargs={"extent": extent})
+                 batch_size: int = 4096, extent: int = 4096) -> ray.data.Dataset:
+    """Packed tile rows -> {z,x,y,mvt,...} via the vectorized encoder.
+
+    Default is task-based (encoder instance cached per worker process):
+    on this single-node setup an actor pool costs ~2s spin-up per
+    execution (measured: a NOOP 28-actor pool = 1.7-2.1s) while the
+    encoder's per-actor state is just reusable buffers. Pass
+    ``concurrency=N`` to run the same class as a bounded actor pool —
+    the right choice when per-actor state is expensive (big models) or
+    memory must be capped per node."""
+    if concurrency is not None:
+        return ds.map_batches(FastPointEncoder, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency,
+                              fn_constructor_kwargs={"extent": extent})
+    encoder = FastPointEncoder(extent=extent)
+
+    def encode_batch(batch):
+        return encoder(batch)
+
+    return ds.map_batches(encode_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 def tiles_pipeline(webpages_path: str, zoom: int = DEFAULT_ZOOM, *,
@@ -72,7 +100,7 @@ def tiles_pipeline(webpages_path: str, zoom: int = DEFAULT_ZOOM, *,
     """Full pipeline, lazy — consume with write_parquet / iter_batches."""
     ds = read_webpages(webpages_path)
     ds = geoparse(ds, concurrency=parse_concurrency)
-    ds = assign(ds, zoom)
+    ds = assign(ds, zoom, with_cells=False)  # cells unused downstream
     ds = aggregate_tiles(ds)
     return encode_tiles(ds, concurrency=encode_concurrency)
 

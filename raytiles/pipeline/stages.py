@@ -52,9 +52,11 @@ class TileAssigner:
     points land in exactly one tile), then refined base->target zoom.
     """
 
-    def __init__(self, zoom: int, rtree_ref=None, extent: int = tm.DEFAULT_EXTENT) -> None:
+    def __init__(self, zoom: int, rtree_ref=None, extent: int = tm.DEFAULT_EXTENT,
+                 with_cells: bool = True) -> None:
         self.zoom = zoom
         self.extent = extent
+        self.with_cells = with_cells  # cell_r0..r9 cost 10 int64 cols; skip when unused
         if rtree_ref is not None:
             import ray
             self.rtree, self.base_tx, self.base_ty = ray.get(rtree_ref)
@@ -81,8 +83,9 @@ class TileAssigner:
             "mention_idx": batch["mention_idx"].to_numpy().astype(np.int32),
             "lon": lon, "lat": lat,
         })
-        for r in range(10):
-            out[f"cell_r{r}"] = tm.cell_id(lon, lat, r)
+        if self.with_cells:
+            for r in range(10):
+                out[f"cell_r{r}"] = tm.cell_id(lon, lat, r)
         out["z"] = np.int32(self.zoom)
         out["x"] = x
         out["y"] = y
@@ -91,12 +94,59 @@ class TileAssigner:
         return out
 
 
+_ASSIGNER_CACHE: dict = {}
+
+
+def make_assign_fn(zoom: int, rtree_ref, extent: int = tm.DEFAULT_EXTENT,
+                   with_cells: bool = True):
+    """Task-based assignment: the broadcast R-tree (ray.put once on
+    the driver) is ray.get + built ONCE PER WORKER PROCESS via a
+    module-level cache, then every task on that worker reuses it —
+    the broadcast-small-side pattern without actor-pool spin-up."""
+    key = (zoom, extent, with_cells, rtree_ref.hex() if rtree_ref is not None else None)
+
+    def assign_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        assigner = _ASSIGNER_CACHE.get(key)
+        if assigner is None:
+            assigner = TileAssigner(zoom, rtree_ref, extent, with_cells)
+            _ASSIGNER_CACHE[key] = assigner
+        return assigner(batch)
+
+    return assign_batch
+
+
 # ---------------------------------------------------------------------------
 # two-phase tile aggregation
 # ---------------------------------------------------------------------------
 
+COARSE_SHIFT = 4   # coarse cells (kept for the checkpointed job's layout)
+N_MERGE_BUCKETS = 1024  # phase-2 shuffle key domain (bounded group count)
+
+
+def tile_bucket(z: np.ndarray, x: np.ndarray, y: np.ndarray,
+                n_buckets: int = N_MERGE_BUCKETS) -> np.ndarray:
+    """Deterministic bucket of a TILE (splitmix-style integer mix —
+    never Python hash()). Groupby on this key gives a BOUNDED number
+    of shuffle groups regardless of tile count (constant per-group
+    scheduling overhead), and hashing at tile granularity is the skew
+    salt: a dense city spreads across buckets tile-by-tile instead of
+    landing one mega-group on a single reducer (bucketing by 16x16
+    coarse cell measured a 2.4s straggler task at sfbig; by tile the
+    bucket loads are near-uniform)."""
+    k = ((z.astype(np.int64) << np.int64(52))
+         | (x.astype(np.int64) << np.int64(26)) | y.astype(np.int64)).astype(np.uint64)
+    k = (k ^ (k >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    k ^= k >> np.uint64(33)
+    return (k % np.uint64(n_buckets)).astype(np.int64)
+
+
+coarse_bucket = tile_bucket  # back-compat alias
+
+
 _PARTIAL_SCHEMA = pa.schema([
-    ("z", pa.int32()), ("x", pa.int32()), ("y", pa.int32()),
+    ("bucket", pa.int64()),
+    ("z", pa.int32()), ("cx", pa.int32()), ("cy", pa.int32()),
+    ("x", pa.list_(pa.int32())), ("y", pa.list_(pa.int32())),
     ("urls", pa.list_(pa.string())),
     ("mention_idx", pa.list_(pa.int32())),
     ("local_x", pa.list_(pa.int32())),
@@ -104,53 +154,72 @@ _PARTIAL_SCHEMA = pa.schema([
 ])
 
 
+def _list_col(values, offsets, typ) -> pa.ListArray:
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    pa.array(values, typ))
+
+
 def pack_tile_partials(batch: pa.Table) -> pa.Table:
     """Phase 1 (no shuffle): collapse mention rows to one packed row
-    per tile PER BATCH — list columns of the per-tile payload."""
+    per TILE per batch — list columns of the payload. The later
+    shuffle then moves one compact row per (tile, input block) instead
+    of individual mention rows; grouping key is the bounded tile-hash
+    bucket (see tile_bucket)."""
     if batch.num_rows == 0:
         return _PARTIAL_SCHEMA.empty_table()
-    idx = pc.sort_indices(batch, sort_keys=[("z", "ascending"), ("x", "ascending"),
-                                            ("y", "ascending")])
-    t = batch.take(idx)
-    z = t["z"].to_numpy()
-    x = t["x"].to_numpy()
-    y = t["y"].to_numpy()
+    z = batch["z"].to_numpy()
+    x = batch["x"].to_numpy()
+    y = batch["y"].to_numpy()
+    order = np.lexsort((y, x, z))
+    z, x, y = z[order], x[order], y[order]
     key_change = np.empty(len(z), dtype=bool)
     key_change[0] = True
     key_change[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
     starts = np.flatnonzero(key_change)
     offsets = np.concatenate([starts, [len(z)]]).astype(np.int32)
-
-    def as_list(col_name, typ):
-        vals = t[col_name].combine_chunks()
-        return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals.cast(typ))
-
+    urls = batch["urls" if "urls" in batch.column_names else "url"] \
+        .combine_chunks().take(pa.array(order))
     return pa.table({
+        "bucket": pa.array(tile_bucket(z[starts], x[starts], y[starts]), pa.int64()),
         "z": pa.array(z[starts], pa.int32()),
-        "x": pa.array(x[starts], pa.int32()),
-        "y": pa.array(y[starts], pa.int32()),
-        "urls": as_list("url", pa.string()),
-        "mention_idx": as_list("mention_idx", pa.int32()),
-        "local_x": as_list("local_x", pa.int32()),
-        "local_y": as_list("local_y", pa.int32()),
+        "cx": pa.array(x[starts] >> COARSE_SHIFT, pa.int32()),
+        "cy": pa.array(y[starts] >> COARSE_SHIFT, pa.int32()),
+        "x": _list_col(x, offsets, pa.int32()),
+        "y": _list_col(y, offsets, pa.int32()),
+        "urls": pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), urls),
+        "mention_idx": _list_col(
+            batch["mention_idx"].to_numpy()[order], offsets, pa.int32()),
+        "local_x": _list_col(batch["local_x"].to_numpy()[order], offsets, pa.int32()),
+        "local_y": _list_col(batch["local_y"].to_numpy()[order], offsets, pa.int32()),
     })
 
 
 def merge_tile_partials(group: pa.Table) -> pa.Table:
-    """Phase 2 (after the groupby(z,x,y) shuffle): concatenate the
-    packed partial payloads of one tile into a single row, features
-    sorted by (url, mention_idx) for deterministic output."""
+    """Phase 2 (after the groupby(bucket) shuffle): flatten one
+    bucket's partials (many coarse cells) and re-split into one packed
+    row PER TILE, features sorted (url, mention_idx) — all offset
+    arithmetic, no per-tile Python."""
+    z = np.repeat(group["z"].to_numpy(),
+                  pc.list_value_length(group["x"]).to_numpy())
+    x = pc.list_flatten(group["x"]).to_numpy()
+    y = pc.list_flatten(group["y"]).to_numpy()
     urls = pc.list_flatten(group["urls"]).to_pandas().to_numpy()
     midx = pc.list_flatten(group["mention_idx"]).to_numpy()
     lx = pc.list_flatten(group["local_x"]).to_numpy()
     ly = pc.list_flatten(group["local_y"]).to_numpy()
-    order = np.lexsort((midx, urls))
-    n = len(order)
-    offsets = pa.array(np.array([0, n], dtype=np.int32), pa.int32())
+    order = np.lexsort((midx, urls, y, x, z))
+    z, x, y = z[order], x[order], y[order]
+    key_change = np.empty(len(x), dtype=bool)
+    key_change[0] = True
+    key_change[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+    starts = np.flatnonzero(key_change)
+    offsets = np.concatenate([starts, [len(x)]]).astype(np.int32)
     return pa.table({
-        "z": group["z"][:1], "x": group["x"][:1], "y": group["y"][:1],
-        "urls": pa.ListArray.from_arrays(offsets, pa.array(urls[order], pa.string())),
-        "mention_idx": pa.ListArray.from_arrays(offsets, pa.array(midx[order], pa.int32())),
-        "local_x": pa.ListArray.from_arrays(offsets, pa.array(lx[order], pa.int32())),
-        "local_y": pa.ListArray.from_arrays(offsets, pa.array(ly[order], pa.int32())),
+        "z": pa.array(z[starts], pa.int32()),
+        "x": pa.array(x[starts], pa.int32()),
+        "y": pa.array(y[starts], pa.int32()),
+        "urls": _list_col(urls[order], offsets, pa.string()),
+        "mention_idx": _list_col(midx[order], offsets, pa.int32()),
+        "local_x": _list_col(lx[order], offsets, pa.int32()),
+        "local_y": _list_col(ly[order], offsets, pa.int32()),
     })

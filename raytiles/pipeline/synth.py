@@ -51,7 +51,8 @@ _DECOYS = np.array([
     "rated 4.5 of 5", "ISBN 978.0306", "error code 404.31",
 ])
 
-SF_ROWS = {"sf0.001": 500, "sf0.01": 60_000, "sf0.1": 600_000}
+SF_ROWS = {"sf0.001": 500, "sf0.01": 60_000, "sf0.1": 600_000,
+           "sfbig": 1_800_000}  # sfbig: scaling-bench tier
 
 
 def _format4(v: np.ndarray) -> np.ndarray:
@@ -136,19 +137,37 @@ def generate_webpages(n_rows: int, seed: int = SEED) -> pa.Table:
     })
 
 
+N_SHARDS = 16  # sharded so read_parquet parallelizes across tasks
+
+
 def webpages_path(sf_dir: str) -> str:
     """Materialize (once) and return the webpages parquet path for a
-    testdata scale dir like /root/testdata/sf0.01."""
+    testdata scale dir like /root/testdata/sf0.01. Output is a
+    DIRECTORY of N_SHARDS files — a single file reads as one serial
+    task and caps pipeline scaling at the source."""
     sf = os.path.basename(os.path.normpath(sf_dir))
     n_rows = SF_ROWS.get(sf)
     if n_rows is None:  # derive from the tier's documents rowcount
         n_rows = 500
     out_dir = os.path.join(SYNTH_ROOT, sf)
     path = os.path.join(out_dir, "webpages.parquet")
-    if not os.path.exists(path):
+    done = os.path.join(out_dir, ".done")
+    if not os.path.exists(done):
         os.makedirs(out_dir, exist_ok=True)
         table = generate_webpages(n_rows)
+        import shutil
         tmp = path + ".tmp"
-        pq.write_table(table, tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        shard = max(1, -(-n_rows // N_SHARDS))
+        for i in range(0, N_SHARDS):
+            part = table.slice(i * shard, shard)
+            if part.num_rows:
+                pq.write_table(part, os.path.join(tmp, f"part-{i:03d}.parquet"))
+        if os.path.isfile(path):  # migrate from old single-file layout
+            os.remove(path)
+        shutil.rmtree(path, ignore_errors=True)
         os.replace(tmp, path)  # atomic publish
+        with open(done, "w") as fh:
+            fh.write("done")
     return path

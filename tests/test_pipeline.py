@@ -52,11 +52,15 @@ def test_pack_merge_roundtrip(webpages_500):
     mentions = oracle_assignments(webpages_500, 12)
     batch = pa.Table.from_pandas(mentions, preserve_index=False)
     packed = pack_tile_partials(batch)
+    # one packed row per tile (single input batch)
     assert packed.num_rows == mentions.groupby(["z", "x", "y"]).ngroups
-    # merging a single tile's partials flattens + sorts
-    one_key = packed.slice(0, 1)
-    merged = merge_tile_partials(one_key)
-    assert merged.num_rows == 1
+    # merging a slice of packed rows re-splits into its tiles
+    some = packed.slice(0, 5)
+    merged = merge_tile_partials(some)
+    assert merged.num_rows == 5
+    import pyarrow.compute as pc
+    assert pc.list_value_length(merged["urls"]).to_numpy().sum() == \
+        pc.list_value_length(some["urls"]).to_numpy().sum()
 
 
 def test_encoder_roundtrip_small():
