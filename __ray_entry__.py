@@ -106,6 +106,22 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_events_sliding(sf_dir: str):
+    from raytiles.ops.relational import events_sliding
+    return events_sliding(sf_dir)
+
+
+def _q_events_sessions(sf_dir: str):
+    from raytiles.ops.relational import events_sessions
+    return events_sessions(sf_dir)
+
+
+def _q_extract_text(sf_dir: str):
+    from raytiles.ops.extract import extract_text
+    from raytiles.pipeline.synth import webpages_path
+    return extract_text(webpages_path(sf_dir))
+
+
 def _q_token_counts(sf_dir: str):
     from raytiles.ops.text import token_counts
     return token_counts(sf_dir)
@@ -203,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing,
         "top_customers": _q_top_customers,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
+        "extract_text": _q_extract_text,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -237,6 +256,9 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "top_customers": oracles.TOP_CUSTOMERS_SQL,
         "events_hourly": oracles.EVENTS_HOURLY_SQL,
+        "events_sliding": oracles.EVENTS_SLIDING_SQL,
+        "events_sessions": oracles.EVENTS_SESSIONS_SQL,
+        "extract_text": oracles.extract_text_sql(wp),
         "token_counts": oracles.TOKEN_COUNTS_SQL,
         "quality_scores": oracles.QUALITY_SCORES_SQL,
         "lang_id": oracles.LANG_ID_SQL,
@@ -244,8 +266,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": oracles.EXACT_DEDUP_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),
-        # jaccard_pairs / simhash / lsh_neardup / winnow_fingerprints /
-        # media_features: rows-only (non-SQL-expressible or approximate)
+        "jaccard_pairs": oracles.jaccard_pairs_sql(),
+        # simhash / lsh_neardup / winnow_fingerprints / media_features:
+        # rows-only (non-SQL-expressible or approximate)
         "knn": oracles.knn_sql(),
         "media_meta": oracles.media_meta_sql(wp),
     }

@@ -119,6 +119,31 @@ def run_benchmarks() -> dict:
         knn_bruteforce(SF_DIR).to_pandas()
         queries["knn"] = round(time.time() - t0, 3)
 
+    # --- codec microbenchmarks: direct parity with the reference's
+    # criterion numbers (BASELINE.md: decode roads 9.98ms, encode
+    # roads 13.47ms, layer names 6.46ms, tiny fixtures ~2-3us) ---
+    from raytiles.codec.decode import decode_tile, layer_names
+    from raytiles.codec.encode import encode_tile
+
+    def best_of(fn, reps):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    fixdir = "/root/reference/test"
+    roads = open(os.path.join(fixdir, "roads.mvt"), "rb").read()
+    onepoint = open(os.path.join(fixdir, "onepoint.mvt"), "rb").read()
+    roads_tile = decode_tile(roads)
+    extras["codec_us"] = {
+        "decode_roads": round(best_of(lambda: decode_tile(roads), 10) * 1e6, 1),
+        "encode_roads": round(best_of(lambda: encode_tile(roads_tile), 10) * 1e6, 1),
+        "layer_names_roads": round(best_of(lambda: layer_names(roads), 50) * 1e6, 1),
+        "decode_onepoint": round(best_of(lambda: decode_tile(onepoint), 200) * 1e6, 1),
+    }
+
     ray.shutdown()
     return {
         "metric": "flagship_tiles_e2e",
@@ -129,6 +154,28 @@ def run_benchmarks() -> dict:
         "num_cpus": NUM_CPUS,
         **extras,
     }
+
+
+def _effective_parallelism(n: int, seconds: float = 1.5) -> float:
+    """Burn-test: how many of n requested cores this host actually
+    delivers right now (the sandbox shares cores with other tenants —
+    background loadavg of 4-14 with zero own processes is routine).
+    Used to report a noise-adjusted efficiency alongside the raw one."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.Pool(n) as pool:
+        pool.map(_burn, [seconds] * n)
+    wall = time.time() - t0
+    return round(n * seconds / wall, 2)
+
+
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
 
 
 def run_scaling() -> None:
@@ -145,14 +192,22 @@ def run_scaling() -> None:
     from raytiles.pipeline.synth import webpages_path
     webpages_path(scaling_dir)  # materialize once, outside both timings
     os.environ["GRAFT_SF_DIR"] = scaling_dir
+    p_lo = _effective_parallelism(lo)
     r_lo = one(lo)
+    p_hi = _effective_parallelism(hi)
     r_hi = one(hi)
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
+    # noise-adjusted: scale by the core ratio the host actually
+    # delivered during each run (shared-tenant background load)
+    eff_adj = round(speedup / (p_hi / p_lo), 3) if p_lo else None
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "parallelism_delivered_8": p_lo,
+        "parallelism_delivered_32": p_hi,
+        "efficiency_vs_delivered_cores": eff_adj,
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
         "docs_per_sec_8": r_lo.get("docs_per_sec"),
         "docs_per_sec_32": r_hi.get("docs_per_sec"),

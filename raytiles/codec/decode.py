@@ -89,9 +89,14 @@ def _decode_feature_raw(buf, start: int, end: int):
                 geom_parts.append(wire.uvarint_decode_array(buf[s:e]))
             elif wtype == wire.VARINT:
                 geom_parts.append(np.array([val], dtype=np.uint64))
-    tags = np.concatenate(tags_parts).astype(np.uint32) if tags_parts else np.empty(0, np.uint32)
-    geometry = np.concatenate(geom_parts).astype(np.uint32) if geom_parts else np.empty(0, np.uint32)
-    return fid, tags, geom_type, geometry
+    def join(parts):
+        if not parts:
+            return np.empty(0, np.uint32)
+        if len(parts) == 1:
+            return parts[0].astype(np.uint32, copy=False)
+        return np.concatenate(parts).astype(np.uint32)
+
+    return fid, join(tags_parts), geom_type, join(geom_parts)
 
 
 def _get_meta(keys: list, values: list, tags: np.ndarray) -> dict:
@@ -166,6 +171,43 @@ def decode_tile(buf: bytes) -> VectorTile:
         return tile
     except wire.WireError as w:
         raise CodecError(str(w)) from w
+
+
+def layer_names(buf: bytes) -> list:
+    """Names of all layers WITHOUT decoding features — the engine's
+    analogue of the reference's lazy partial access (README.md:105-119;
+    Bench.hs:63-64 benchmarks exactly this). Scans only each layer's
+    field headers and its name field; feature/value payloads are
+    skipped via their length prefixes."""
+    names = []
+    for fno, wtype, val in wire.scan_fields(buf, 0, len(buf)):
+        if fno == 3 and wtype == wire.LEN:
+            s, e = val
+            for lf, lw, lv in wire.scan_fields(buf, s, e):
+                if lf == 1 and lw == wire.LEN:
+                    ns, ne = lv
+                    names.append(bytes(buf[ns:ne]))
+                    break  # name found; skip the rest of this layer
+    return names
+
+
+def decode_layer_by_name(buf: bytes, name: bytes):
+    """Decode ONE named layer, skipping every other layer's bytes
+    (the reference fetches one layer's first polygon at ~65% of the
+    full-decode cost via laziness, Bench.hs:67; here the skip is
+    explicit)."""
+    for fno, wtype, val in wire.scan_fields(buf, 0, len(buf)):
+        if fno == 3 and wtype == wire.LEN:
+            s, e = val
+            got = None
+            for lf, lw, lv in wire.scan_fields(buf, s, e):
+                if lf == 1 and lw == wire.LEN:
+                    ns, ne = lv
+                    got = bytes(buf[ns:ne])
+                    break
+            if got == name:
+                return _decode_layer(buf, s, e)
+    return None
 
 
 def decode_tile_safe(buf: bytes):

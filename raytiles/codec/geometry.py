@@ -72,14 +72,13 @@ def unzig(values: np.ndarray) -> np.ndarray:
 
 def parse_commands(cmds: np.ndarray) -> list[tuple[int, int, np.ndarray]]:
     """Split a feature's flat uint32 command array into
-    [(cmd_id, count, zigzagged_params)] (reference `commands`,
-    Internal.hs:251-264).
-
-    Params are the raw (still zigzagged) uint32 values; an odd trailing
-    parameter is silently dropped when pairing, as in the reference's
-    pairsWith (Util.hs:29-31).
-    """
+    [(cmd_id, count, UNZIGGED int64 params)] (reference `commands`,
+    Internal.hs:251-264). The whole array is unzigged in ONE
+    vectorized pass up front (headers get meaningless values, never
+    read); an odd trailing parameter is dropped at pairing time, as in
+    the reference's pairsWith (Util.hs:29-31)."""
     cmds = np.asarray(cmds, dtype=np.uint32)
+    unz = unzig(cmds)  # one numpy pass per feature
     out = []
     pos = 0
     n = cmds.size
@@ -88,23 +87,23 @@ def parse_commands(cmds: np.ndarray) -> list[tuple[int, int, np.ndarray]]:
         cmd = header & 7
         count = header >> 3
         pos += 1
-        if cmd in (MOVE_TO, LINE_TO):
-            params = cmds[pos:pos + 2 * count]
+        if cmd == MOVE_TO or cmd == LINE_TO:
+            params = unz[pos:pos + 2 * count]
             pos += 2 * count
             out.append((cmd, count, params))
         elif cmd == CLOSE_PATH:
             if count != 1:
                 raise GeometryError(f"ClosePath was given a parameter count: {count}")
-            out.append((CLOSE_PATH, 1, cmds[0:0]))
+            out.append((CLOSE_PATH, 1, unz[0:0]))
         else:
             raise GeometryError(f"Invalid command integer {cmd} found in: {header:X}")
     return out
 
 
 def _pairs(params: np.ndarray) -> np.ndarray:
-    """Unzig + pair into (n, 2) int64 deltas; odd trailing value
-    dropped (Util.hs:29-31)."""
-    d = unzig(params)
+    """Pair pre-unzigged params into (n, 2) int64 deltas; odd trailing
+    value dropped (Util.hs:29-31)."""
+    d = params
     if d.size % 2:
         d = d[:-1]
     return d.reshape(-1, 2)
@@ -226,47 +225,56 @@ def encode_points(points: np.ndarray) -> np.ndarray:
 
 def encode_linestrings(lines: list[np.ndarray]) -> np.ndarray:
     """Per linestring: MoveTo[first-diff], LineTo[rest]; cursor carries
-    over (Internal.hs:176-179)."""
-    chunks = []
-    cursor = np.zeros(2, dtype=np.int64)
-    for line in lines:
-        pts = np.asarray(line, dtype=np.int64).reshape(-1, 2)
-        deltas = np.diff(pts, axis=0, prepend=cursor.reshape(1, 2))
-        cursor = pts[-1]
-        n = pts.shape[0]
-        chunk = np.empty(2 + 2 * n, dtype=np.uint32)
-        chunk[0] = command_header(MOVE_TO, 1)
-        chunk[1:3] = zig(deltas[0])
-        chunk[3] = command_header(LINE_TO, n - 1)
-        chunk[4:] = zig(deltas[1:].ravel())
-        chunks.append(chunk)
-    if not chunks:
+    over (Internal.hs:176-179). The cursor carry means the delta of
+    each segment's first point equals the global first difference, so
+    the whole feature is diffed + zigzagged in ONE vectorized pass and
+    only headers are interleaved per segment."""
+    if not lines:
         return np.empty(0, dtype=np.uint32)
-    return np.concatenate(chunks)
+    counts = [np.asarray(l).shape[0] for l in lines]
+    allpts = np.concatenate([np.asarray(l, dtype=np.int64).reshape(-1, 2) for l in lines])
+    deltas = np.diff(allpts, axis=0, prepend=np.zeros((1, 2), dtype=np.int64))
+    z = zig(deltas.ravel())
+    total = sum(2 + 2 * n for n in counts)
+    out = np.empty(total, dtype=np.uint32)
+    pos = 0
+    zpos = 0
+    for n in counts:
+        out[pos] = command_header(MOVE_TO, 1)
+        out[pos + 1:pos + 3] = z[zpos:zpos + 2]
+        out[pos + 3] = command_header(LINE_TO, n - 1)
+        out[pos + 4:pos + 2 + 2 * n] = z[zpos + 2:zpos + 2 * n]
+        pos += 2 + 2 * n
+        zpos += 2 * n
+    return out
 
 
 def encode_polygons(polys: list[list[np.ndarray]]) -> np.ndarray:
     """Per ring (exterior then its holes, Internal.hs:208-213): drop the
     closing point, MoveTo head, LineTo rest, ClosePath; cursor carries
-    across rings and polygons."""
-    chunks = []
-    cursor = np.zeros(2, dtype=np.int64)
-    for rings in polys:
-        for ring in rings:
-            pts = np.asarray(ring, dtype=np.int64).reshape(-1, 2)[:-1]  # drop closing point
-            deltas = np.diff(pts, axis=0, prepend=cursor.reshape(1, 2))
-            cursor = pts[-1]
-            n = pts.shape[0]
-            chunk = np.empty(3 + 2 * n, dtype=np.uint32)
-            chunk[0] = command_header(MOVE_TO, 1)
-            chunk[1:3] = zig(deltas[0])
-            chunk[3] = command_header(LINE_TO, n - 1)
-            chunk[4:4 + 2 * (n - 1)] = zig(deltas[1:].ravel())
-            chunk[-1] = command_header(CLOSE_PATH, 1)
-            chunks.append(chunk)
-    if not chunks:
+    across rings and polygons — so one global diff + zig pass over the
+    stripped rings, headers interleaved per ring."""
+    stripped = [np.asarray(r, dtype=np.int64).reshape(-1, 2)[:-1]
+                for rings in polys for r in rings]
+    if not stripped:
         return np.empty(0, dtype=np.uint32)
-    return np.concatenate(chunks)
+    counts = [r.shape[0] for r in stripped]
+    allpts = np.concatenate(stripped)
+    deltas = np.diff(allpts, axis=0, prepend=np.zeros((1, 2), dtype=np.int64))
+    z = zig(deltas.ravel())
+    total = sum(3 + 2 * n for n in counts)
+    out = np.empty(total, dtype=np.uint32)
+    pos = 0
+    zpos = 0
+    for n in counts:
+        out[pos] = command_header(MOVE_TO, 1)
+        out[pos + 1:pos + 3] = z[zpos:zpos + 2]
+        out[pos + 3] = command_header(LINE_TO, n - 1)
+        out[pos + 4:pos + 2 + 2 * n] = z[zpos + 2:zpos + 2 * n]
+        out[pos + 2 + 2 * n] = command_header(CLOSE_PATH, 1)
+        pos += 3 + 2 * n
+        zpos += 2 * n
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -276,12 +284,16 @@ def encode_polygons(polys: list[list[np.ndarray]]) -> np.ndarray:
 def surveyor(ring: np.ndarray) -> float:
     """Shoelace over a CLOSED ring (closing point excluded from the
     scan), reference formula exactly (Geometry.hs:76-81): positive =>
-    exterior, negative => interior, y-down origin top-left."""
+    exterior, negative => interior, y-down origin top-left.
+
+    Written as two wraparound dot products (no np.roll allocations):
+    sum x_i*(y_{i+1} - y_{i-1}) = (x.y_next) - (x.y_prev)."""
     v = np.asarray(ring, dtype=np.int64).reshape(-1, 2)[:-1]
     x = v[:, 0]
-    y_next = np.roll(v[:, 1], -1)
-    y_prev = np.roll(v[:, 1], 1)
-    return float(np.sum(x * (y_next - y_prev))) / 2.0
+    y = v[:, 1]
+    s1 = int(np.dot(x[:-1], y[1:])) + int(x[-1]) * int(y[0])
+    s2 = int(np.dot(x[1:], y[:-1])) + int(x[0]) * int(y[-1])
+    return (s1 - s2) / 2.0
 
 
 def polygon_area(rings: list[np.ndarray]) -> float:

@@ -81,6 +81,20 @@ def uvarint_encode_array(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
+    if v.size < 24:
+        # small-run fast path: per-call numpy overhead dominates for
+        # the tiny arrays the per-feature generic encoder emits
+        out = bytearray()
+        for value in v.tolist():
+            while True:
+                b = value & 0x7F
+                value >>= 7
+                if value:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for k in range(1, 10):
         nbytes += v >= np.uint64(1) << np.uint64(7 * k)
@@ -103,6 +117,25 @@ def uvarint_decode_array(buf) -> np.ndarray:
     ``buf`` is the exact byte range of the packed field (bytes /
     memoryview / ndarray of uint8). Returns uint64 array.
     """
+    if not isinstance(buf, np.ndarray) and len(buf) < 96:
+        # small-run fast path: numpy call overhead dominates below
+        # ~100 bytes; a plain Python loop wins there
+        out = []
+        result = 0
+        shift = 0
+        for byte in bytes(buf):
+            result |= (byte & 0x7F) << shift
+            if byte & 0x80:
+                shift += 7
+                if shift >= 70:
+                    raise WireError("uvarint_decode_array: varint too long")
+            else:
+                out.append(result & 0xFFFFFFFFFFFFFFFF)
+                result = 0
+                shift = 0
+        if shift:
+            raise WireError("uvarint_decode_array: truncated varint run")
+        return np.array(out, dtype=np.uint64)
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)

@@ -166,7 +166,8 @@ def jaccard_verify(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
         if j >= threshold:
             out_a.append(int(r.doc_a))
             out_b.append(int(r.doc_b))
-            out_j.append(round(j, 6))
+            # floor-quantize: bit-identical to the SQL oracle's floor()
+            out_j.append(np.floor(j * 1e6) / 1e6)
     return ray.data.from_pandas(pd.DataFrame({
         "doc_a": np.array(out_a, np.int64), "doc_b": np.array(out_b, np.int64),
         "jaccard": np.array(out_j, np.float64)}))

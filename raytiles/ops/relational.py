@@ -151,3 +151,68 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         })
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def events_sliding(sf_dir: str, window_min: int = 60, step_min: int = 15) -> ray.data.Dataset:
+    """Sliding window (60 min window, 15 min step) per event_type:
+    each event contributes to window_min/step_min windows — the
+    explode-then-groupby formulation (no ordering requirement, pure
+    partial aggregation before the shuffle)."""
+    k = window_min // step_min
+    step = np.timedelta64(step_min, "m")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch["ts"].dt.floor(f"{step_min}min")
+        frames = []
+        for i in range(k):
+            w = base - step * i
+            frames.append(pd.DataFrame({"event_type": batch["event_type"],
+                                        "window_start": w,
+                                        "value": batch["value"]}))
+        ex = pd.concat(frames, ignore_index=True)
+        return ex.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("value", "size"), s_value=("value", "sum"))
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["ts", "event_type", "value"])
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "window_start"]).aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("s_value", alias_name="sum_value"))
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "n_events": batch["n_events"].astype(np.int64),
+            "sum_value": batch["sum_value"].round(6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def events_sessions(sf_dir: str, gap_min: int = 30) -> ray.data.Dataset:
+    """Gap-based sessionization per user (session breaks when the gap
+    to the previous event exceeds gap_min): groupby(user).map_groups
+    over ts-sorted groups — the ordered-log window pattern (ray_guide
+    'Streaming-shaped workloads'). Order within equal ts is pinned by
+    event_id so the oracle matches deterministically."""
+    gap = np.timedelta64(gap_min, "m")
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        sid = brk.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"), session_start=("ts", "min"),
+            n_events=("event_id", "size"), sum_value=("value", "sum"))
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype(np.int64),
+            "session_start": out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "n_events": out["n_events"].astype(np.int64),
+            "sum_value": out["sum_value"].round(6),
+        })
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["event_id", "ts", "user_id", "value"])
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")

@@ -245,6 +245,79 @@ def minhash_pairs_sql() -> str:
             "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id")
 
 
+def jaccard_pairs_sql(threshold: float = 0.7) -> str:
+    """Exact shingle-set Jaccard over the MinHash candidate pairs."""
+    return (f"WITH bands AS ({minhash_bands_sql()}), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            " FROM bands a JOIN bands b ON a.band_id = b.band_id "
+            " AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), "
+            f"{_shingles_cte().lstrip()}, "
+            "dsh AS (SELECT DISTINCT doc_id, s FROM shingles), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id), "
+            "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c "
+            " JOIN dsh a ON a.doc_id = c.doc_a JOIN dsh b ON b.doc_id = c.doc_b "
+            " AND b.s = a.s GROUP BY c.doc_a, c.doc_b) "
+            "SELECT i.doc_a, i.doc_b, "
+            " floor(i.i / (sa.n + sb.n - i.i) * 1000000) / 1000000 AS jaccard "
+            "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
+            "JOIN sizes sb ON sb.doc_id = i.doc_b "
+            f"WHERE i.i / (sa.n + sb.n - i.i) >= {threshold}")
+
+
+EVENTS_SLIDING_SQL = """
+WITH ex AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * m.i) AS window_start
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) m
+)
+SELECT event_type,
+       strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM ex GROUP BY 1, window_start
+"""
+
+EVENTS_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def extract_text_sql(webpages_parquet: str) -> str:
+    """HTML -> text via the deterministic wrapper strip; valid must be
+    true everywhere (byte-identical per-url invariant)."""
+    return f"""
+WITH d AS (
+  SELECT url, text, decode(html) AS h FROM read_parquet('{webpages_parquet}/*.parquet')
+), x AS (
+  SELECT url, text,
+         CASE WHEN h LIKE '<html><body>%</body></html>'
+              THEN substr(h, 13, length(h) - 26) ELSE h END AS extracted
+  FROM d
+)
+SELECT url, md5(extracted) AS text_md5,
+       length(extracted) AS n_chars,
+       extracted = text AS valid
+FROM x
+"""
+
+
 def knn_sql(k: int = 10, n_queries: int = 8) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}),

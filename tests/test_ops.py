@@ -144,3 +144,39 @@ def test_events_hourly_window_shape():
     assert df["n_events"].sum() == len(ev)
     # window boundaries are hour-aligned strings
     assert df["window_start"].str.endswith(":00:00").all()
+
+
+def test_extract_text_invariant():
+    """The rule's per-row invariant: extracted text byte-identical per
+    url to the authoritative text column (valid must be ALL true)."""
+    from raytiles.ops.extract import extract_text
+    from raytiles.pipeline.synth import webpages_path
+    df = extract_text(webpages_path(SF_SMOKE)).to_pandas()
+    assert len(df) == 500 and bool(df["valid"].all())
+
+
+def test_events_sliding_counts():
+    from raytiles.ops.relational import events_sliding
+    df = events_sliding(SF_SMOKE).to_pandas()
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    # every event lands in exactly 4 windows
+    assert df["n_events"].sum() == 4 * len(ev)
+
+
+def test_events_sessions_coverage():
+    from raytiles.ops.relational import events_sessions
+    df = events_sessions(SF_SMOKE).to_pandas()
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    assert df["n_events"].sum() == len(ev)
+    assert df["user_id"].nunique() == ev["user_id"].nunique()
+
+
+def test_lazy_layer_access():
+    from raytiles.codec.decode import decode_layer_by_name, decode_tile, layer_names
+    raw = open("/root/reference/test/roads.mvt", "rb").read()
+    names = layer_names(raw)
+    assert len(names) == 15 and b"water" in names
+    water = decode_layer_by_name(raw, b"water")
+    full = decode_tile(raw).layers[b"water"]
+    assert len(water.polygons) == len(full.polygons)
+    assert decode_layer_by_name(raw, b"nope") is None
