@@ -122,6 +122,39 @@ def _q_extract_text(sf_dir: str):
     return extract_text(webpages_path(sf_dir))
 
 
+def _q_morton_cells(sf_dir: str):
+    from raytiles.geo.tilemath import morton_cell
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.synth import webpages_path
+
+    def add_morton(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": b["url"],
+            "mention_idx": b["mention_idx"].astype(np.int64),
+            "morton": morton_cell(b["lon"].to_numpy(), b["lat"].to_numpy(), 12),
+        })
+
+    ds = geoparse(read_webpages(webpages_path(sf_dir)))
+    return ds.map_batches(add_morton, batch_format="pandas")
+
+
+def _q_raster_cells(sf_dir: str):
+    from raytiles.ops.raster import raster_cells
+    from raytiles.pipeline.flagship import assign, geoparse, read_webpages
+    from raytiles.pipeline.synth import webpages_path
+    ds = assign(geoparse(read_webpages(webpages_path(sf_dir))), 8, with_cells=False)
+    return raster_cells(ds)
+
+
+def _q_heatmap_mvt(sf_dir: str):
+    """Raster -> vector roundtrip: density grids vectorized to polygon
+    MVT layers via the generic encoder (rows-only; pytest decodes the
+    output back and checks counts)."""
+    from raytiles.ops.raster import heatmap_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    return heatmap_pipeline(webpages_path(sf_dir), 8)
+
+
 def _q_token_counts(sf_dir: str):
     from raytiles.ops.text import token_counts
     return token_counts(sf_dir)
@@ -170,6 +203,11 @@ def _q_simhash(sf_dir: str):
 def _q_knn(sf_dir: str):
     from raytiles.ops.similarity import knn_bruteforce
     return knn_bruteforce(sf_dir)
+
+
+def _q_knn_ivf(sf_dir: str):
+    from raytiles.ops.similarity import knn_ivf
+    return knn_ivf(sf_dir)
 
 
 def _q_lsh_neardup(sf_dir: str):
@@ -222,6 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "extract_text": _q_extract_text,
+        "morton_cells": _q_morton_cells,
+        "raster_cells": _q_raster_cells,
+        "heatmap_mvt": _q_heatmap_mvt,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -235,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         # similarity search
         "knn": _q_knn,
+        "knn_ivf": _q_knn_ivf,
         "lsh_neardup": _q_lsh_neardup,
         # fingerprints / multimodal
         "winnow_fingerprints": _q_winnow,
@@ -259,6 +301,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": oracles.EVENTS_SLIDING_SQL,
         "events_sessions": oracles.EVENTS_SESSIONS_SQL,
         "extract_text": oracles.extract_text_sql(wp),
+        "morton_cells": oracles.morton_cells_sql(wp),
+        "raster_cells": oracles.raster_cells_sql(wp),
         "token_counts": oracles.TOKEN_COUNTS_SQL,
         "quality_scores": oracles.QUALITY_SCORES_SQL,
         "lang_id": oracles.LANG_ID_SQL,

@@ -99,6 +99,31 @@ def cell_id(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     return (np.int64(res) << np.int64(CELL_RES_BITS)) | (ix << np.int64(CELL_IX_BITS)) | iy
 
 
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of v to even bit positions (Morton)."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def morton_cell(lon: np.ndarray, lat: np.ndarray, level: int = 12) -> np.ndarray:
+    """Z-order (Morton) curve cell id over the WebMercator grid at
+    ``level`` — the engine's S2-role space-filling-curve index: ids of
+    spatially-close points are numerically close, so range-partitioning
+    by id co-locates neighborhoods (the property S2/Hilbert ids give a
+    distributed join).
+
+    id = interleave(x, y) with x even bits, y odd bits, as BIGINT.
+    SQL twin: sum_i ((x>>i & 1) + 2*(y>>i & 1)) * 4^i for i < level.
+    """
+    x, y = lonlat_to_tile(lon, lat, level)
+    return (_part1by1(x.astype(np.uint64))
+            | (_part1by1(y.astype(np.uint64)) << np.uint64(1))).astype(np.int64)
+
+
 def cell_parent(cid: np.ndarray) -> np.ndarray:
     """Parent cell at res-1 (2x2 split ⇒ halve indices)."""
     cid = np.asarray(cid, dtype=np.int64)

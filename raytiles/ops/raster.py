@@ -1,0 +1,129 @@
+"""Raster <-> vector operators (north_rule: "raster<->vector").
+
+- rasterize: mention points -> per-tile density grids (G x G uint32
+  counts). Distributed exactly like the tile aggregation: per-batch
+  partial grids would be dense waste, so partials stay sparse
+  (gx, gy, n) rows and the groupby sums them; the dense grid is
+  materialized only at the end (binary column, one row per tile).
+- vectorize: density grid -> polygon features (one closed ring per
+  hot grid cell, MVT winding) -> encoded "heat" MVT layer via the
+  GENERIC encoder (exercises the polygon command path distributed).
+
+The sparse cell counts are SQL-checkable (raster_cells); the binary
+grids and the MVT output are rows-only with pytest roundtrip oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..codec.encode import encode_tile
+from ..codec.model import DO, I64V, Feature, Layer, VectorTile
+
+GRID = 256  # raster resolution per tile (4096 extent / 256 = 16px cells)
+CELL = 4096 // GRID
+
+
+def _partial_cells(assignments: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-batch partial cell counts + the bounded tile-hash bucket
+    column (the same shuffle pattern as the tile aggregation: never a
+    ray-data groupby over a high-cardinality key — its Aggregate over
+    30k (z,x,y,gx,gy) keys measured 21.7s where this path takes ~2s)."""
+    from ..pipeline.stages import tile_bucket
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "z": b["z"].astype(np.int64), "x": b["x"].astype(np.int64),
+            "y": b["y"].astype(np.int64),
+            "gx": (b["local_x"].to_numpy() // CELL).astype(np.int64),
+            "gy": (b["local_y"].to_numpy() // CELL).astype(np.int64),
+        })
+        out = g.groupby(["z", "x", "y", "gx", "gy"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["bucket"] = tile_bucket(out["z"].to_numpy(), out["x"].to_numpy(),
+                                    out["y"].to_numpy())
+        return out
+
+    return assignments.map_batches(partial, batch_format="pandas")
+
+
+def raster_cells(assignments: ray.data.Dataset) -> ray.data.Dataset:
+    """Sparse raster: (z, x, y, gx, gy, n) — count of mentions per
+    GRID x GRID cell per tile. SQL twin: gx = local_x // 16."""
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["z", "x", "y", "gx", "gy"], as_index=False)["n"].sum()
+        return out.astype({"n": np.int64})
+
+    return _partial_cells(assignments).groupby("bucket").map_groups(
+        final_sum, batch_format="pandas")
+
+
+def rasterize_tiles(assignments: ray.data.Dataset) -> ray.data.Dataset:
+    """Dense per-tile grids: {z, x, y, raster: binary} where raster is
+    GRID*GRID little-endian uint32 counts (row-major, y-down). One
+    bucket group densifies all its tiles in one call."""
+    def densify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        summed = g.groupby(["z", "x", "y", "gx", "gy"], as_index=False)["n"].sum()
+        rows = {"z": [], "x": [], "y": [], "raster": [], "n_points": []}
+        for (z, x, y), t in summed.groupby(["z", "x", "y"]):
+            grid = np.zeros((GRID, GRID), dtype=np.uint32)
+            grid[t["gy"].to_numpy(), t["gx"].to_numpy()] = t["n"].to_numpy()
+            rows["z"].append(np.int64(z))
+            rows["x"].append(np.int64(x))
+            rows["y"].append(np.int64(y))
+            rows["raster"].append(grid.tobytes())
+            rows["n_points"].append(np.int64(t["n"].sum()))
+        return pd.DataFrame(rows)
+
+    return _partial_cells(assignments).groupby("bucket").map_groups(
+        densify_bucket, batch_format="pandas")
+
+
+def vectorize_raster(rasters: ray.data.Dataset, threshold: int = 1) -> ray.data.Dataset:
+    """Raster -> vector: every grid cell with count >= threshold
+    becomes a square polygon feature (closed CW exterior ring in
+    tile-local coordinates, metadata {count: I64, density: Do}),
+    encoded as the MVT layer "heat" by the GENERIC encoder (polygon
+    command path). Returns {z, x, y, mvt, n_polys}."""
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        out_rows = {"z": [], "x": [], "y": [], "mvt": [], "n_polys": []}
+        for _, row in b.iterrows():
+            grid = np.frombuffer(row["raster"], dtype=np.uint32).reshape(GRID, GRID)
+            gy, gx = np.nonzero(grid >= threshold)
+            feats = []
+            total = float(grid.sum())
+            for i in range(gx.size):
+                x0, y0 = int(gx[i]) * CELL, int(gy[i]) * CELL
+                # y-down CW square, closed (positive shoelace = exterior)
+                ring = np.array([[x0, y0], [x0 + CELL, y0],
+                                 [x0 + CELL, y0 + CELL], [x0, y0 + CELL],
+                                 [x0, y0]], dtype=np.int64)
+                n = int(grid[gy[i], gx[i]])
+                feats.append(Feature(
+                    fid=i,
+                    metadata={b"count": (I64V, n),
+                              b"density": (DO, np.floor(n / total * 1e6) / 1e6)},
+                    geometry=[[ring]]))
+            layer = Layer(name=b"heat", version=2, extent=4096, polygons=feats)
+            mvt = encode_tile(VectorTile({b"heat": layer}))
+            out_rows["z"].append(np.int64(row["z"]))
+            out_rows["x"].append(np.int64(row["x"]))
+            out_rows["y"].append(np.int64(row["y"]))
+            out_rows["mvt"].append(mvt)
+            out_rows["n_polys"].append(np.int64(len(feats)))
+        return pd.DataFrame(out_rows)
+
+    return rasters.map_batches(fn, batch_format="pandas", batch_size=64)
+
+
+def heatmap_pipeline(webpages_path: str, zoom: int = 8) -> ray.data.Dataset:
+    """webpages -> mentions -> raster grids -> vectorized heat MVTs.
+    Lower default zoom than the flagship: heat tiles aggregate wider
+    areas (z=8 tile ~ 150 km)."""
+    from ..pipeline.flagship import assign, geoparse, read_webpages
+    ds = assign(geoparse(read_webpages(webpages_path)), zoom, with_cells=False)
+    return vectorize_raster(rasterize_tiles(ds))

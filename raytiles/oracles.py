@@ -100,6 +100,31 @@ def tile_counts_sql(webpages_parquet: str) -> str:
             "FROM localized GROUP BY z, x, y")
 
 
+def raster_cells_sql(webpages_parquet: str, z: int = 8, grid_cell: int = 16) -> str:
+    """Sparse raster twin: counts per (tile, gx, gy) grid cell."""
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs(z=z)} "
+            f"SELECT z, x, y, local_x // {grid_cell} AS gx, "
+            f"local_y // {grid_cell} AS gy, count(*) AS n "
+            "FROM localized GROUP BY z, x, y, gx, gy")
+
+
+def morton_cells_sql(webpages_parquet: str, level: int = 12) -> str:
+    """Morton (Z-order) curve id twin: bit interleave as arithmetic."""
+    n = float(1 << level)
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) + 2 * ((y >> {i}) & 1)) * {4 ** i}"
+        for i in range(level))
+    return f"""
+WITH {mentions_cte(webpages_parquet)}, xy AS (
+  SELECT url, mention_idx,
+    CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}), 0), {n} - 1) AS BIGINT) AS x,
+    CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n}), 0), {n} - 1) AS BIGINT) AS y
+  FROM mentions
+)
+SELECT url, mention_idx, {terms} AS morton FROM xy
+"""
+
+
 def cell_counts_sql(webpages_parquet: str) -> str:
     return (f"WITH {mentions_cte(webpages_parquet)} "
             f"SELECT {_cell_expr(5)} AS cell_r5, count(*) AS n_mentions, "

@@ -176,6 +176,20 @@ def pack_tile_partials(batch: pa.Table) -> pa.Table:
     key_change[0] = True
     key_change[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
     starts = np.flatnonzero(key_change)
+    # chunk fat tiles: cap each packed row at MAX_PACK features so the
+    # sort's range-partitioned blocks carry bounded payload per row
+    # (a mega-tile otherwise lands one fat row on one reducer block —
+    # the straggler the salted-two-phase design exists to kill; the
+    # merge step accepts any number of partial rows per tile)
+    MAX_PACK = 512
+    run_ends = np.concatenate([starts[1:], [len(z)]])
+    run_lens = run_ends - starts
+    fat = np.flatnonzero(run_lens > MAX_PACK)
+    if fat.size:
+        extra = []
+        for i in fat:
+            extra.append(np.arange(starts[i] + MAX_PACK, run_ends[i], MAX_PACK))
+        starts = np.sort(np.concatenate([starts] + extra))
     offsets = np.concatenate([starts, [len(z)]]).astype(np.int32)
     urls = batch["urls" if "urls" in batch.column_names else "url"] \
         .combine_chunks().take(pa.array(order))
