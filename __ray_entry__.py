@@ -122,6 +122,14 @@ def _q_extract_text(sf_dir: str):
     return extract_text(webpages_path(sf_dir))
 
 
+def _q_trajectories(sf_dir: str):
+    """Distributed LINESTRING encoding (generic codec path); rows-only
+    — pytest decodes the output back against a pandas oracle."""
+    from raytiles.pipeline.synth import webpages_path
+    from raytiles.pipeline.trajectories import trajectories_pipeline
+    return trajectories_pipeline(webpages_path(sf_dir), 6)
+
+
 def _q_morton_cells(sf_dir: str):
     from raytiles.geo.tilemath import morton_cell
     from raytiles.pipeline.flagship import geoparse, read_webpages
@@ -263,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morton_cells": _q_morton_cells,
         "raster_cells": _q_raster_cells,
         "heatmap_mvt": _q_heatmap_mvt,
+        "trajectories_mvt": _q_trajectories,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,

@@ -128,3 +128,28 @@ class TestDistributed:
             assert f.metadata[b"url"] == ("St", sub.url[i].encode())
             assert f.metadata[b"mention_idx"] == ("I64", int(sub.mention_idx[i]))
             assert f.geometry.tolist() == [[int(sub.local_x[i]), int(sub.local_y[i])]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trajectories_decode_back(webpages_500, tmp_path):
+    import pyarrow.parquet as pq
+    from raytiles.codec.decode import decode_tile
+    from raytiles.pipeline.trajectories import trajectories_pipeline
+    path = str(tmp_path / "webpages.parquet")
+    pq.write_table(webpages_500, path)
+    tiles = trajectories_pipeline(path, 6).to_pandas()
+    assert len(tiles) > 0
+    # oracle: single-process expected per-tile line counts
+    want = oracle_assignments(webpages_500, 6)
+    g = want.groupby(["x", "y", "url"]).size()
+    exp_lines = (g >= 2).groupby(level=[0, 1]).sum()
+    exp_lines = exp_lines[exp_lines > 0]
+    got = tiles.set_index(["x", "y"])["n_lines"].sort_index()
+    assert got.to_dict() == {k: int(v) for k, v in exp_lines.sort_index().items()}
+    hot = tiles.sort_values("n_lines", ascending=False).iloc[0]
+    t = decode_tile(hot.mvt)
+    layer = t.layers[b"trajectories"]
+    assert len(layer.linestrings) == hot.n_lines
+    f = layer.linestrings[0]
+    assert f.metadata[b"n_points"][1] >= 2
+    assert f.geometry[0].shape[0] == f.metadata[b"n_points"][1]
