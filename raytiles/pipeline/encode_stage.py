@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..codec.encode import encode_tile
+from ..codec.fastpoint import encode_point_tiles
 from ..codec.model import I64V, ST, Feature, Layer, VectorTile
 
 LAYER_NAME = b"mentions"
@@ -77,8 +78,8 @@ class FastPointEncoder:
         self.version = layer_version
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        from ..codec.fastpoint import encode_point_tiles
+        # NOTE: no lazy raytiles imports here — this body runs on ray
+        # workers where only the pickled-by-value module graph exists
         n = batch.num_rows
         if n == 0:
             return pa.table({"z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),

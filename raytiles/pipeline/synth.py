@@ -52,7 +52,10 @@ _DECOYS = np.array([
 ])
 
 SF_ROWS = {"sf0.001": 500, "sf0.01": 60_000, "sf0.1": 600_000,
-           "sfbig": 1_800_000}  # sfbig: scaling-bench tier
+           "sfbig": 1_800_000,   # scaling-bench tier
+           "sfbig3": 5_400_000}  # large scaling tier (chunked generation)
+
+GEN_CHUNK = 1_800_000  # generate deterministically in chunks (seed 42+i)
 
 
 def _format4(v: np.ndarray) -> np.ndarray:
@@ -61,9 +64,9 @@ def _format4(v: np.ndarray) -> np.ndarray:
     return np.char.mod("%.4f", np.round(v, 4))
 
 
-def generate_webpages(n_rows: int, seed: int = SEED) -> pa.Table:
+def generate_webpages(n_rows: int, seed: int = SEED, idx_offset: int = 0) -> pa.Table:
     rng = np.random.default_rng(seed)
-    idx = np.arange(n_rows)
+    idx = np.arange(idx_offset, idx_offset + n_rows)
 
     url = np.char.add(
         np.char.add("https://site", (idx % 1000).astype("U4")),
@@ -154,16 +157,28 @@ def webpages_path(sf_dir: str) -> str:
     done = os.path.join(out_dir, ".done")
     if not os.path.exists(done):
         os.makedirs(out_dir, exist_ok=True)
-        table = generate_webpages(n_rows)
         import shutil
         tmp = path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        shard = max(1, -(-n_rows // N_SHARDS))
-        for i in range(0, N_SHARDS):
-            part = table.slice(i * shard, shard)
-            if part.num_rows:
-                pq.write_table(part, os.path.join(tmp, f"part-{i:03d}.parquet"))
+        # generate in chunks (np.char unicode arrays are memory-hungry
+        # at >2M rows); each chunk is a pure function of (rows, seed)
+        shard_no = 0
+        remaining = n_rows
+        chunk_seed = SEED
+        while remaining > 0:
+            rows = min(remaining, GEN_CHUNK)
+            table = generate_webpages(rows, seed=chunk_seed,
+                                      idx_offset=n_rows - remaining)
+            per = max(1, -(-rows // N_SHARDS))
+            for i in range(N_SHARDS):
+                part = table.slice(i * per, per)
+                if part.num_rows:
+                    pq.write_table(part, os.path.join(tmp, f"part-{shard_no:03d}.parquet"))
+                    shard_no += 1
+            remaining -= rows
+            chunk_seed += 1
+            del table
         if os.path.isfile(path):  # migrate from old single-file layout
             os.remove(path)
         shutil.rmtree(path, ignore_errors=True)
