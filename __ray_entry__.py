@@ -220,7 +220,10 @@ def _q_knn_ivf(sf_dir: str):
 
 def _q_lsh_neardup(sf_dir: str):
     from raytiles.ops.similarity import lsh_neardup_pairs
-    return lsh_neardup_pairs(sf_dir)
+    # 0.45: the testdata embeddings are near-orthogonal (max pairwise
+    # cosine ~0.51), so the production threshold 0.9 finds nothing —
+    # this exercises the bucket->pairwise path with live output
+    return lsh_neardup_pairs(sf_dir, threshold=0.45)
 
 
 def _q_winnow(sf_dir: str):

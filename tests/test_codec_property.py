@@ -1,0 +1,140 @@
+"""Property-based codec conformance (seeded, deterministic profile):
+
+1. random high-level tiles -> encode -> decode -> structural equality
+   and byte idempotency (the reference's fixpoint, generalized);
+2. random byte garbage -> decode_tile_safe never raises;
+3. random valid command streams roundtrip through the geometry codec.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from raytiles.codec.decode import decode_tile, decode_tile_safe
+from raytiles.codec.encode import encode_tile
+from raytiles.codec.geometry import (
+    decode_linestrings, decode_points, decode_polygons,
+    encode_linestrings, encode_points, encode_polygons,
+)
+from raytiles.codec.model import (
+    BV, DO, FL, I64V, S64V, ST, W64V, Feature, Layer, VectorTile, tiles_equal,
+)
+
+SETTINGS = settings(max_examples=40, deadline=None,
+                    suppress_health_check=[HealthCheck.too_slow])
+
+coord = st.integers(min_value=-8192, max_value=8191)
+
+
+@st.composite
+def val_strategy(draw):
+    tag = draw(st.sampled_from([ST, FL, DO, I64V, W64V, S64V, BV]))
+    if tag == ST:
+        return (ST, draw(st.binary(min_size=0, max_size=12)))
+    if tag == FL:
+        return (FL, float(np.float32(draw(st.floats(-1e4, 1e4, allow_nan=False)))))
+    if tag == DO:
+        return (DO, draw(st.floats(-1e9, 1e9, allow_nan=False)))
+    if tag == I64V:
+        return (I64V, draw(st.integers(-2**40, 2**40)))
+    if tag == W64V:
+        return (W64V, draw(st.integers(0, 2**50)))
+    if tag == S64V:
+        return (S64V, draw(st.integers(-2**40, 2**40)))
+    return (BV, draw(st.booleans()))
+
+
+metadata = st.dictionaries(st.binary(min_size=1, max_size=8), val_strategy(),
+                           max_size=4)
+
+
+@st.composite
+def point_feature(draw):
+    n = draw(st.integers(1, 6))
+    pts = np.array([[draw(coord), draw(coord)] for _ in range(n)], dtype=np.int64)
+    return Feature(fid=draw(st.integers(0, 1000)), metadata=draw(metadata),
+                   geometry=pts)
+
+
+@st.composite
+def line_feature(draw):
+    segs = []
+    for _ in range(draw(st.integers(1, 3))):
+        n = draw(st.integers(2, 5))
+        segs.append(np.array([[draw(coord), draw(coord)] for _ in range(n)],
+                             dtype=np.int64))
+    return Feature(fid=draw(st.integers(0, 1000)), metadata=draw(metadata),
+                   geometry=segs)
+
+
+@st.composite
+def polygon_feature(draw):
+    """Axis-aligned rectangles: guaranteed CW-exterior (positive
+    shoelace, y-down) with optional CCW hole."""
+    polys = []
+    for _ in range(draw(st.integers(1, 2))):
+        x0 = draw(st.integers(0, 4000))
+        y0 = draw(st.integers(0, 4000))
+        w = draw(st.integers(8, 90))
+        h = draw(st.integers(8, 90))
+        ext = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                        [x0, y0 + h], [x0, y0]], dtype=np.int64)
+        rings = [ext]
+        if draw(st.booleans()):
+            hole = np.array([[x0 + 2, y0 + 2], [x0 + 2, y0 + 5],
+                             [x0 + 5, y0 + 5], [x0 + 5, y0 + 2],
+                             [x0 + 2, y0 + 2]], dtype=np.int64)
+            rings.append(hole)
+        polys.append(rings)
+    return Feature(fid=draw(st.integers(0, 1000)), metadata=draw(metadata),
+                   geometry=polys)
+
+
+@st.composite
+def tile_strategy(draw):
+    layers = {}
+    for name in draw(st.lists(st.binary(min_size=1, max_size=6), min_size=1,
+                              max_size=3, unique=True)):
+        pts = draw(st.lists(point_feature(), max_size=3))
+        lines = draw(st.lists(line_feature(), max_size=2))
+        polys = draw(st.lists(polygon_feature(), max_size=2))
+        if not (pts or lines or polys):
+            pts = [draw(point_feature())]
+        layers[name] = Layer(name=name, version=draw(st.integers(1, 2)),
+                             extent=draw(st.sampled_from([256, 4096])),
+                             points=pts, linestrings=lines, polygons=polys)
+    return VectorTile(layers)
+
+
+@SETTINGS
+@given(tile_strategy())
+def test_random_tile_fixpoint(tile):
+    b1 = encode_tile(tile)
+    t2 = decode_tile(b1)
+    assert tiles_equal(tile, t2)
+    assert encode_tile(t2) == b1  # byte idempotency
+
+
+@SETTINGS
+@given(st.binary(min_size=0, max_size=200))
+def test_decoder_never_raises_on_garbage(buf):
+    tile, err = decode_tile_safe(buf)
+    assert (tile is None) == (err is not None)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(coord, coord), min_size=1, max_size=20))
+def test_point_commands_roundtrip(pairs):
+    pts = np.array(pairs, dtype=np.int64)
+    assert np.array_equal(decode_points(encode_points(pts)), pts)
+
+
+@SETTINGS
+@given(st.lists(st.lists(st.tuples(coord, coord), min_size=2, max_size=8),
+                min_size=1, max_size=4))
+def test_linestring_commands_roundtrip(segs):
+    lines = [np.array(s, dtype=np.int64) for s in segs]
+    got = decode_linestrings(encode_linestrings(lines))
+    assert len(got) == len(lines)
+    for a, b in zip(got, lines):
+        assert np.array_equal(a, b)
