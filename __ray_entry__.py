@@ -146,6 +146,14 @@ def _q_morton_cells(sf_dir: str):
     return ds.map_batches(add_morton, batch_format="pandas")
 
 
+def _q_tile_pyramid(sf_dir: str):
+    from raytiles.ops.raster import tile_pyramid
+    from raytiles.pipeline.flagship import assign, geoparse, read_webpages
+    from raytiles.pipeline.synth import webpages_path
+    ds = assign(geoparse(read_webpages(webpages_path(sf_dir))), 12, with_cells=False)
+    return tile_pyramid(ds)
+
+
 def _q_raster_cells(sf_dir: str):
     from raytiles.ops.raster import raster_cells
     from raytiles.pipeline.flagship import assign, geoparse, read_webpages
@@ -272,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "extract_text": _q_extract_text,
         "morton_cells": _q_morton_cells,
+        "tile_pyramid": _q_tile_pyramid,
         "raster_cells": _q_raster_cells,
         "heatmap_mvt": _q_heatmap_mvt,
         "trajectories_mvt": _q_trajectories,
@@ -314,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": oracles.EVENTS_SESSIONS_SQL,
         "extract_text": oracles.extract_text_sql(wp),
         "morton_cells": oracles.morton_cells_sql(wp),
+        "tile_pyramid": oracles.tile_pyramid_sql(wp),
         "raster_cells": oracles.raster_cells_sql(wp),
         "token_counts": oracles.TOKEN_COUNTS_SQL,
         "quality_scores": oracles.QUALITY_SCORES_SQL,

@@ -120,6 +120,38 @@ def vectorize_raster(rasters: ray.data.Dataset, threshold: int = 1) -> ray.data.
     return rasters.map_batches(fn, batch_format="pandas", batch_size=64)
 
 
+def tile_pyramid(assignments: ray.data.Dataset,
+                 zooms=(6, 8, 10, 12), base_zoom: int = 12) -> ray.data.Dataset:
+    """Tile-pyramid rollup: mention counts per tile at several zooms
+    from ONE base-zoom assignment pass (parent tile = child >> dz).
+    Partial counts per batch, bounded-bucket final merge. SQL twin:
+    UNION ALL of integer-divided groupbys."""
+    from ..pipeline.stages import tile_bucket
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        x = b["x"].to_numpy().astype(np.int64)
+        y = b["y"].to_numpy().astype(np.int64)
+        for zp in zooms:
+            dz = base_zoom - zp
+            frames.append(pd.DataFrame({
+                "z": np.int64(zp), "x": x >> dz, "y": y >> dz}))
+        ex = pd.concat(frames, ignore_index=True)
+        out = ex.groupby(["z", "x", "y"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["bucket"] = tile_bucket(out["z"].to_numpy(), out["x"].to_numpy(),
+                                    out["y"].to_numpy())
+        return out
+
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["z", "x", "y"], as_index=False)["n"].sum()
+        return out.astype({"z": np.int64, "x": np.int64, "y": np.int64,
+                           "n": np.int64})
+
+    return assignments.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(final_sum, batch_format="pandas")
+
+
 def heatmap_pipeline(webpages_path: str, zoom: int = 8) -> ray.data.Dataset:
     """webpages -> mentions -> raster grids -> vectorized heat MVTs.
     Lower default zoom than the flagship: heat tiles aggregate wider

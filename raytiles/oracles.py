@@ -125,6 +125,20 @@ SELECT url, mention_idx, {terms} AS morton FROM xy
 """
 
 
+def tile_pyramid_sql(webpages_parquet: str, zooms=(6, 8, 10, 12),
+                     base_zoom: int = 12) -> str:
+    """Pyramid rollup twin: parent tile via integer division."""
+    selects = []
+    for zp in zooms:
+        d = 1 << (base_zoom - zp)
+        selects.append(
+            f"SELECT {zp} AS z, x // {d} AS x, y // {d} AS y, count(*) AS n "
+            "FROM localized GROUP BY 1, 2, 3")
+    union = " UNION ALL ".join(selects)
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs(z=base_zoom)} "
+            f"{union}")
+
+
 def cell_counts_sql(webpages_parquet: str) -> str:
     return (f"WITH {mentions_cte(webpages_parquet)} "
             f"SELECT {_cell_expr(5)} AS cell_r5, count(*) AS n_mentions, "
