@@ -2,20 +2,23 @@
 
 Stage graph (flagship, see pipeline.flagship):
 
-  read_parquet(webpages)                       [columns pruned]
-    -> map_batches(GeoParser, pandas)          [stateless-ish actor pool]
-    -> map_batches(TileAssigner, pandas)       [actor pool; broadcast R-tree]
-    -> map_batches(pack_tile_partials, arrow)  [per-batch partial aggregate]
-    -> groupby(z,x,y).map_groups(merge)        [the ONE shuffle]
-    -> map_batches(MvtEncoder, arrow)          [stateful encoder actor pool]
+  read_parquet(webpages, 16 shards)            [columns pruned]
+    -> map_batches(parse, pandas)              [tasks; per-process regex cache]
+    -> map_batches(assign, pandas)             [tasks; broadcast R-tree via
+                                                ray.put, cached per process]
+    -> map_batches(pack_tile_partials, arrow)  [per-batch partial aggregate,
+                                                fat rows chunked at 512]
+    -> groupby(tile-hash bucket).map_groups    [the ONE shuffle, bounded
+       (merge_tile_partials)                    1024-key domain]
+    -> map_batches(FastPointEncoder, arrow)    [vectorized encoder; tasks by
+                                                default, actor pool opt-in]
     -> write_parquet / collect
 
 The pack->groupby->merge split is the salted-two-phase aggregate of
 SURVEY §4.2: per-batch packing collapses mention rows to one compact
-row per (tile, batch) BEFORE the shuffle, so the all-to-all exchange
-moves packed coordinate arrays, not individual mention rows, and a
-mega-tile's data arrives as a handful of partial rows that merge
-cheaply.
+row per (tile, batch) BEFORE the shuffle, the tile-hash bucket spreads
+dense cities across reducers tile-by-tile, and the 512-feature row cap
+keeps any single reducer block's payload bounded.
 """
 
 from __future__ import annotations
