@@ -79,6 +79,19 @@ def _q_tiles_mvt(sf_dir: str):
     return tiles_pipeline(webpages_path(sf_dir), 12)
 
 
+def _q_tile_features(sf_dir: str):
+    """Encoded tiles -> per-feature Arrow rows (FIXTURES B3 schema):
+    the distributed columnar decode. Rows-only (nested arrow output);
+    the bytes->arrow->bytes fixpoint is pytest-verified on all
+    fixtures."""
+    from raytiles.codec.arrowio import tiles_to_feature_table
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    tiles = tiles_pipeline(webpages_path(sf_dir), 12)
+    return tiles.map_batches(tiles_to_feature_table, batch_format="pyarrow",
+                             batch_size=512)
+
+
 def _q_mvt_roundtrip(sf_dir: str):
     """Reference fixtures + synthetic tiles through decode->encode->
     decode; every row must have ok=True (the 100% fixture pass-rate
@@ -272,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_counts": _q_cell_counts,
         "tiles_mvt": _q_tiles_mvt,
         "mvt_roundtrip": _q_mvt_roundtrip,
+        "tile_features": _q_tile_features,
         # relational operators
         "pricing_summary": _q_pricing,
         "top_customers": _q_top_customers,

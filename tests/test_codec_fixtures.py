@@ -158,3 +158,63 @@ def test_duplicate_layer_names_last_wins():
     doubled = layer_bytes + encode_tile(t2)
     out = decode_tile(doubled)
     assert out.layers[b"A"].points[0].geometry.tolist() == [[9, 9]]
+
+
+def test_testtile_golden_metadata():
+    """The reference's hand-written testTile (Test.hs:98-110): layer
+    "testlayer" v2 extent 4096, key "somekey" -> St "Some Value",
+    tags [0,0], geometry MoveTo(+25,+17)."""
+    from raytiles.codec import wire
+    feat: list = []
+    wire.put_varint_field(feat, 1, 0)
+    wire.put_packed_field(feat, 2, __import__("numpy").array([0, 0], dtype="uint32"))
+    wire.put_varint_field(feat, 3, 1)
+    wire.put_packed_field(feat, 4, __import__("numpy").array([9, 50, 34], dtype="uint32"))
+    val: list = []
+    wire.put_len_field(val, 1, b"Some Value")
+    layer: list = []
+    wire.put_len_field(layer, 1, b"testlayer")
+    wire.put_len_field(layer, 2, b"".join(feat))
+    wire.put_len_field(layer, 3, b"somekey")
+    wire.put_len_field(layer, 4, b"".join(val))
+    wire.put_varint_field(layer, 5, 4096)
+    wire.put_varint_field(layer, 15, 2)
+    tile_msg: list = []
+    wire.put_len_field(tile_msg, 3, b"".join(layer))
+    t = decode_tile(b"".join(tile_msg))
+    layer_out = t.layers[b"testlayer"]
+    assert layer_out.version == 2 and layer_out.extent == 4096
+    [f] = layer_out.points
+    assert f.metadata == {b"somekey": (ST, b"Some Value")}
+    assert f.geometry.tolist() == [[25, 17]]  # unzig(50)=25, unzig(34)=17
+    # and our encoder reproduces these bytes exactly
+    assert encode_tile(t) == b"".join(tile_msg)
+
+
+def test_arrow_feature_table_roundtrip():
+    """bytes -> Arrow feature rows (B3 schema) -> bytes: structural
+    fixpoint through the columnar representation, on the real fixtures
+    and synthetic multi-geometry tiles."""
+    import pyarrow as pa
+    from raytiles.codec.arrowio import feature_table_to_tiles, tiles_to_feature_table
+    from raytiles.pipeline.roundtrip import tiles_in_table
+    src = tiles_in_table()
+    batch = pa.table({
+        "z": pa.array([0] * src.num_rows, pa.int32()),
+        "x": pa.array(list(range(src.num_rows)), pa.int32()),
+        "y": pa.array([0] * src.num_rows, pa.int32()),
+        "mvt": src["mvt"],
+    })
+    feats = tiles_to_feature_table(batch)
+    assert feats.num_rows > src.num_rows  # exploded
+    assert feats["error"].null_count == feats.num_rows  # no decode errors
+    back = feature_table_to_tiles(feats)
+    assert back.num_rows == src.num_rows
+    n_equal = 0
+    for i in range(back.num_rows):
+        x = back["x"][i].as_py()
+        a = decode_tile(src["mvt"][x].as_py())
+        b = decode_tile(back["mvt"][i].as_py())
+        if tiles_equal(a, b):
+            n_equal += 1
+    assert n_equal == src.num_rows
