@@ -65,19 +65,21 @@ def assign(ds: ray.data.Dataset, zoom: int = DEFAULT_ZOOM, *,
            concurrency=None, batch_size: int = 8192,
            with_cells: bool = True) -> ray.data.Dataset:
     """mention rows -> tile/cell assignments. The base-zoom R-tree is
-    built once on the driver and broadcast via ray.put (read in each
-    actor's __init__, not re-shipped per batch)."""
+    built once on the driver and broadcast via ray.put; each worker
+    process ray.gets and caches it on first use (stages.make_assign_fn),
+    never re-shipped per batch."""
     rtree_ref = ray.put(build_base_rtree())
     return ds.map_batches(make_assign_fn(zoom, rtree_ref, with_cells=with_cells),
                           batch_format="pandas", batch_size=batch_size)
 
 
 def aggregate_tiles(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Two-phase tile aggregation: per-batch partial pack into COARSE
-    cells (no shuffle), then ONE groupby(bucket) shuffle over the
-    packed partials, where bucket = hash(z, x>>4, y>>4) % 256 bounds
-    the group count; the merge re-splits each bucket into per-tile
-    packed rows with pure offset arithmetic (stages.py)."""
+    """Two-phase tile aggregation: per-batch partial pack into per-tile
+    rows capped at 512 features (no shuffle), then ONE groupby(bucket)
+    shuffle where bucket = splitmix(z,x,y) % 1024 bounds the group
+    count and spreads city skew tile-by-tile; the merge re-splits each
+    bucket into per-tile packed rows with pure offset arithmetic
+    (stages.py)."""
     packed = ds.map_batches(pack_tile_partials, batch_format="pyarrow")
     return packed.groupby("bucket").map_groups(
         merge_tile_partials, batch_format="pyarrow")
