@@ -213,30 +213,39 @@ def pack_tile_partials(batch: pa.Table) -> pa.Table:
 
 def merge_tile_partials(group: pa.Table) -> pa.Table:
     """Phase 2 (after the groupby(bucket) shuffle): flatten one
-    bucket's partials (many coarse cells) and re-split into one packed
-    row PER TILE, features sorted (url, mention_idx) — all offset
-    arithmetic, no per-tile Python."""
-    z = np.repeat(group["z"].to_numpy(),
-                  pc.list_value_length(group["x"]).to_numpy())
-    x = pc.list_flatten(group["x"]).to_numpy()
-    y = pc.list_flatten(group["y"]).to_numpy()
-    urls = pc.list_flatten(group["urls"]).to_pandas().to_numpy()
-    midx = pc.list_flatten(group["mention_idx"]).to_numpy()
-    lx = pc.list_flatten(group["local_x"]).to_numpy()
-    ly = pc.list_flatten(group["local_y"]).to_numpy()
-    order = np.lexsort((midx, urls, y, x, z))
-    z, x, y = z[order], x[order], y[order]
+    bucket's partials and re-split into one packed row PER TILE,
+    features sorted (url, mention_idx). The multi-key sort runs
+    Arrow-native (pc.sort_indices on the flattened table) so url
+    strings never materialize as Python objects — the string column
+    moves zero-copy from flatten to take to the output list array."""
+    n_per_row = pc.list_value_length(group["x"]).to_numpy()
+    flat = pa.table({
+        "z": pa.array(np.repeat(group["z"].to_numpy(), n_per_row), pa.int32()),
+        "x": pc.list_flatten(group["x"]),
+        "y": pc.list_flatten(group["y"]),
+        "urls": pc.list_flatten(group["urls"]),
+        "mention_idx": pc.list_flatten(group["mention_idx"]),
+        "local_x": pc.list_flatten(group["local_x"]),
+        "local_y": pc.list_flatten(group["local_y"]),
+    })
+    order = pc.sort_indices(flat, sort_keys=[
+        ("z", "ascending"), ("x", "ascending"), ("y", "ascending"),
+        ("urls", "ascending"), ("mention_idx", "ascending")])
+    t = flat.take(order)
+    z = t["z"].to_numpy()
+    x = t["x"].to_numpy()
+    y = t["y"].to_numpy()
     key_change = np.empty(len(x), dtype=bool)
     key_change[0] = True
     key_change[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
     starts = np.flatnonzero(key_change)
-    offsets = np.concatenate([starts, [len(x)]]).astype(np.int32)
+    offsets = pa.array(np.concatenate([starts, [len(x)]]).astype(np.int32), pa.int32())
     return pa.table({
         "z": pa.array(z[starts], pa.int32()),
         "x": pa.array(x[starts], pa.int32()),
         "y": pa.array(y[starts], pa.int32()),
-        "urls": _list_col(urls[order], offsets, pa.string()),
-        "mention_idx": _list_col(midx[order], offsets, pa.int32()),
-        "local_x": _list_col(lx[order], offsets, pa.int32()),
-        "local_y": _list_col(ly[order], offsets, pa.int32()),
+        "urls": pa.ListArray.from_arrays(offsets, t["urls"].combine_chunks()),
+        "mention_idx": pa.ListArray.from_arrays(offsets, t["mention_idx"].combine_chunks()),
+        "local_x": pa.ListArray.from_arrays(offsets, t["local_x"].combine_chunks()),
+        "local_y": pa.ListArray.from_arrays(offsets, t["local_y"].combine_chunks()),
     })
