@@ -58,14 +58,27 @@ def _meta_items(meta: dict) -> list:
             for k, v in meta.items()]
 
 
+_I32_MIN, _I32_MAX = -(2 ** 31), 2 ** 31 - 1
+
+
+def _i32_checked(part) -> list:
+    """One geometry part -> struct rows, raising ValueError when a
+    cumsum'd coordinate exceeds int32 (legal on the wire as int32
+    deltas, unrepresentable in the int32 columnar schema — caught
+    per tile and turned into an error row)."""
+    a = np.asarray(part)
+    if a.size and (a.min() < _I32_MIN or a.max() > _I32_MAX):
+        raise ValueError("accumulated coordinate beyond int32 range")
+    return [{"x": int(px), "y": int(py)} for px, py in part]
+
+
 def _parts(geom, geom_type: int) -> list:
     if geom_type == 1:  # points: one part holding all points
-        return [[{"x": int(px), "y": int(py)} for px, py in geom]]
+        return [_i32_checked(geom)]
     if geom_type == 2:  # linestrings: one part per segment
-        return [[{"x": int(px), "y": int(py)} for px, py in seg] for seg in geom]
+        return [_i32_checked(seg) for seg in geom]
     # polygons: rings flattened in wire order
-    return [[{"x": int(px), "y": int(py)} for px, py in ring]
-            for rings in geom for ring in rings]
+    return [_i32_checked(ring) for rings in geom for ring in rings]
 
 
 def tiles_to_feature_table(batch: pa.Table) -> pa.Table:
@@ -96,15 +109,24 @@ def tiles_to_feature_table(batch: pa.Table) -> pa.Table:
         if tile is None:
             emit(z, x, y, None, 0, 0, [], [], err)
             continue
-        for name in sorted(tile.layers):
-            layer = tile.layers[name]
-            lname = name.decode("utf-8", errors="replace")
-            for gtype, feats in ((1, layer.points), (2, layer.linestrings),
-                                 (3, layer.polygons)):
-                for f in feats:
-                    emit(z, x, y, lname, f.fid, gtype,
-                         _parts(f.geometry, gtype), _meta_items(f.metadata), None,
-                         layer.version, layer.extent)
+        mark = len(rows["z"])  # rollback point for per-tile isolation
+        try:
+            for name in sorted(tile.layers):
+                layer = tile.layers[name]
+                lname = name.decode("utf-8", errors="replace")
+                for gtype, feats in ((1, layer.points), (2, layer.linestrings),
+                                     (3, layer.polygons)):
+                    for f in feats:
+                        emit(z, x, y, lname, f.fid, gtype,
+                             _parts(f.geometry, gtype), _meta_items(f.metadata),
+                             None, layer.version, layer.extent)
+        except (OverflowError, ValueError, pa.ArrowInvalid) as e:
+            # e.g. cumsum'd coordinates beyond int32 — a legally
+            # decodable tile the int32 columnar schema can't hold.
+            # Row-level error channel: one error row, batch survives.
+            for col in rows.values():
+                del col[mark:]
+            emit(z, x, y, None, 0, 0, [], [], f"{type(e).__name__}: {e}")
 
     return pa.table({
         "z": pa.array(rows["z"], pa.int32()),

@@ -210,6 +210,71 @@ def decode_layer_by_name(buf: bytes, name: bytes):
     return None
 
 
+def first_feature(buf: bytes, name: bytes, geom_type: int):
+    """First feature of ``geom_type`` in the named layer, decoding ONLY
+    that feature — the engine twin of the reference's lazy partial
+    access (Bench.hs:63-67 fetches one layer's first polygon without
+    forcing the rest). Other layers are skipped via length prefixes;
+    within the layer, feature payloads are only header-scanned until
+    the first type match, and the value table is decoded only at the
+    indices that feature's tags reference. Duplicate layer names keep
+    the reference's last-wins rule. Returns a Feature or None."""
+    span = None
+    for fno, wtype, val in wire.scan_fields(buf, 0, len(buf)):
+        if fno != 3 or wtype != wire.LEN:
+            continue
+        s, e = val
+        for lf, lw, lv in wire.scan_fields(buf, s, e):
+            if lf == 1 and lw == wire.LEN:
+                ns, ne = lv
+                if bytes(buf[ns:ne]) == name:
+                    span = (s, e)  # last wins
+                break
+    if span is None:
+        return None
+    for lf, lw, lv in wire.scan_fields(buf, *span):
+        if lf == 2 and lw == wire.LEN:
+            fid, tags, gtype, geometry = _decode_feature_raw(buf, *lv)
+            if gtype != geom_type:
+                continue
+            # lazily finish collecting the layer's keys/value spans
+            # (fields may appear after this feature in the stream)
+            rest_keys, rest_vals = [], []
+            for rf, rw, rv in wire.scan_fields(buf, *span):
+                if rf == 3 and rw == wire.LEN:
+                    ks, ke = rv
+                    rest_keys.append(bytes(buf[ks:ke]))
+                elif rf == 4 and rw == wire.LEN:
+                    rest_vals.append(rv)
+            t = tags[:-1] if tags.size % 2 else tags
+            values = {}
+            for vi in {int(v) for v in t[1::2]}:
+                if vi >= len(rest_vals):
+                    raise CodecError(
+                        f"tag index out of range: {vi} vs {len(rest_vals)}")
+                values[vi] = _decode_value(buf, *rest_vals[vi])
+            meta = {}
+            for i in range(0, t.size, 2):
+                k = int(t[i])
+                if k >= len(rest_keys):
+                    raise CodecError(
+                        f"tag index out of range: {k} vs {len(rest_keys)}")
+                meta[rest_keys[k]] = values[int(t[i + 1])]
+            try:
+                if gtype == GEOM_POINT:
+                    geom = decode_points(geometry)
+                elif gtype == GEOM_LINESTRING:
+                    geom = decode_linestrings(geometry)
+                elif gtype == GEOM_POLYGON:
+                    geom = decode_polygons(geometry)
+                else:
+                    raise CodecError("Geometry type of UNKNOWN given.")
+            except GeometryError as g:
+                raise CodecError(str(g)) from g
+            return Feature(fid, meta, geom)
+    return None
+
+
 def decode_tile_safe(buf: bytes):
     """Never raises: returns (VectorTile | None, error_message | None) —
     the engine's row-level error channel (errors become an `error`

@@ -118,13 +118,18 @@ def command_header(cmd: int, count: int) -> int:
 # ---------------------------------------------------------------------------
 
 def decode_points(cmds: np.ndarray) -> np.ndarray:
-    """Exactly one MoveTo (Internal.hs:153-156)."""
+    """Exactly one MoveTo (Internal.hs:153-156). A lone MoveTo with
+    zero pairs is legal and yields an empty point vector; the
+    "No points given!" error is reserved for an EMPTY command list
+    (Internal.hs:154-156 pattern order)."""
     parsed = parse_commands(cmds)
+    if not parsed:
+        raise GeometryError("No points given!")
     if len(parsed) != 1 or parsed[0][0] != MOVE_TO:
         raise GeometryError("Invalid command found in Point feature")
     deltas = _pairs(parsed[0][2])
     if deltas.shape[0] == 0:
-        raise GeometryError("No points given!")
+        return np.empty((0, 2), dtype=np.int64)
     return np.cumsum(deltas, axis=0)
 
 

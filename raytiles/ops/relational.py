@@ -30,6 +30,17 @@ def _p(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
 
+def _fq(x, k: int) -> np.ndarray:
+    """Round half-away-from-zero to k decimals — DuckDB round()
+    semantics. pandas .round() is half-even, a latent tie-case parity
+    break vs the SQL oracles; floor-quantize is no fix for SUMS (it
+    amplifies addition-order ulp noise at every 10^-k boundary), so
+    the engine mirrors DuckDB's rounding rule explicitly instead."""
+    q = 10.0 ** k
+    v = np.asarray(x, dtype=np.float64) * q
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / q
+
+
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped pricing summary over lineitem (filter on
     l_shipdate, groupby returnflag+linestatus, sums/avgs/count) with a
@@ -68,13 +79,13 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
         out = pd.DataFrame({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
-            "sum_qty": batch["sum_qty"].round(4),
-            "sum_base_price": batch["sum_base_price"].round(2),
-            "sum_disc_price": batch["sum_disc_price"].round(2),
-            "sum_charge": batch["sum_charge"].round(2),
-            "avg_qty": (batch["sum_qty"] / n).round(6),
-            "avg_price": (batch["sum_base_price"] / n).round(6),
-            "avg_disc": (batch["sum_discount"] / n).round(6),
+            "sum_qty": _fq(batch["sum_qty"], 4),
+            "sum_base_price": _fq(batch["sum_base_price"], 2),
+            "sum_disc_price": _fq(batch["sum_disc_price"], 2),
+            "sum_charge": _fq(batch["sum_charge"], 2),
+            "avg_qty": _fq(batch["sum_qty"] / n, 6),
+            "avg_price": _fq(batch["sum_base_price"] / n, 6),
+            "avg_disc": _fq(batch["sum_discount"] / n, 6),
             "count_order": batch["count_order"].astype(np.int64),
         })
         return out.sort_values(["l_returnflag", "l_linestatus"])
@@ -114,7 +125,7 @@ def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
             return pd.DataFrame({
                 "c_custkey": j["o_custkey"].astype(np.int64),
                 "c_name": j["c_name"], "n_name": j["n_name"],
-                "revenue": j["revenue"].round(2),
+                "revenue": _fq(j["revenue"], 2),
                 "n_orders": j["n_orders"].astype(np.int64)})
 
     joined = agg.map_batches(JoinDims, batch_format="pandas", concurrency=2,
@@ -147,7 +158,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
             # string timestamps: oracle-comparison-safe across ns/us units
             "window_start": batch["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S"),
             "n_events": batch["n_events"].astype(np.int64),
-            "sum_value": batch["sum_value"].round(6),
+            "sum_value": _fq(batch["sum_value"], 6),
         })
 
     return agg.map_batches(finalize, batch_format="pandas")
@@ -185,7 +196,7 @@ def events_sliding(sf_dir: str, window_min: int = 60, step_min: int = 15) -> ray
             "event_type": batch["event_type"],
             "window_start": batch["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S"),
             "n_events": batch["n_events"].astype(np.int64),
-            "sum_value": batch["sum_value"].round(6),
+            "sum_value": _fq(batch["sum_value"], 6),
         })
 
     return agg.map_batches(finalize, batch_format="pandas")
@@ -210,7 +221,7 @@ def events_sessions(sf_dir: str, gap_min: int = 30) -> ray.data.Dataset:
             "user_id": out["user_id"].astype(np.int64),
             "session_start": out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S"),
             "n_events": out["n_events"].astype(np.int64),
-            "sum_value": out["sum_value"].round(6),
+            "sum_value": _fq(out["sum_value"], 6),
         })
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"),

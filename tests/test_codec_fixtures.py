@@ -218,3 +218,70 @@ def test_arrow_feature_table_roundtrip():
         if tiles_equal(a, b):
             n_equal += 1
     assert n_equal == src.num_rows
+
+
+def test_first_feature_lazy_partial_access():
+    """first_feature matches the full decode's first feature per
+    (layer, type) on every fixture — the reference's lazy first-polygon
+    fetch (Bench.hs:63-67) without decoding the rest of the tile."""
+    from raytiles.codec.decode import first_feature
+    for name in FIXTURES:
+        buf = fixture_bytes(name)
+        tile = decode_tile(buf)
+        for lname, layer in tile.layers.items():
+            for gtype, feats in ((1, layer.points), (2, layer.linestrings),
+                                 (3, layer.polygons)):
+                got = first_feature(buf, lname, gtype)
+                if not feats:
+                    assert got is None
+                    continue
+                want = feats[0]
+                assert got is not None
+                assert got.fid == want.fid
+                assert got.metadata == want.metadata
+                if gtype == 1:
+                    assert np.array_equal(got.geometry, want.geometry)
+    assert first_feature(fixture_bytes("roads.mvt"), b"no_such_layer", 3) is None
+
+
+def test_point_empty_moveto_yields_empty_vector():
+    """A lone MoveTo carrying zero pairs decodes to an empty point
+    vector (Internal.hs:154 accepts `[MoveTo ps]` for empty ps);
+    'No points given!' is reserved for an empty command list
+    (Internal.hs:156)."""
+    from raytiles.codec.geometry import GeometryError, decode_points
+    # header: MoveTo (cmd 1), count 0 -> single u32 command word
+    empty_move = np.array([(0 << 3) | 1], dtype=np.uint32)
+    pts = decode_points(empty_move)
+    assert pts.shape == (0, 2)
+    with pytest.raises(GeometryError, match="No points given"):
+        decode_points(np.empty(0, dtype=np.uint32))
+
+
+def test_arrowio_coordinate_overflow_is_error_row():
+    """A legally decodable tile whose cumsum'd coordinates exceed int32
+    becomes ONE error row in the feature table (row-level error
+    channel), not a batch-killing ArrowInvalid."""
+    import pyarrow as pa
+    from raytiles.codec.arrowio import tiles_to_feature_table
+    from raytiles.codec.geometry import encode_points
+    # two MoveTo deltas of +2^30 each accumulate past int32 range
+    # deltas of +2^30 each are int32-legal on the wire, but the second
+    # point's accumulated coordinate (2^31) exceeds int32 range
+    big = np.array([[2 ** 30, 2 ** 30], [2 ** 31, 2 ** 31]], dtype=np.int64)
+    layer = Layer(name=b"big", version=2, extent=4096)
+    layer.points.append(Feature(1, {}, big))
+    overflow_mvt = encode_tile(VectorTile({b"big": layer}))
+    ok_mvt = fixture_bytes("onepoint.mvt")
+    batch = pa.table({
+        "z": pa.array([0, 0], pa.int32()),
+        "x": pa.array([0, 1], pa.int32()),
+        "y": pa.array([0, 0], pa.int32()),
+        "mvt": pa.array([overflow_mvt, ok_mvt], pa.binary()),
+    })
+    out = tiles_to_feature_table(batch)
+    err_rows = out.filter(out["error"].is_valid())
+    assert err_rows.num_rows == 1
+    assert "int32" in err_rows["error"][0].as_py()
+    live = out.filter(out["error"].is_null())
+    assert live.num_rows >= 1  # the good tile survived
