@@ -140,14 +140,20 @@ def generate_webpages(n_rows: int, seed: int = SEED, idx_offset: int = 0) -> pa.
     })
 
 
-N_SHARDS = 16  # sharded so read_parquet parallelizes across tasks
+N_SHARDS = 64   # sharded so read_parquet parallelizes across tasks
+ROW_GROUP = 16384  # small row groups let Ray split a file into >1 read task
+_LAYOUT_VERSION = "v2-shards64-rg16384"
 
 
 def webpages_path(sf_dir: str) -> str:
     """Materialize (once) and return the webpages parquet path for a
     testdata scale dir like /root/testdata/sf0.01. Output is a
-    DIRECTORY of N_SHARDS files — a single file reads as one serial
-    task and caps pipeline scaling at the source."""
+    DIRECTORY of N_SHARDS files with small row groups: Ray fuses
+    read->parse->assign->pack into ONE task chain whose parallelism
+    equals the read-task count, so 16 fat single-row-group files cap
+    the whole map phase at 16 concurrent tasks — the round-1 scaling
+    bottleneck (speedup 8->32 cpus plateaued near 2x). 64 files x
+    16k-row groups give the scheduler >=2 tasks per core at 32 cpus."""
     sf = os.path.basename(os.path.normpath(sf_dir))
     n_rows = SF_ROWS.get(sf)
     if n_rows is None:  # derive from the tier's documents rowcount
@@ -155,7 +161,11 @@ def webpages_path(sf_dir: str) -> str:
     out_dir = os.path.join(SYNTH_ROOT, sf)
     path = os.path.join(out_dir, "webpages.parquet")
     done = os.path.join(out_dir, ".done")
-    if not os.path.exists(done):
+    stale = True
+    if os.path.exists(done):
+        with open(done) as fh:
+            stale = fh.read().strip() != _LAYOUT_VERSION
+    if stale:
         os.makedirs(out_dir, exist_ok=True)
         import shutil
         tmp = path + ".tmp"
@@ -174,7 +184,8 @@ def webpages_path(sf_dir: str) -> str:
             for i in range(N_SHARDS):
                 part = table.slice(i * per, per)
                 if part.num_rows:
-                    pq.write_table(part, os.path.join(tmp, f"part-{shard_no:03d}.parquet"))
+                    pq.write_table(part, os.path.join(tmp, f"part-{shard_no:03d}.parquet"),
+                                   row_group_size=ROW_GROUP)
                     shard_no += 1
             remaining -= rows
             chunk_seed += 1
@@ -184,5 +195,5 @@ def webpages_path(sf_dir: str) -> str:
         shutil.rmtree(path, ignore_errors=True)
         os.replace(tmp, path)  # atomic publish
         with open(done, "w") as fh:
-            fh.write("done")
+            fh.write(_LAYOUT_VERSION)
     return path
