@@ -62,12 +62,10 @@ def _q_tile_counts(sf_dir: str):
 
 
 def _q_cell_counts(sf_dir: str):
-    from raytiles.pipeline.flagship import assignments_pipeline
+    from raytiles.pipeline.flagship import cell_counts_pipeline
     from raytiles.pipeline.synth import webpages_path
-    df = assignments_pipeline(webpages_path(sf_dir), 12).to_pandas()
-    g = df.groupby("cell_r5").agg(
-        n_mentions=("url", "size"), n_docs=("url", "nunique")).reset_index()
-    return _cast_int64(g, ["cell_r5", "n_mentions", "n_docs"])
+    df = cell_counts_pipeline(webpages_path(sf_dir), 5).to_pandas()
+    return _cast_int64(df, ["cell_r5", "n_mentions", "n_docs"])
 
 
 def _q_tiles_mvt(sf_dir: str):
@@ -241,10 +239,10 @@ def _q_knn_ivf(sf_dir: str):
 
 def _q_lsh_neardup(sf_dir: str):
     from raytiles.ops.similarity import lsh_neardup_pairs
-    # 0.45: the testdata embeddings are near-orthogonal (max pairwise
-    # cosine ~0.51), so the production threshold 0.9 finds nothing —
-    # this exercises the bucket->pairwise path with live output
-    return lsh_neardup_pairs(sf_dir, threshold=0.45)
+    # the testdata embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51), so 16 deterministic planted near-dups (vec_id + 10^6)
+    # exercise the live pair-emission path at the production threshold
+    return lsh_neardup_pairs(sf_dir, threshold=0.9, n_planted=16)
 
 
 def _q_winnow(sf_dir: str):

@@ -202,18 +202,32 @@ def events_sliding(sf_dir: str, window_min: int = 60, step_min: int = 15) -> ray
     return agg.map_batches(finalize, batch_format="pandas")
 
 
-def events_sessions(sf_dir: str, gap_min: int = 30) -> ray.data.Dataset:
+def events_sessions(sf_dir: str, gap_min: int = 30,
+                    n_buckets: int = 256) -> ray.data.Dataset:
     """Gap-based sessionization per user (session breaks when the gap
-    to the previous event exceeds gap_min): groupby(user).map_groups
-    over ts-sorted groups — the ordered-log window pattern (ray_guide
-    'Streaming-shaped workloads'). Order within equal ts is pinned by
+    to the previous event exceeds gap_min), bucketed: users hash into
+    a BOUNDED 256-bucket key (never groupby(user_id) — one Python
+    map_groups call per user is the per-group scheduling anti-pattern
+    at 10^9 users), and one vectorized sort+diff pass sessionizes ALL
+    users in a bucket together. Order within equal ts is pinned by
     event_id so the oracle matches deterministically."""
+    from ..util import bucket_of
     gap = np.timedelta64(gap_min, "m")
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        sid = brk.cumsum()
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = bucket_of(b["user_id"].to_numpy(), n_buckets)
+        return b
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user | (np.diff(ts, prepend=ts[:1]) > gap)
+        sid = np.cumsum(brk)
         out = g.groupby(sid).agg(
             user_id=("user_id", "first"), session_start=("ts", "min"),
             n_events=("event_id", "size"), sum_value=("value", "sum"))
@@ -226,4 +240,5 @@ def events_sessions(sf_dir: str, gap_min: int = 30) -> ray.data.Dataset:
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"),
                                columns=["event_id", "ts", "user_id", "value"])
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(sessionize_bucket, batch_format="pandas")

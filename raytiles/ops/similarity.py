@@ -4,16 +4,23 @@
   ray.put, per-batch numpy matmul, per-batch top-k partials, tiny
   final merge (scales: the full matrix never materializes, each batch
   contributes at most q*k candidate rows to the merge);
+- IVF approximate top-k: the scale path — deterministic coarse lists,
+  nprobe masked scan, partial top-k;
 - LSH-bucketed near-duplicate pairs: seeded random hyperplanes ->
   bucket signature -> groupby(bucket) -> within-bucket pairwise cosine
-  (the scale path: candidate generation is a single shuffle of
-  (bucket, id, vec) rows, quadratic work only within buckets).
+  with a HARD BUCKET CAP: oversized buckets (viral near-dup clusters —
+  the common case in crawl data) re-split deterministically with extra
+  hyperplanes so the quadratic stays bounded.
+
+Embedding batches move zero-copy: Arrow list<float> values reshape to
+(n, dim) without per-row conversion when the list is rectangular.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -24,6 +31,22 @@ def _emb(sf_dir: str) -> ray.data.Dataset:
 
 
 def _stack(col) -> np.ndarray:
+    """Embedding column -> (n, dim) float64. Arrow list arrays reshape
+    zero-copy from the flat values buffer when rectangular; ragged or
+    object input falls back to per-row stacking."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        n = len(col)
+        if isinstance(col, pa.FixedSizeListArray):
+            flat = col.values.to_numpy(zero_copy_only=False)
+            return flat.reshape(n, -1).astype(np.float64, copy=False)
+        offs = col.offsets.to_numpy()
+        widths = np.diff(offs)
+        if widths.size and (widths == widths[0]).all():
+            flat = col.values.to_numpy(zero_copy_only=False)
+            return flat[offs[0]:offs[-1]].reshape(n, -1).astype(np.float64, copy=False)
+        return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
@@ -31,13 +54,12 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8) -> ray.data.Dat
     """Top-k cosine neighbors of the first ``n_queries`` vec_ids
     against the whole table. Output (query_id, neighbor_id, rank),
     rank 1-based by (sim desc, neighbor_id asc); self excluded."""
-    import pyarrow.parquet as pq
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     qtab = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         filter=pc.field("vec_id") < n_queries, columns=["vec_id", "embedding"])
     q_ids = qtab["vec_id"].to_numpy()
-    q = _stack(qtab["embedding"].to_pylist())
+    q = _stack(qtab["embedding"])
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, qn))
 
@@ -46,11 +68,11 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8) -> ray.data.Dat
             self.q_ids, self.qn = ray.get(ref)
             self.k = k
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            v = _stack(b["embedding"])
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            v = _stack(t["embedding"])
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
             sims = vn @ self.qn.T  # (batch, q)
-            ids = b["vec_id"].to_numpy()
+            ids = t["vec_id"].to_numpy()
             out = []
             kk = min(self.k + 1, ids.size)  # +1 to survive self-exclusion
             for j, qid in enumerate(self.q_ids):
@@ -62,7 +84,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8) -> ray.data.Dat
             return pd.concat(out, ignore_index=True)
 
     partials = _emb(sf_dir).map_batches(
-        BatchTopK, batch_format="pandas", batch_size=8192, concurrency=(1, 8),
+        BatchTopK, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8),
         fn_constructor_kwargs={"ref": q_ref, "k": k})
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -88,9 +110,9 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 8,
     is the work reduction; recall is checked against brute force in
     tests. Output shape matches knn_bruteforce (query_id, neighbor_id,
     rank); approximate by construction -> rows-only in the gate."""
-    import pyarrow.parquet as pq
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
     full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     n_total = full.num_rows
     step = max(1, n_total // n_lists)
@@ -99,13 +121,13 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 8,
         filter=pc.field("vec_id").isin(list(centroid_ids)),
         columns=["vec_id", "embedding"])
     corder = np.argsort(ctab["vec_id"].to_numpy())
-    cvecs = _stack(ctab["embedding"].to_pylist())[corder]
+    cvecs = _stack(ctab["embedding"])[corder]
     cn = cvecs / np.linalg.norm(cvecs, axis=1, keepdims=True)
 
     qtab = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         filter=pc.field("vec_id") < n_queries, columns=["vec_id", "embedding"])
     q_ids = qtab["vec_id"].to_numpy()
-    q = _stack(qtab["embedding"].to_pylist())
+    q = _stack(qtab["embedding"])
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     # probed list sets per query (ties broken by list index via argsort)
     probe_sims = qn @ cn.T
@@ -117,11 +139,11 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 8,
             self.q_ids, self.qn, self.cn, self.probed = ray.get(ref)
             self.k = k
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            v = _stack(b["embedding"])
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            v = _stack(t["embedding"])
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
             lists = np.argmax(vn @ self.cn.T, axis=1)
-            ids = b["vec_id"].to_numpy()
+            ids = t["vec_id"].to_numpy()
             out = []
             for j, qid in enumerate(self.q_ids):
                 mask = np.isin(lists, self.probed[j])
@@ -141,7 +163,7 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 8,
             return pd.concat(out, ignore_index=True)
 
     partials = _emb(sf_dir).map_batches(
-        IvfTopK, batch_format="pandas", batch_size=8192, concurrency=(1, 8),
+        IvfTopK, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8),
         fn_constructor_kwargs={"ref": state_ref, "k": k})
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -155,55 +177,115 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 8,
 
 
 LSH_BITS = 12
+MAX_LSH_BUCKET = 512  # hard cap on within-bucket quadratic work
+MAX_EXTRA_BITS = 16   # re-split budget for oversized buckets
 
 
-def _hyperplanes(dim: int, bits: int = LSH_BITS) -> np.ndarray:
-    return np.random.default_rng(999).normal(size=(bits, dim))
+def _hyperplanes(dim: int, bits: int = LSH_BITS, seed: int = 999) -> np.ndarray:
+    return np.random.default_rng(seed).normal(size=(bits, dim))
 
 
-def lsh_neardup_pairs(sf_dir: str, threshold: float = 0.90) -> ray.data.Dataset:
+def _bucket_pairs(ids: np.ndarray, vn: np.ndarray, threshold: float,
+                  extra_planes: np.ndarray, depth: int = 0):
+    """Pairwise cosine within one bucket, bounded: a bucket larger
+    than MAX_LSH_BUCKET is re-split by the next deterministic extra
+    hyperplane (recursively, up to MAX_EXTRA_BITS); an irreducible
+    oversized cluster (all vectors identical under every plane) is
+    processed in sorted chunks of the cap — a documented recall
+    trade-off that keeps worst-case work O(cap * n) instead of O(n²)."""
+    n = ids.size
+    if n < 2:
+        return []
+    if n > MAX_LSH_BUCKET and depth < MAX_EXTRA_BITS:
+        side = (vn @ extra_planes[depth]) > 0
+        out = _bucket_pairs(ids[side], vn[side], threshold, extra_planes, depth + 1)
+        out += _bucket_pairs(ids[~side], vn[~side], threshold, extra_planes, depth + 1)
+        return out
+    results = []
+    if n > MAX_LSH_BUCKET:
+        for s in range(0, n, MAX_LSH_BUCKET):
+            chunk = slice(s, s + MAX_LSH_BUCKET)
+            results += _pairs_dense(ids[chunk], vn[chunk], threshold)
+        return results
+    return _pairs_dense(ids, vn, threshold)
+
+
+def _pairs_dense(ids: np.ndarray, vn: np.ndarray, threshold: float):
+    if ids.size < 2:
+        return []
+    sims = vn @ vn.T
+    ia, ib = np.triu_indices(ids.size, k=1)
+    keep = sims[ia, ib] >= threshold
+    if not keep.any():
+        return []
+    return [(ids[ia[keep]], ids[ib[keep]], sims[ia[keep], ib[keep]])]
+
+
+def lsh_neardup_pairs(sf_dir: str, threshold: float = 0.90,
+                      n_planted: int = 0) -> ray.data.Dataset:
     """Embedding near-dup pairs (cosine >= threshold) found via
     hyperplane-LSH bucketing. Approximate by construction (same-bucket
     candidates only) — verified against brute force on a subset in
-    tests, no SQL oracle."""
+    tests, no SQL oracle.
+
+    ``n_planted`` > 0 unions deterministic near-duplicates (vec_id
+    + 1_000_000, tiny seeded perturbation, cosine ~0.9999) into the
+    input so the live pair-emission path is exercised even on corpora
+    with no natural near-dups (the testdata embeddings are
+    near-orthogonal)."""
     import pyarrow.parquet as pq
-    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
-                            columns=["embedding"]).slice(0, 1)["embedding"][0])
-    planes_ref = ray.put(_hyperplanes(dim))
+    first = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).slice(0, max(1, n_planted))
+    dim = len(first["embedding"][0])
+    planes = _hyperplanes(dim)
+    extra = _hyperplanes(dim, bits=MAX_EXTRA_BITS, seed=1001)
+    planes_ref = ray.put((planes, extra))
+
+    ds = _emb(sf_dir)
+    if n_planted:
+        v = _stack(first["embedding"])
+        rng = np.random.default_rng(7)
+        pert = v + rng.normal(0, 1e-3 * np.abs(v).mean(), v.shape)
+        planted = pa.table({
+            "vec_id": pa.array(first["vec_id"].to_numpy() + 1_000_000, pa.int64()),
+            "embedding": pa.array(list(pert), pa.list_(pa.float64())),
+        })
+        ds = ds.union(ray.data.from_arrow(planted))
 
     class Bucketize:
         def __init__(self, ref):
-            self.planes = ray.get(ref)
+            self.planes, _ = ray.get(ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            v = _stack(b["embedding"])
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            v = _stack(t["embedding"])
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
             bits = (vn @ self.planes.T) > 0  # (n, bits)
-            bucket = np.zeros(len(b), dtype=np.int64)
-            for i in range(self.planes.shape[0]):
-                bucket |= bits[:, i].astype(np.int64) << i
-            return pd.DataFrame({"bucket": bucket,
-                                 "vec_id": b["vec_id"].astype(np.int64),
-                                 "embedding": b["embedding"]})
+            bucket = bits @ (1 << np.arange(self.planes.shape[0], dtype=np.int64))
+            return pd.DataFrame({"bucket": bucket.astype(np.int64),
+                                 "vec_id": t["vec_id"].to_numpy().astype(np.int64),
+                                 "embedding": list(v)})
 
-    bucketed = _emb(sf_dir).map_batches(Bucketize, batch_format="pandas",
-                                        concurrency=(1, 8),
-                                        fn_constructor_kwargs={"ref": planes_ref})
+    bucketed = ds.map_batches(Bucketize, batch_format="pyarrow",
+                              concurrency=(1, 8),
+                              fn_constructor_kwargs={"ref": planes_ref})
+
+    extra_planes = extra  # captured by value into the reducer closure
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        order = np.argsort(g["vec_id"].to_numpy())
+        ids = g["vec_id"].to_numpy()[order]
+        v = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])[order]
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        chunks = _bucket_pairs(ids, vn, threshold, extra_planes)
+        if not chunks:
             return pd.DataFrame({"vec_a": np.empty(0, np.int64),
                                  "vec_b": np.empty(0, np.int64),
                                  "sim": np.empty(0, np.float64)})
-        order = np.argsort(g["vec_id"].to_numpy())
-        ids = g["vec_id"].to_numpy()[order]
-        v = _stack(g["embedding"])[order]
-        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-        sims = vn @ vn.T
-        ia, ib = np.triu_indices(ids.size, k=1)
-        keep = sims[ia, ib] >= threshold
-        return pd.DataFrame({"vec_a": ids[ia[keep]].astype(np.int64),
-                             "vec_b": ids[ib[keep]].astype(np.int64),
-                             "sim": np.round(sims[ia[keep], ib[keep]], 6)})
+        a = np.concatenate([c[0] for c in chunks])
+        b = np.concatenate([c[1] for c in chunks])
+        s = np.concatenate([c[2] for c in chunks])
+        return pd.DataFrame({"vec_a": a.astype(np.int64),
+                             "vec_b": b.astype(np.int64),
+                             "sim": np.round(s, 6)})
 
     return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")

@@ -6,11 +6,14 @@ caller owns the Ray session (never ray.init here — driver contract).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray
 import ray.data
 
+from ..geo import tilemath as tm
 from ..geo.parse import GeoParser
+from ..util import bucket_of
 from .encode_stage import FastPointEncoder, MvtEncoder
 from .stages import (TileAssigner, build_base_rtree, make_assign_fn,
                      merge_tile_partials, pack_tile_partials)
@@ -116,6 +119,35 @@ def tiles_pipeline(webpages_path: str, zoom: int = DEFAULT_ZOOM, *,
     ds = assign(ds, zoom, with_cells=False)  # cells unused downstream
     ds = aggregate_tiles(ds)
     return encode_tiles(ds, concurrency=encode_concurrency)
+
+
+def cell_counts_pipeline(webpages_path: str, res: int = 5,
+                         n_buckets: int = 1024) -> ray.data.Dataset:
+    """Per-cell mention + distinct-doc counts, DISTRIBUTED (round 1
+    aggregated on the driver — the one gate operator that wasn't):
+    the per-batch partial collapses to one row per (cell, url, batch),
+    then ONE bounded-bucket groupby counts vectorized within buckets.
+    Distinct-url counting is exact because a cell's rows all land in
+    the same bucket (bucket is a pure function of the cell id)."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cell = tm.cell_id(b["lon"].to_numpy(), b["lat"].to_numpy(), res)
+        df = pd.DataFrame({"cell_r5": cell, "url": b["url"]})
+        part = df.groupby(["cell_r5", "url"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        part["bucket"] = bucket_of(part["cell_r5"].to_numpy(), n_buckets)
+        return part
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cell_r5").agg(
+            n_mentions=("n", "sum"), n_docs=("url", "nunique")).reset_index()
+        return pd.DataFrame({
+            "cell_r5": out["cell_r5"].astype("int64"),
+            "n_mentions": out["n_mentions"].astype("int64"),
+            "n_docs": out["n_docs"].astype("int64")})
+
+    ds = geoparse(read_webpages(webpages_path))
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
 def assignments_pipeline(webpages_path: str, zoom: int = DEFAULT_ZOOM) -> ray.data.Dataset:

@@ -226,3 +226,39 @@ def test_knn_ivf_recall_and_validity():
     a = ivf.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b2 = ivf2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b2)
+
+
+def test_lsh_bucket_cap_bounds_quadratic():
+    """An oversized LSH bucket (one viral near-dup cluster) is re-split
+    by extra hyperplanes / chunked so within-bucket pairwise work stays
+    O(cap * n), and near-identical vectors still pair up."""
+    from raytiles.ops.similarity import (MAX_LSH_BUCKET, _bucket_pairs,
+                                         _hyperplanes)
+    rng = np.random.default_rng(11)
+    center = rng.normal(size=64)
+    n = MAX_LSH_BUCKET * 3  # one bucket 3x over the cap
+    v = center[None, :] + rng.normal(scale=0.01, size=(n, 64))
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    ids = np.arange(n)
+    extra = _hyperplanes(64, bits=16, seed=1001)
+    chunks = _bucket_pairs(ids, vn, 0.99, extra)
+    # every dense block the recursion produced was within the cap:
+    # the largest possible pair-chunk is cap*(cap-1)/2
+    max_chunk = max(c[0].size for c in chunks)
+    assert max_chunk <= MAX_LSH_BUCKET * (MAX_LSH_BUCKET - 1) // 2
+    total_pairs = sum(c[0].size for c in chunks)
+    assert total_pairs > 0  # the cluster still yields near-dup pairs
+    for a, b, s in chunks:
+        assert (s >= 0.99).all()
+
+
+def test_lsh_neardup_gate_emits_planted_rows():
+    """The gate tier plants deterministic near-dups (vec_id + 10^6) so
+    the live pair-emission path runs: every planted pair must surface
+    at the production threshold."""
+    from raytiles.ops.similarity import lsh_neardup_pairs
+    got = lsh_neardup_pairs(SF_SMOKE, threshold=0.9, n_planted=8).to_pandas()
+    assert len(got) >= 6  # planted pairs survive (LSH may split a few)
+    planted = got[got["vec_b"] >= 1_000_000]
+    assert (planted["vec_b"] - planted["vec_a"] == 1_000_000).all()
+    assert (planted["sim"] >= 0.99).all()
