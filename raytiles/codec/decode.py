@@ -20,7 +20,12 @@ Semantics replicated exactly:
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
+
+_unpack_f4 = struct.Struct("<f").unpack
+_unpack_f8 = struct.Struct("<d").unpack
 
 from . import wire
 from .geometry import (
@@ -47,10 +52,10 @@ def _decode_value(buf, start: int, end: int):
             fields[1] = bytes(buf[s:e])
         elif fno == 2 and wtype == wire.I32:
             s, e = val
-            fields[2] = float(np.frombuffer(buf[s:e], dtype="<f4")[0])
+            fields[2] = _unpack_f4(buf[s:e])[0]
         elif fno == 3 and wtype == wire.I64:
             s, e = val
-            fields[3] = float(np.frombuffer(buf[s:e], dtype="<f8")[0])
+            fields[3] = _unpack_f8(buf[s:e])[0]
         elif fno == 4 and wtype == wire.VARINT:
             fields[4] = wire.u64_to_int64(val)
         elif fno == 5 and wtype == wire.VARINT:
@@ -66,48 +71,82 @@ def _decode_value(buf, start: int, end: int):
     raise CodecError("Value decode: No legal Value type offered")
 
 
+SMALL_GEOM_BYTES = 320  # below this, list arithmetic beats numpy's call costs
+
+
 def _decode_feature_raw(buf, start: int, end: int):
-    """Tile.Feature message -> (fid, tags u32[], geom_type, geometry u32[]).
-    Accepts packed and unpacked repeated encodings (Feature.hs:57-62)."""
+    """Tile.Feature message -> (fid, tags list, geom_type, geometry).
+    Accepts packed and unpacked repeated encodings (Feature.hs:57-62).
+
+    Inline field scan (no generator — this runs once per feature) and
+    a small-geometry fast path: geometry runs under SMALL_GEOM_BYTES
+    stay plain Python lists all the way through the geometry decoders
+    (most real features are a handful of command words; numpy's fixed
+    per-call costs dominate there). Large runs use the vectorized
+    array path. Tags are always small -> always a list."""
     fid = 0
     geom_type = None
-    tags_parts, geom_parts = [], []
-    for fno, wtype, val in wire.scan_fields(buf, start, end):
-        if fno == 1 and wtype == wire.VARINT:
-            fid = val
-        elif fno == 2:
-            if wtype == wire.LEN:
-                s, e = val
-                tags_parts.append(wire.uvarint_decode_array(buf[s:e]))
-            elif wtype == wire.VARINT:
-                tags_parts.append(np.array([val], dtype=np.uint64))
-        elif fno == 3 and wtype == wire.VARINT:
-            geom_type = val
-        elif fno == 4:
-            if wtype == wire.LEN:
-                s, e = val
-                geom_parts.append(wire.uvarint_decode_array(buf[s:e]))
-            elif wtype == wire.VARINT:
-                geom_parts.append(np.array([val], dtype=np.uint64))
-    def join(parts):
-        if not parts:
-            return np.empty(0, np.uint32)
-        if len(parts) == 1:
-            return parts[0].astype(np.uint32, copy=False)
-        return np.concatenate(parts).astype(np.uint32)
+    tags_parts: list = []
+    geom_parts: list = []
+    pos = start
+    uvarint = wire.uvarint_decode
+    while pos < end:
+        key, pos = uvarint(buf, pos)
+        fno = key >> 3
+        wtype = key & 7
+        if wtype == wire.VARINT:
+            val, pos = uvarint(buf, pos)
+            if fno == 1:
+                fid = val
+            elif fno == 2:
+                tags_parts.append([val])
+            elif fno == 3:
+                geom_type = val
+            elif fno == 4:
+                geom_parts.append([val])
+        elif wtype == wire.LEN:
+            ln, pos = uvarint(buf, pos)
+            s, e = pos, pos + ln
+            if e > end:
+                raise wire.WireError("scan_fields: truncated LEN field")
+            pos = e
+            if fno == 2:
+                tags_parts.append(wire.uvarint_decode_list(buf[s:e]))
+            elif fno == 4:
+                if ln < SMALL_GEOM_BYTES:
+                    geom_parts.append(wire.uvarint_decode_list(buf[s:e]))
+                else:
+                    geom_parts.append(wire.uvarint_decode_array(buf[s:e]))
+        elif wtype == wire.I32:
+            pos += 4
+        elif wtype == wire.I64:
+            pos += 8
+        else:
+            raise wire.WireError(f"scan_fields: unsupported wire type {wtype}")
 
-    return fid, join(tags_parts), geom_type, join(geom_parts)
+    tags = [t for part in tags_parts for t in part]
+    if not geom_parts:
+        geometry = []
+    elif len(geom_parts) == 1:
+        g = geom_parts[0]
+        geometry = g if isinstance(g, list) else g.astype(np.uint32, copy=False)
+    elif all(isinstance(g, list) for g in geom_parts):
+        geometry = [v for g in geom_parts for v in g]
+    else:
+        geometry = np.concatenate(
+            [np.asarray(g, dtype=np.uint64) for g in geom_parts]).astype(np.uint32)
+    return fid, tags, geom_type, geometry
 
 
-def _get_meta(keys: list, values: list, tags: np.ndarray) -> dict:
+def _get_meta(keys: list, values: list, tags) -> dict:
     """tags (k_idx, v_idx) pairs -> metadata dict in tag order
     (`getMeta`, Internal.hs:314-317); odd trailing tag dropped."""
     t = tags
-    if t.size % 2:
+    if len(t) % 2:
         t = t[:-1]
     meta = {}
     nk, nv = len(keys), len(values)
-    for i in range(0, t.size, 2):
+    for i in range(0, len(t), 2):
         k, v = int(t[i]), int(t[i + 1])
         if k >= nk or v >= nv:
             raise CodecError(f"tag index out of range: ({k},{v}) vs ({nk},{nv})")
@@ -246,7 +285,7 @@ def first_feature(buf: bytes, name: bytes, geom_type: int):
                     rest_keys.append(bytes(buf[ks:ke]))
                 elif rf == 4 and rw == wire.LEN:
                     rest_vals.append(rv)
-            t = tags[:-1] if tags.size % 2 else tags
+            t = tags[:-1] if len(tags) % 2 else tags
             values = {}
             for vi in {int(v) for v in t[1::2]}:
                 if vi >= len(rest_vals):
@@ -254,7 +293,7 @@ def first_feature(buf: bytes, name: bytes, geom_type: int):
                         f"tag index out of range: {vi} vs {len(rest_vals)}")
                 values[vi] = _decode_value(buf, *rest_vals[vi])
             meta = {}
-            for i in range(0, t.size, 2):
+            for i in range(0, len(t), 2):
                 k = int(t[i])
                 if k >= len(rest_keys):
                     raise CodecError(

@@ -113,6 +113,49 @@ def command_header(cmd: int, count: int) -> int:
     return (cmd & 7) | (count << 3)
 
 
+def _unzig_py(u: int) -> int:
+    """Scalar unzig with the reference's int32 truncation — the
+    small-geometry fast path twin of ``unzig``."""
+    v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+    return v - 0x100000000 if v >= 0x80000000 else v
+
+
+def parse_commands_list(cmds: list) -> list[tuple[int, int, list]]:
+    """``parse_commands`` twin over plain Python ints — identical
+    validation and error messages, list params. For the small
+    geometries that dominate real tiles (a handful of command words),
+    list arithmetic beats numpy's fixed per-call costs by ~5x."""
+    out = []
+    pos = 0
+    n = len(cmds)
+    while pos < n:
+        header = cmds[pos]
+        cmd = header & 7
+        count = header >> 3
+        pos += 1
+        if cmd == MOVE_TO or cmd == LINE_TO:
+            out.append((cmd, count,
+                        [_unzig_py(u) for u in cmds[pos:pos + 2 * count]]))
+            pos += 2 * count
+        elif cmd == CLOSE_PATH:
+            if count != 1:
+                raise GeometryError(f"ClosePath was given a parameter count: {count}")
+            out.append((CLOSE_PATH, 1, []))
+        else:
+            raise GeometryError(f"Invalid command integer {cmd} found in: {header:X}")
+    return out
+
+
+def _shoelace_py(ring: list) -> float:
+    """Scalar shoelace over a CLOSED ring of (x, y) tuples — same
+    wraparound formula as ``surveyor``."""
+    m = len(ring) - 1  # drop closing point
+    s = 0
+    for i in range(m):
+        s += ring[i][0] * (ring[(i + 1) % m][1] - ring[(i - 1) % m][1])
+    return s / 2.0
+
+
 # ---------------------------------------------------------------------------
 # decode: commands -> absolute geometry
 # ---------------------------------------------------------------------------
@@ -122,6 +165,24 @@ def decode_points(cmds: np.ndarray) -> np.ndarray:
     zero pairs is legal and yields an empty point vector; the
     "No points given!" error is reserved for an EMPTY command list
     (Internal.hs:154-156 pattern order)."""
+    if type(cmds) is list:  # small-geometry fast path (pure Python)
+        parsed = parse_commands_list(cmds)
+        if not parsed:
+            raise GeometryError("No points given!")
+        if len(parsed) != 1 or parsed[0][0] != MOVE_TO:
+            raise GeometryError("Invalid command found in Point feature")
+        p = parsed[0][2]
+        if len(p) % 2:
+            p = p[:-1]
+        if not p:
+            return np.empty((0, 2), dtype=np.int64)
+        x = y = 0
+        out = []
+        for i in range(0, len(p), 2):
+            x += p[i]
+            y += p[i + 1]
+            out.append((x, y))
+        return np.array(out, dtype=np.int64)
     parsed = parse_commands(cmds)
     if not parsed:
         raise GeometryError("No points given!")
@@ -136,6 +197,34 @@ def decode_points(cmds: np.ndarray) -> np.ndarray:
 def decode_linestrings(cmds: np.ndarray) -> list[np.ndarray]:
     """Pairs of MoveTo(take head only) + LineTo(n>=1); cursor threads
     across linestrings within the feature (Internal.hs:165-174)."""
+    if type(cmds) is list:  # small-geometry fast path (pure Python)
+        parsed = parse_commands_list(cmds)
+        if len(parsed) % 2:
+            raise GeometryError("LineString decode: Invalid command sequence given.")
+        out = []
+        x = y = 0
+        for i in range(0, len(parsed), 2):
+            mcmd, _, mp = parsed[i]
+            lcmd, _, lp = parsed[i + 1]
+            if mcmd != MOVE_TO or lcmd != LINE_TO:
+                raise GeometryError("LineString decode: Invalid command sequence given.")
+            if len(mp) % 2:
+                mp = mp[:-1]
+            if len(lp) % 2:
+                lp = lp[:-1]
+            if not mp:
+                raise GeometryError("LineString decode: empty MoveTo")
+            # only the FIRST MoveTo point is used (Internal.hs:170);
+            # dropped pairs do not advance the cursor
+            x += mp[0]
+            y += mp[1]
+            seg = [(x, y)]
+            for j in range(0, len(lp), 2):
+                x += lp[j]
+                y += lp[j + 1]
+                seg.append((x, y))
+            out.append(np.array(seg, dtype=np.int64))
+        return out
     parsed = parse_commands(cmds)
     if len(parsed) % 2:
         raise GeometryError("LineString decode: Invalid command sequence given.")
@@ -173,6 +262,51 @@ def decode_polygons(cmds: np.ndarray) -> list[list[np.ndarray]]:
     Returns a list of polygons; each polygon is [exterior, hole, ...],
     all rings closed.
     """
+    if type(cmds) is list:  # small-geometry fast path (pure Python)
+        parsed = parse_commands_list(cmds)
+        if len(parsed) % 3:
+            raise GeometryError(
+                "Polygon decode: Invalid command sequence given: "
+                f"{np.asarray(cmds, dtype=np.uint32)!r}")
+        rings = []
+        x = y = 0
+        for i in range(0, len(parsed), 3):
+            mcmd, _, mp = parsed[i]
+            lcmd, _, lp = parsed[i + 1]
+            ccmd = parsed[i + 2][0]
+            if mcmd != MOVE_TO or lcmd != LINE_TO or ccmd != CLOSE_PATH:
+                raise GeometryError(
+                    "Polygon decode: Invalid command sequence given: "
+                    f"{np.asarray(cmds, dtype=np.uint32)!r}")
+            if len(mp) % 2:
+                mp = mp[:-1]
+            if len(lp) % 2:
+                lp = lp[:-1]
+            if not mp:
+                raise GeometryError("Polygon decode: empty MoveTo")
+            x += mp[0]
+            y += mp[1]
+            ring = [(x, y)]
+            for j in range(0, len(lp), 2):
+                x += lp[j]
+                y += lp[j + 1]
+                ring.append((x, y))
+            ring.append(ring[0])  # stored closed (Internal.hs:198)
+            rings.append(ring)
+        if not rings:
+            return []
+        areas = [_shoelace_py(r) for r in rings]
+        polys: list[list[np.ndarray]] = []
+        i = 0
+        n = len(rings)
+        while i < n:
+            group = [np.array(rings[i], dtype=np.int64)]
+            i += 1
+            while i < n and areas[i] <= 0:
+                group.append(np.array(rings[i], dtype=np.int64))
+                i += 1
+            polys.append(group)
+        return polys
     parsed = parse_commands(cmds)
     if len(parsed) % 3:
         raise GeometryError(f"Polygon decode: Invalid command sequence given: {cmds!r}")

@@ -111,6 +111,28 @@ def uvarint_encode_array(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def uvarint_decode_list(buf) -> list:
+    """Decode a packed varint run to a plain Python list — the
+    small-geometry fast path (list arithmetic beats numpy below ~100
+    values; see geometry.parse_commands_list)."""
+    out = []
+    result = 0
+    shift = 0
+    for byte in bytes(buf):
+        result |= (byte & 0x7F) << shift
+        if byte & 0x80:
+            shift += 7
+            if shift >= 70:
+                raise WireError("uvarint_decode_list: varint too long")
+        else:
+            out.append(result & 0xFFFFFFFFFFFFFFFF)
+            result = 0
+            shift = 0
+    if shift:
+        raise WireError("uvarint_decode_list: truncated varint run")
+    return out
+
+
 def uvarint_decode_array(buf) -> np.ndarray:
     """Vectorized decode of a packed run of unsigned varints.
 
