@@ -22,6 +22,7 @@ import ray
 import ray.data
 
 from ..codec.encode import encode_tile
+from ..codec.fastshape import encode_heat_tiles
 from ..codec.model import DO, I64V, Feature, Layer, VectorTile
 
 GRID = 256  # raster resolution per tile (4096 extent / 256 = 16px cells)
@@ -87,37 +88,63 @@ def vectorize_raster(rasters: ray.data.Dataset, threshold: int = 1) -> ray.data.
     """Raster -> vector: every grid cell with count >= threshold
     becomes a square polygon feature (closed CW exterior ring in
     tile-local coordinates, metadata {count: I64, density: Do}),
-    encoded as the MVT layer "heat" by the GENERIC encoder (polygon
-    command path). Returns {z, x, y, mvt, n_polys}."""
+    encoded as the MVT layer "heat" by the WHOLE-BATCH columnar
+    encoder (codec.fastshape — byte-identical to the generic encoder,
+    asserted in tests; no per-cell Python objects). Returns
+    {z, x, y, mvt, n_polys}."""
     def fn(b: pd.DataFrame) -> pd.DataFrame:
-        out_rows = {"z": [], "x": [], "y": [], "mvt": [], "n_polys": []}
-        for _, row in b.iterrows():
-            grid = np.frombuffer(row["raster"], dtype=np.uint32).reshape(GRID, GRID)
+        T = len(b)
+        offs = np.zeros(T + 1, dtype=np.int64)
+        gxs, gys, cnts, dens = [], [], [], []
+        for i, blob in enumerate(b["raster"]):
+            grid = np.frombuffer(blob, dtype=np.uint32).reshape(GRID, GRID)
             gy, gx = np.nonzero(grid >= threshold)
-            feats = []
+            cnt = grid[gy, gx].astype(np.int64)
             total = float(grid.sum())
-            for i in range(gx.size):
-                x0, y0 = int(gx[i]) * CELL, int(gy[i]) * CELL
-                # y-down CW square, closed (positive shoelace = exterior)
-                ring = np.array([[x0, y0], [x0 + CELL, y0],
-                                 [x0 + CELL, y0 + CELL], [x0, y0 + CELL],
-                                 [x0, y0]], dtype=np.int64)
-                n = int(grid[gy[i], gx[i]])
-                feats.append(Feature(
-                    fid=i,
-                    metadata={b"count": (I64V, n),
-                              b"density": (DO, np.floor(n / total * 1e6) / 1e6)},
-                    geometry=[[ring]]))
-            layer = Layer(name=b"heat", version=2, extent=4096, polygons=feats)
-            mvt = encode_tile(VectorTile({b"heat": layer}))
-            out_rows["z"].append(np.int64(row["z"]))
-            out_rows["x"].append(np.int64(row["x"]))
-            out_rows["y"].append(np.int64(row["y"]))
-            out_rows["mvt"].append(mvt)
-            out_rows["n_polys"].append(np.int64(len(feats)))
-        return pd.DataFrame(out_rows)
+            gxs.append(gx)
+            gys.append(gy)
+            cnts.append(cnt)
+            dens.append(np.floor(cnt / total * 1e6) / 1e6)
+            offs[i + 1] = offs[i] + gx.size
+        if T == 0 or offs[-1] == 0:
+            return pd.DataFrame({"z": np.empty(0, np.int64),
+                                 "x": np.empty(0, np.int64),
+                                 "y": np.empty(0, np.int64),
+                                 "mvt": pd.Series([], dtype=object),
+                                 "n_polys": np.empty(0, np.int64)})
+        mvts = encode_heat_tiles(offs, np.concatenate(gxs), np.concatenate(gys),
+                                 np.concatenate(cnts), np.concatenate(dens), CELL)
+        keep = np.flatnonzero(np.diff(offs) > 0)
+        return pd.DataFrame({
+            "z": b["z"].to_numpy()[keep].astype(np.int64),
+            "x": b["x"].to_numpy()[keep].astype(np.int64),
+            "y": b["y"].to_numpy()[keep].astype(np.int64),
+            "mvt": [mvts[i] for i in keep],
+            "n_polys": np.diff(offs)[keep].astype(np.int64)})
 
     return rasters.map_batches(fn, batch_format="pandas", batch_size=64)
+
+
+def vectorize_raster_generic(grid: np.ndarray, threshold: int = 1) -> bytes:
+    """The per-cell generic-encoder path for ONE grid — kept as the
+    byte-equality oracle for the columnar heat encoder (tests)."""
+    gy, gx = np.nonzero(grid >= threshold)
+    total = float(grid.sum())
+    feats = []
+    for i in range(gx.size):
+        x0, y0 = int(gx[i]) * CELL, int(gy[i]) * CELL
+        # y-down CW square, closed (positive shoelace = exterior)
+        ring = np.array([[x0, y0], [x0 + CELL, y0],
+                         [x0 + CELL, y0 + CELL], [x0, y0 + CELL],
+                         [x0, y0]], dtype=np.int64)
+        n = int(grid[gy[i], gx[i]])
+        feats.append(Feature(
+            fid=i,
+            metadata={b"count": (I64V, n),
+                      b"density": (DO, np.floor(n / total * 1e6) / 1e6)},
+            geometry=[[ring]]))
+    layer = Layer(name=b"heat", version=2, extent=4096, polygons=feats)
+    return encode_tile(VectorTile({b"heat": layer}))
 
 
 def tile_pyramid(assignments: ray.data.Dataset,

@@ -20,6 +20,7 @@ import ray
 import ray.data
 
 from ..codec.encode import encode_tile
+from ..codec.fastshape import encode_trajectory_tiles
 from ..codec.model import I64V, ST, Feature, Layer, VectorTile
 from .flagship import aggregate_tiles, assign, geoparse, read_webpages
 
@@ -27,13 +28,58 @@ LAYER = b"trajectories"
 
 
 def encode_trajectories(batch: pa.Table) -> pa.Table:
+    """Packed tile rows -> trajectory MVTs via the WHOLE-BATCH columnar
+    linestring encoder (codec.fastshape; byte-identical to the generic
+    encoder, asserted in tests). Url runs are detected vectorized over
+    the flattened batch — no per-row Python scan."""
+    T = batch.num_rows
+    if T == 0:
+        return pa.table({"z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+                         "y": pa.array([], pa.int32()), "mvt": pa.array([], pa.binary()),
+                         "n_lines": pa.array([], pa.int64())})
+    sizes = pc.list_value_length(batch["urls"]).to_numpy()
+    urls_flat = pc.list_flatten(batch["urls"]).to_numpy(zero_copy_only=False)
+    lx = pc.list_flatten(batch["local_x"]).to_numpy()
+    ly = pc.list_flatten(batch["local_y"]).to_numpy()
+    N = urls_flat.size
+    tile_of_pt = np.repeat(np.arange(T), sizes)
+    # run boundaries: url change OR tile change (rows sorted
+    # (url, mention_idx) within tile by the merge step)
+    change = np.ones(N, dtype=bool)
+    change[1:] = (urls_flat[1:] != urls_flat[:-1]) \
+        | (tile_of_pt[1:] != tile_of_pt[:-1])
+    run_starts = np.flatnonzero(change)
+    run_lens = np.diff(np.concatenate([run_starts, [N]]))
+    keep = run_lens >= 2  # MVT linestrings need >= 2 points
+    kept_pt = np.repeat(keep, run_lens)
+    feat_tile = tile_of_pt[run_starts[keep]]
+    tile_feat_offsets = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(np.bincount(feat_tile, minlength=T), out=tile_feat_offsets[1:])
+    run_offsets = np.zeros(int(keep.sum()) + 1, dtype=np.int64)
+    np.cumsum(run_lens[keep], out=run_offsets[1:])
+    urls_b = np.array([u.encode("utf-8") for u in urls_flat[run_starts[keep]]],
+                      dtype=object)
+    mvts = encode_trajectory_tiles(tile_feat_offsets, urls_b, run_offsets,
+                                   lx[kept_pt], ly[kept_pt])
+    n_lines = np.diff(tile_feat_offsets)
+    nz = np.flatnonzero(n_lines > 0)  # tiles with no >=2-point run are skipped
+    return pa.table({
+        "z": batch["z"].take(pa.array(nz)),
+        "x": batch["x"].take(pa.array(nz)),
+        "y": batch["y"].take(pa.array(nz)),
+        "mvt": pa.array([mvts[i] for i in nz], pa.binary()),
+        "n_lines": pa.array(n_lines[nz], pa.int64()),
+    })
+
+
+def encode_trajectories_generic(batch: pa.Table) -> pa.Table:
+    """Per-row generic-encoder path — kept as the byte-equality oracle
+    for the columnar trajectory encoder (tests)."""
     out = {"z": [], "x": [], "y": [], "mvt": [], "n_lines": []}
     for i in range(batch.num_rows):
         urls = batch["urls"][i].as_py()
-        midx = batch["mention_idx"][i].values.to_numpy()
         lx = batch["local_x"][i].values.to_numpy()
         ly = batch["local_y"][i].values.to_numpy()
-        # rows are sorted (url, mention_idx) by the merge step
         feats = []
         j = 0
         n = len(urls)

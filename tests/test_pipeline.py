@@ -153,3 +153,75 @@ def test_trajectories_decode_back(webpages_500, tmp_path):
     f = layer.linestrings[0]
     assert f.metadata[b"n_points"][1] >= 2
     assert f.geometry[0].shape[0] == f.metadata[b"n_points"][1]
+
+
+def test_fastshape_heat_byte_equality():
+    """Columnar heat encoder == generic encoder, byte for byte, on
+    random grids (the fastpoint equality pattern extended to the
+    polygon path)."""
+    import numpy as np
+    from raytiles.codec.fastshape import encode_heat_tiles
+    from raytiles.ops.raster import CELL, GRID, vectorize_raster_generic
+    rng = np.random.default_rng(17)
+    offs = [0]
+    gxs, gys, cnts, dens = [], [], [], []
+    grids = []
+    for _ in range(6):
+        g = np.zeros((GRID, GRID), dtype=np.uint32)
+        k = int(rng.integers(1, 60))
+        g[rng.integers(0, GRID, k), rng.integers(0, GRID, k)] = rng.integers(1, 9, k)
+        grids.append(g)
+        gy, gx = np.nonzero(g >= 1)
+        cnt = g[gy, gx].astype(np.int64)
+        total = float(g.sum())
+        gxs.append(gx)
+        gys.append(gy)
+        cnts.append(cnt)
+        dens.append(np.floor(cnt / total * 1e6) / 1e6)
+        offs.append(offs[-1] + gx.size)
+    fast = encode_heat_tiles(np.array(offs), np.concatenate(gxs),
+                             np.concatenate(gys), np.concatenate(cnts),
+                             np.concatenate(dens), CELL)
+    for i, g in enumerate(grids):
+        assert fast[i] == vectorize_raster_generic(g)
+
+
+def test_fastshape_trajectories_byte_equality():
+    """Columnar trajectory encoder == generic per-row path on random
+    packed tile rows (variable-length linestring geometry)."""
+    import numpy as np
+    import pyarrow as pa
+    from raytiles.pipeline.trajectories import (encode_trajectories,
+                                                encode_trajectories_generic)
+    rng = np.random.default_rng(23)
+    rows = {"z": [], "x": [], "y": [], "urls": [], "mention_idx": [],
+            "local_x": [], "local_y": []}
+    for t in range(8):
+        urls, midx, lx, ly = [], [], [], []
+        for u in range(int(rng.integers(1, 5))):
+            m = int(rng.integers(1, 6))  # some single-point runs (skipped)
+            urls += [f"https://site{u}.example/{t}"] * m
+            midx += list(range(m))
+            lx += rng.integers(0, 4096, m).tolist()
+            ly += rng.integers(0, 4096, m).tolist()
+        rows["z"].append(6)
+        rows["x"].append(t)
+        rows["y"].append(0)
+        rows["urls"].append(urls)
+        rows["mention_idx"].append(midx)
+        rows["local_x"].append(lx)
+        rows["local_y"].append(ly)
+    batch = pa.table({
+        "z": pa.array(rows["z"], pa.int32()),
+        "x": pa.array(rows["x"], pa.int32()),
+        "y": pa.array(rows["y"], pa.int32()),
+        "urls": pa.array(rows["urls"], pa.list_(pa.string())),
+        "mention_idx": pa.array(rows["mention_idx"], pa.list_(pa.int32())),
+        "local_x": pa.array(rows["local_x"], pa.list_(pa.int32())),
+        "local_y": pa.array(rows["local_y"], pa.list_(pa.int32())),
+    })
+    fast = encode_trajectories(batch)
+    generic = encode_trajectories_generic(batch)
+    assert fast.num_rows == generic.num_rows
+    for col in ("z", "x", "y", "mvt", "n_lines"):
+        assert fast[col].to_pylist() == generic[col].to_pylist(), col
