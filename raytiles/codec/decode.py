@@ -24,8 +24,15 @@ import struct
 
 import numpy as np
 
-_unpack_f4 = struct.Struct("<f").unpack
-_unpack_f8 = struct.Struct("<d").unpack
+
+def _unpack_f4(b):
+    # struct.unpack, not a module-level struct.Struct: Struct objects
+    # don't pickle, and this module ships to workers by value
+    return struct.unpack("<f", b)
+
+
+def _unpack_f8(b):
+    return struct.unpack("<d", b)
 
 from . import wire
 from .geometry import (

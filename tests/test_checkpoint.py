@@ -71,3 +71,39 @@ def test_manifest_atomicity_no_tmp_leftovers(ray_session, tmp_path):
     for dirpath, _, files in os.walk(root):
         for f in files:
             assert not f.endswith(".tmp"), os.path.join(dirpath, f)
+
+
+def test_resume_detects_changed_input(ray_session, tmp_path):
+    """A manifest record is only trusted when the partition's input
+    fingerprint still matches: changing the input data forces a
+    recompute instead of silently keeping stale output (ADVICE r1)."""
+    import ray.data
+    root = str(tmp_path / "ckpt")
+    ds = _make_ds(ray_session)
+    cp.run_partitioned(ds, make_double_transform(), root, num_partitions=4)
+    # same shape, different values -> every fingerprint differs
+    ds2 = ray.data.from_arrow(pa.table({
+        "key": pa.array(np.arange(1000) % 17, pa.int64()),
+        "value": pa.array(np.arange(1000) + 5, pa.int64()),
+    }))
+    summary = cp.run_partitioned(ds2, make_double_transform(), root, num_partitions=4)
+    assert summary["computed"] == 4 and summary["skipped"] == 0
+    out = cp.read_output(root).to_pandas()
+    assert (out["double"] == out["value"] * 2).all()
+    assert out["value"].min() == 5  # fresh data, not the stale run
+
+
+def test_resume_invalidates_on_partition_count_change(ray_session, tmp_path):
+    """num_partitions changed -> pid-indexed outputs are meaningless:
+    the whole checkpoint root is invalidated and recomputed (no stale
+    partition dirs mixing into read_output)."""
+    root = str(tmp_path / "ckpt")
+    ds = _make_ds(ray_session)
+    cp.run_partitioned(ds, make_double_transform(), root, num_partitions=8)
+    summary = cp.run_partitioned(ds, make_double_transform(), root, num_partitions=4)
+    assert summary["computed"] == 4 and summary["skipped"] == 0
+    # old partition=4..7 dirs are gone
+    dirs = [d for d in os.listdir(root) if d.startswith("partition=")]
+    assert sorted(dirs) == [f"partition={i}" for i in range(4)]
+    out = cp.read_output(root).to_pandas()
+    assert len(out) == 1000 and (out["double"] == out["value"] * 2).all()

@@ -29,6 +29,10 @@ if kind == 'encode':
 elif kind == 'parse':
     out = fn(pd.DataFrame({'url': ['u'], 'text': ['located at 1.0000, 2.0000']}))
     assert len(out) == 1
+elif kind == 'decode':
+    raw = open('/root/reference/test/onepoint.mvt', 'rb').read()
+    tile, err = fn(raw)
+    assert err is None and len(tile.layers) == 1
 elif kind == 'pack':
     batch = pa.table({
         'url': pa.array(['a', 'b']), 'mention_idx': pa.array([0, 0], pa.int32()),
@@ -106,3 +110,11 @@ def test_trajectory_and_raster_fns_ship_by_value():
             res = sp.run([sys.executable, "-c", code, fh.name],
                          capture_output=True, text=True, cwd="/tmp")
             assert res.returncode == 0 and "OK" in res.stdout, res.stderr[-500:]
+
+
+def test_decode_ships_by_value():
+    """codec.decode must ship to workers: a module-level
+    struct.Struct (unpicklable) once broke every decode-using stage
+    while the library itself imported fine locally."""
+    from raytiles.codec.decode import decode_tile_safe
+    _roundtrip_in_clean_process(decode_tile_safe, "decode")
