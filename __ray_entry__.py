@@ -90,6 +90,20 @@ def _q_tile_features(sf_dir: str):
                              batch_size=512)
 
 
+def _q_mvt_files(sf_dir: str):
+    """File-per-tile .mvt sink (XYZ layout under /tmp): returns the
+    per-file inventory (z, x, y, n_bytes). Rows-only — the side
+    effect + decode correctness are pytest-verified."""
+    import shutil
+
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.sinks import write_mvt_files
+    from raytiles.pipeline.synth import webpages_path
+    root = "/tmp/raytiles_gate_mvt"
+    shutil.rmtree(root, ignore_errors=True)
+    return write_mvt_files(tiles_pipeline(webpages_path(sf_dir), 12), root)
+
+
 def _q_mvt_roundtrip(sf_dir: str):
     """Reference fixtures + synthetic tiles through decode->encode->
     decode; every row must have ok=True (the 100% fixture pass-rate
@@ -282,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts": _q_tile_counts,
         "cell_counts": _q_cell_counts,
         "tiles_mvt": _q_tiles_mvt,
+        "mvt_files": _q_mvt_files,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "tile_features": _q_tile_features,
         # relational operators

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -28,56 +30,63 @@ def _docs(sf_dir: str, columns) -> ray.data.Dataset:
 
 def token_counts(sf_dir: str) -> ray.data.Dataset:
     """doc_id, n_tokens, n_chars. SQL twin: array_length(
-    regexp_extract_all(text, TOKEN_RE)), length(text)."""
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": b["doc_id"].astype(np.int64),
-            "n_tokens": b["text"].str.count(TOKEN_RE).astype(np.int64),
-            "n_chars": b["text"].str.len().astype(np.int64),
+    regexp_extract_all(text, TOKEN_RE)), length(text). Arrow-native:
+    RE2 kernels over the zero-copy batch — the same engine the DuckDB
+    oracle uses, no pandas conversion."""
+    def fn(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
         })
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def quality_scores(sf_dir: str) -> ray.data.Dataset:
     """doc_id, n_tokens, stop_ratio, avg_token_len, score — simple
     deterministic quality heuristics (length / stopword-density /
     word-shape), the standard pretraining-corpus filters."""
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
+    def fn(b: pa.Table) -> pa.Table:
         text = b["text"]
-        n_tok = text.str.count(TOKEN_RE).astype(np.int64)
-        n_stop = text.str.count(STOP_RE).astype(np.int64)
-        tok_chars = text.str.replace(r"[^0-9A-Za-z_]", "", regex=True).str.len().astype(np.int64)
-        denom = np.maximum(n_tok.to_numpy(), 1)
+        n_tok = pc.count_substring_regex(text, TOKEN_RE).to_numpy().astype(np.int64)
+        n_stop = pc.count_substring_regex(text, STOP_RE).to_numpy().astype(np.int64)
+        tok_chars = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^0-9A-Za-z_]", "")
+        ).to_numpy().astype(np.int64)
+        denom = np.maximum(n_tok, 1)
 
         def q6(x):  # floor-quantize: bit-identical in numpy and DuckDB
             return np.floor(x * 1e6) / 1e6
 
-        stop_ratio = q6(n_stop.to_numpy() / denom)
-        avg_len = q6(tok_chars.to_numpy() / denom)
-        score = q6(0.5 * np.minimum(n_tok.to_numpy() / 50.0, 1.0)
+        stop_ratio = q6(n_stop / denom)
+        avg_len = q6(tok_chars / denom)
+        score = q6(0.5 * np.minimum(n_tok / 50.0, 1.0)
                    + 0.3 * stop_ratio
                    + 0.2 * np.minimum(avg_len / 8.0, 1.0))
-        return pd.DataFrame({"doc_id": b["doc_id"].astype(np.int64),
-                             "n_tokens": n_tok, "stop_ratio": stop_ratio,
-                             "avg_token_len": avg_len, "score": score})
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "stop_ratio": pa.array(stop_ratio, pa.float64()),
+                         "avg_token_len": pa.array(avg_len, pa.float64()),
+                         "score": pa.array(score, pa.float64())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     """doc_id, lang_pred via marker-word counts with a fixed priority
     tie-break (en >= de >= fr, all-zero -> 'und'); deterministic and
     SQL-expressible."""
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        t = b["text"].str.lower()
-        en = t.str.count(LANG_MARKERS["en"]).to_numpy()
-        de = t.str.count(LANG_MARKERS["de"]).to_numpy()
-        fr = t.str.count(LANG_MARKERS["fr"]).to_numpy()
+    def fn(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b["text"])
+        en = pc.count_substring_regex(t, LANG_MARKERS["en"]).to_numpy()
+        de = pc.count_substring_regex(t, LANG_MARKERS["de"]).to_numpy()
+        fr = pc.count_substring_regex(t, LANG_MARKERS["fr"]).to_numpy()
         pred = np.where((en >= de) & (en >= fr) & (en > 0), "en",
                         np.where((de >= fr) & (de > 0), "de",
                                  np.where(fr > 0, "fr", "und")))
-        return pd.DataFrame({"doc_id": b["doc_id"].astype(np.int64),
-                             "lang_pred": pred})
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "lang_pred": pa.array(pred.tolist(), pa.string())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def doc_md5(sf_dir: str) -> ray.data.Dataset:

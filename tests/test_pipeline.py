@@ -225,3 +225,24 @@ def test_fastshape_trajectories_byte_equality():
     assert fast.num_rows == generic.num_rows
     for col in ("z", "x", "y", "mvt", "n_lines"):
         assert fast[col].to_pylist() == generic[col].to_pylist(), col
+
+
+def test_mvt_file_sink(ray_session, tmp_path):
+    """File-per-tile sink: XYZ layout, every file decodes, inventory
+    matches what landed on disk."""
+    import os
+    from raytiles.codec.decode import decode_tile
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.sinks import write_mvt_files
+    from raytiles.pipeline.synth import webpages_path
+    root = str(tmp_path / "tiles")
+    tiles = tiles_pipeline(webpages_path("/root/testdata/sf0.001"), 12)
+    inv = write_mvt_files(tiles, root).to_pandas()
+    assert len(inv) > 0
+    for _, r in inv.head(5).iterrows():
+        path = os.path.join(root, str(r["z"]), str(r["x"]), f"{r['y']}.mvt")
+        assert os.path.getsize(path) == r["n_bytes"]
+        tile = decode_tile(open(path, "rb").read())
+        assert b"mentions" in tile.layers
+    n_files = sum(len(files) for _, _, files in os.walk(root))
+    assert n_files == len(inv)
