@@ -309,25 +309,33 @@ def jaccard_verify(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
 def simhash(sf_dir: str) -> ray.data.Dataset:
     """64-bit SimHash over token md5 hashes, emitted as two int32-range
     halves (simhash_hi, simhash_lo) to stay BIGINT-safe for the SQL
-    oracle. Bit b set iff 2*count_ones(b) >= n_tokens. Bit packing is
-    vectorized (dot with a power-of-two vector), not a per-bit loop."""
+    oracle. Bit b set iff 2*count_ones(b) >= n_tokens.
+
+    Whole-batch vectorized like MinHasher: one md5 per DISTINCT token
+    in the batch, one (total_tokens, 64) bit unpack, per-doc bit
+    histograms via np.add.reduceat over token segments — the only
+    per-doc Python left is tokenization."""
     powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    shifts = np.arange(64, dtype=np.uint64)
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
         hi = np.zeros(n, dtype=np.int64)
         lo = np.zeros(n, dtype=np.int64)
-        for i, text in enumerate(b["text"]):
-            toks = _TOK_RE.findall(text)
-            if not toks:
-                continue
-            h = _md5_u64(toks)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).sum(axis=0)
-            vote = (2 * bits >= len(toks)).astype(np.uint64)
-            word = np.uint64(np.sum(vote * powers, dtype=np.uint64))
-            hi[i] = np.int64(word >> np.uint64(32))
-            lo[i] = np.int64(word & np.uint64(0xFFFFFFFF))
+        tok_lists = [_TOK_RE.findall(t) for t in b["text"]]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        keep = counts > 0
+        if keep.any():
+            flat = np.array([t for lst in tok_lists for t in lst], dtype=object)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            h = _md5_u64(uniq)[inv]
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1][keep]
+            ones = np.add.reduceat(bits, starts, axis=0)  # (n_kept, 64)
+            vote = (2 * ones >= counts[keep, None]).astype(np.uint64)
+            words = (vote * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            hi[keep] = (words >> np.uint64(32)).astype(np.int64)
+            lo[keep] = (words & np.uint64(0xFFFFFFFF)).astype(np.int64)
         return pd.DataFrame({"doc_id": b["doc_id"].astype(np.int64),
                              "simhash_hi": hi, "simhash_lo": lo})
 

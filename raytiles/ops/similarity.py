@@ -30,6 +30,24 @@ def _emb(sf_dir: str) -> ray.data.Dataset:
                                  columns=["vec_id", "embedding"])
 
 
+_STATE_CACHE: dict = {}
+
+
+def _cached_stage(key, factory):
+    """Task-based stateful stage: build the (broadcast-backed) state
+    once per worker process and reuse it across tasks — the
+    make_assign_fn pattern. An actor pool costs ~2s spin-up per
+    execution here while these stages hold only small broadcast
+    arrays."""
+    def fn(batch):
+        st = _STATE_CACHE.get(key)
+        if st is None:
+            st = factory()
+            _STATE_CACHE[key] = st
+        return st(batch)
+    return fn
+
+
 def _stack(col) -> np.ndarray:
     """Embedding column -> (n, dim) float64. Arrow list arrays reshape
     zero-copy from the flat values buffer when rectangular; ragged or
@@ -84,8 +102,8 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8) -> ray.data.Dat
             return pd.concat(out, ignore_index=True)
 
     partials = _emb(sf_dir).map_batches(
-        BatchTopK, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8),
-        fn_constructor_kwargs={"ref": q_ref, "k": k})
+        _cached_stage(("knn", q_ref.hex(), k), lambda: BatchTopK(q_ref, k)),
+        batch_format="pyarrow", batch_size=8192)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["neighbor_id"] != g["query_id"]]
@@ -163,8 +181,8 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 8,
             return pd.concat(out, ignore_index=True)
 
     partials = _emb(sf_dir).map_batches(
-        IvfTopK, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8),
-        fn_constructor_kwargs={"ref": state_ref, "k": k})
+        _cached_stage(("ivf", state_ref.hex(), k), lambda: IvfTopK(state_ref, k)),
+        batch_format="pyarrow", batch_size=8192)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["neighbor_id"] != g["query_id"]]
@@ -265,9 +283,9 @@ def lsh_neardup_pairs(sf_dir: str, threshold: float = 0.90,
                                  "vec_id": t["vec_id"].to_numpy().astype(np.int64),
                                  "embedding": list(v)})
 
-    bucketed = ds.map_batches(Bucketize, batch_format="pyarrow",
-                              concurrency=(1, 8),
-                              fn_constructor_kwargs={"ref": planes_ref})
+    bucketed = ds.map_batches(
+        _cached_stage(("lshbuck", planes_ref.hex()), lambda: Bucketize(planes_ref)),
+        batch_format="pyarrow")
 
     extra_planes = extra  # captured by value into the reducer closure
 

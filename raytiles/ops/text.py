@@ -151,6 +151,11 @@ class WinnowFingerprint:
                              "sketch_size": sketch})
 
 
+_WINNOW = WinnowFingerprint()  # stateless bar the window constant
+
+
 def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    # task-based: actor pools cost ~2s spin-up per execution and the
+    # stage state is one integer
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        WinnowFingerprint, batch_format="pandas", concurrency=(1, 4))
+        _WINNOW, batch_format="pandas")
