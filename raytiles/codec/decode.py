@@ -168,21 +168,40 @@ def _decode_layer(buf, start: int, end: int) -> Layer:
     keys: list[bytes] = []
     value_spans: list[tuple[int, int]] = []
     feature_spans: list[tuple[int, int]] = []
-    for fno, wtype, val in wire.scan_fields(buf, start, end):
-        if fno == 15 and wtype == wire.VARINT:
-            version = val
-        elif fno == 1 and wtype == wire.LEN:
-            s, e = val
-            name = bytes(buf[s:e])
-        elif fno == 2 and wtype == wire.LEN:
-            feature_spans.append(val)
-        elif fno == 3 and wtype == wire.LEN:
-            s, e = val
-            keys.append(bytes(buf[s:e]))
-        elif fno == 4 and wtype == wire.LEN:
-            value_spans.append(val)
-        elif fno == 5 and wtype == wire.VARINT:
-            extent = val
+    # inline field scan (no generator): this and the feature scan are
+    # the per-tile hot loops for small tiles
+    pos = start
+    uvarint = wire.uvarint_decode
+    while pos < end:
+        key, pos = uvarint(buf, pos)
+        fno = key >> 3
+        wtype = key & 7
+        if wtype == wire.LEN:
+            ln, pos = uvarint(buf, pos)
+            span = (pos, pos + ln)
+            if span[1] > end:
+                raise wire.WireError("scan_fields: truncated LEN field")
+            pos = span[1]
+            if fno == 2:
+                feature_spans.append(span)
+            elif fno == 1:
+                name = bytes(buf[span[0]:span[1]])
+            elif fno == 3:
+                keys.append(bytes(buf[span[0]:span[1]]))
+            elif fno == 4:
+                value_spans.append(span)
+        elif wtype == wire.VARINT:
+            val, pos = uvarint(buf, pos)
+            if fno == 15:
+                version = val
+            elif fno == 5:
+                extent = val
+        elif wtype == wire.I32:
+            pos += 4
+        elif wtype == wire.I64:
+            pos += 8
+        else:
+            raise wire.WireError(f"scan_fields: unsupported wire type {wtype}")
     if not feature_spans:
         raise CodecError("VectorTile.features: `[RawFeature]` empty")
     values = [_decode_value(buf, s, e) for s, e in value_spans]

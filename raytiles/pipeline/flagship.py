@@ -34,10 +34,23 @@ def _pool_size(concurrency, frac: float = 0.33):
     return (max(1, cpus // 8), max(2, int(cpus * frac)))
 
 
-def read_webpages(path: str, columns=("url", "text")) -> ray.data.Dataset:
+def read_webpages(path: str, columns=("url", "text"),
+                  num_blocks: int | None = None) -> ray.data.Dataset:
     """Prune at the read: the flagship needs only url + text (html and
-    lang stay in storage)."""
-    return ray.data.read_parquet(path, columns=list(columns))
+    lang stay in storage).
+
+    ``num_blocks`` caps the read task count — and with it the fused
+    read->parse->assign->pack chain's OUTPUT block count, which is the
+    width of the downstream sort shuffle. Left uncapped, block count
+    grows with input file count and the sort's all-to-all transfer
+    count grows quadratically (measured: 10.8M docs / 384 files gave
+    ~768 sort-input blocks and a near-serial 28s sort at ANY cpu
+    count). Default: scale with the cluster, not the input."""
+    if num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_blocks = max(64, 4 * cpus)
+    return ray.data.read_parquet(path, columns=list(columns),
+                                 override_num_blocks=num_blocks)
 
 
 def geoparse(ds: ray.data.Dataset, *, concurrency=None, batch_size: int = 4096) -> ray.data.Dataset:
