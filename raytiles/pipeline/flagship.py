@@ -55,24 +55,31 @@ def read_webpages(path: str, columns=("url", "text"),
 
 def geoparse(ds: ray.data.Dataset, *, concurrency=None, batch_size: int = 4096) -> ray.data.Dataset:
     """documents -> exploded mention rows (url, mention_idx, lon, lat).
-    Task-based (regex compiled once per worker process). The candidate
-    prefilter runs Arrow-native (pc.match_substring_regex on the
-    zero-copy batch) so the ~half of the corpus with no 4-decimal
-    numeral never materializes as Python string objects — only
-    candidate rows convert to pandas for the master extractall."""
+    Task-based (regex compiled once per worker process), Arrow
+    end-to-end: the candidate prefilter runs pc.match_substring_regex
+    on the zero-copy batch, and the master regex runs over the
+    filtered column's raw UTF-8 buffer (GeoParser.parse_arrow) — no
+    Python string ever materializes for text, which matters at high
+    core counts where PyObject churn saturates memory bandwidth
+    before the regex does."""
     import pyarrow as pa
     import pyarrow.compute as pc
     parser = GeoParser()
+    EMPTY = pa.schema([("url", pa.string()), ("mention_idx", pa.int32()),
+                       ("lon", pa.float64()), ("lat", pa.float64())])
 
-    def parse_batch(batch: pa.Table) -> pd.DataFrame:
+    def parse_batch(batch: pa.Table) -> pa.Table:
         mask = pc.match_substring_regex(batch["text"], parser.prefilter)
         sub = batch.filter(mask)
         if sub.num_rows == 0:
-            return pd.DataFrame({"url": pd.Series([], dtype=str),
-                                 "mention_idx": pd.Series([], dtype="int32"),
-                                 "lon": pd.Series([], dtype=float),
-                                 "lat": pd.Series([], dtype=float)})
-        return parser(sub.to_pandas())
+            return EMPTY.empty_table()
+        row_pos, mention_idx, lat, lon = parser.parse_arrow(sub["text"])
+        return pa.table({
+            "url": sub["url"].take(pa.array(row_pos)),
+            "mention_idx": pa.array(mention_idx, pa.int32()),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+        })
 
     return ds.map_batches(parse_batch, batch_format="pyarrow", batch_size=batch_size)
 
@@ -86,7 +93,7 @@ def assign(ds: ray.data.Dataset, zoom: int = DEFAULT_ZOOM, *,
     never re-shipped per batch."""
     rtree_ref = ray.put(build_base_rtree())
     return ds.map_batches(make_assign_fn(zoom, rtree_ref, with_cells=with_cells),
-                          batch_format="pandas", batch_size=batch_size)
+                          batch_format="pyarrow", batch_size=batch_size)
 
 
 def aggregate_tiles(ds: ray.data.Dataset) -> ray.data.Dataset:

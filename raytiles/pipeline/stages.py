@@ -66,9 +66,7 @@ class TileAssigner:
         else:
             self.rtree, self.base_tx, self.base_ty = build_base_rtree()
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        lon = batch["lon"].to_numpy()
-        lat = batch["lat"].to_numpy()
+    def _assign(self, lon: np.ndarray, lat: np.ndarray):
         # coarse: R-tree candidates at base zoom; exact: floor math
         bx, by = tm.lonlat_to_tile(lon, lat, RTREE_BASE_ZOOM)
         pi, bi = self.rtree.query_points(lon, lat)
@@ -81,6 +79,33 @@ class TileAssigner:
             raise AssertionError(f"R-tree missed {missing} points vs floor assignment")
         x, y = tm.lonlat_to_tile(lon, lat, self.zoom)
         lx, ly = tm.lonlat_to_local(lon, lat, self.zoom, x, y, self.extent)
+        return x, y, lx, ly
+
+    def __call__(self, batch):
+        """pa.Table (preferred: the url column passes through without
+        ever materializing Python strings) or pd.DataFrame; output
+        type matches input."""
+        is_arrow = isinstance(batch, pa.Table)
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        x, y, lx, ly = self._assign(lon, lat)
+        if is_arrow:
+            cols = {
+                "url": batch["url"],
+                "mention_idx": pa.array(
+                    batch["mention_idx"].to_numpy().astype(np.int32), pa.int32()),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+            if self.with_cells:
+                for r in range(10):
+                    cols[f"cell_r{r}"] = pa.array(tm.cell_id(lon, lat, r), pa.int64())
+            cols["z"] = pa.array(np.full(lon.size, self.zoom, np.int32), pa.int32())
+            cols["x"] = pa.array(x, pa.int32())
+            cols["y"] = pa.array(y, pa.int32())
+            cols["local_x"] = pa.array(lx, pa.int32())
+            cols["local_y"] = pa.array(ly, pa.int32())
+            return pa.table(cols)
         out = pd.DataFrame({
             "url": batch["url"].to_numpy(),
             "mention_idx": batch["mention_idx"].to_numpy().astype(np.int32),
