@@ -72,8 +72,11 @@ def _geometry_commands(geom_type: int, geometry) -> np.ndarray:
 
 
 def _encode_feature(feature: Feature, geom_type: int,
-                    key_index: dict, val_index: dict) -> bytes:
-    """`unfeats` (Internal.hs:332-344)."""
+                    key_index: dict, val_index: dict,
+                    geom_payload: bytes) -> bytes:
+    """`unfeats` (Internal.hs:332-344). ``geom_payload`` is the
+    feature's pre-encoded packed geometry bytes (whole-layer batched
+    varint encode — see encode_layer)."""
     out: list[bytes] = []
     wire.put_varint_field(out, 1, int(feature.fid))  # id always written
     if feature.metadata:
@@ -83,7 +86,8 @@ def _encode_feature(feature: Feature, geom_type: int,
             tags[2 * i + 1] = val_index[v]
         wire.put_packed_field(out, 2, tags)
     wire.put_varint_field(out, 3, geom_type)
-    wire.put_packed_field(out, 4, _geometry_commands(geom_type, feature.geometry))
+    if geom_payload:  # packed field omitted entirely when empty
+        wire.put_len_field(out, 4, geom_payload)
     return b"".join(out)
 
 
@@ -108,11 +112,38 @@ def encode_layer(layer: Layer) -> bytes:
     val_index = {v: i for i, v in enumerate(vals)}
     out: list[bytes] = []
     wire.put_len_field(out, 1, layer.name)
+    feats: list[tuple[Feature, int]] = []
     for group, gt in ((layer.points, GEOM_POINT),
                       (layer.linestrings, GEOM_LINESTRING),
                       (layer.polygons, GEOM_POLYGON)):
-        for f in group:
-            wire.put_len_field(out, 2, _encode_feature(f, gt, key_index, val_index))
+        feats.extend((f, gt) for f in group)
+    # whole-layer batched geometry encode: ONE vectorized varint pass
+    # over every feature's command words, then byte-sliced back per
+    # feature (per-feature small-array encodes dominated otherwise)
+    geom_arrays = [_geometry_commands(gt, f.geometry) for f, gt in feats]
+    total_words = sum(g.size for g in geom_arrays)
+    if geom_arrays and 0 < total_words < 48:
+        # tiny layer: the batched machinery's numpy fixed costs lose
+        # to the scalar encoder below ~48 command words
+        geom_payloads = [wire.uvarint_encode_array(g) for g in geom_arrays]
+    elif geom_arrays and total_words:
+        sizes = np.fromiter((g.size for g in geom_arrays), np.int64,
+                            count=len(geom_arrays))
+        allg = np.concatenate(geom_arrays).astype(np.uint64)
+        flat = wire.uvarint_encode_array(allg)
+        byte_lens = np.ones(allg.size, dtype=np.int64)
+        for k in range(1, 5):  # u32 commands: <= 5 varint bytes
+            byte_lens += allg >= np.uint64(1) << np.uint64(7 * k)
+        cum = np.zeros(allg.size + 1, dtype=np.int64)
+        np.cumsum(byte_lens, out=cum[1:])
+        bounds = np.zeros(len(feats) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=bounds[1:])
+        geom_payloads = [flat[cum[bounds[i]]:cum[bounds[i + 1]]]
+                         for i in range(len(feats))]
+    else:
+        geom_payloads = [b""] * len(feats)
+    for (f, gt), gb in zip(feats, geom_payloads):
+        wire.put_len_field(out, 2, _encode_feature(f, gt, key_index, val_index, gb))
     for k in keys:
         wire.put_len_field(out, 3, k)
     for v in vals:

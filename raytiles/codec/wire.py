@@ -236,8 +236,18 @@ def scan_fields(buf, start: int = 0, end: int | None = None):
 # message building (encode side)
 # ---------------------------------------------------------------------------
 
+_TAG_CACHE: dict = {}
+
+
 def tag(field_no: int, wtype: int) -> bytes:
-    return uvarint_encode((field_no << 3) | wtype)
+    """Field tag bytes, memoized — the same handful of tags is emitted
+    once per feature/value on the encode hot path."""
+    key = (field_no << 3) | wtype
+    b = _TAG_CACHE.get(key)
+    if b is None:
+        b = uvarint_encode(key)
+        _TAG_CACHE[key] = b
+    return b
 
 
 def put_varint_field(out: list, field_no: int, value: int) -> None:
