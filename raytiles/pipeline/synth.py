@@ -54,8 +54,10 @@ _DECOYS = np.array([
 SF_ROWS = {"sf0.001": 500, "sf0.01": 60_000, "sf0.1": 600_000,
            "sfbig": 1_800_000,    # scaling-bench tier
            "sfbig3": 5_400_000,   # large scaling tier (chunked generation)
-           "sfbig6": 10_800_000}  # 2-cluster-size criterion tier: big enough
-                                  # that fixed pipeline-fill cost is <5% of T8
+           "sfbig6": 10_800_000,  # large scaling tier
+           "sfbig12": 21_600_000}  # 2-cluster-size criterion tier: big
+                                   # enough that fixed pipeline-fill
+                                   # cost is <5% of the small-cluster T
 
 GEN_CHUNK = 1_800_000  # generate deterministically in chunks (seed 42+i)
 
