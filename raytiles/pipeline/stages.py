@@ -2,9 +2,11 @@
 
 Stage graph (flagship, see pipeline.flagship):
 
-  read_parquet(webpages, 16 shards)            [columns pruned]
-    -> map_batches(parse, pandas)              [tasks; per-process regex cache]
-    -> map_batches(assign, pandas)             [tasks; broadcast R-tree via
+  read_parquet(webpages, max(64, 4*cpus) blocks)  [columns pruned; block
+                                                count scales with cluster]
+    -> map_batches(parse, arrow)               [tasks; regex over the raw
+                                                UTF-8 buffer, per-process cache]
+    -> map_batches(assign, arrow)              [tasks; broadcast R-tree via
                                                 ray.put, cached per process]
     -> map_batches(pack_tile_partials, arrow)  [per-batch partial aggregate,
                                                 fat rows chunked at 512]
@@ -148,7 +150,11 @@ def make_assign_fn(zoom: int, rtree_ref, extent: int = tm.DEFAULT_EXTENT,
 # ---------------------------------------------------------------------------
 
 COARSE_SHIFT = 4   # coarse cells (kept for the checkpointed job's layout)
-N_MERGE_BUCKETS = 1024  # phase-2 shuffle key domain (bounded group count)
+N_MERGE_BUCKETS = 1024  # phase-2 shuffle key domain (bounded group count).
+                        # Finer domains were measured and DON'T help: the
+                        # merge straggler is the single hottest city tile
+                        # (one tile must encode in one task), and 4x more
+                        # buckets just adds 3k extra map_groups calls
 
 
 def tile_bucket(z: np.ndarray, x: np.ndarray, y: np.ndarray,
