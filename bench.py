@@ -189,12 +189,33 @@ def _burn(seconds: float) -> int:
     return x
 
 
+def _cpu_stat() -> tuple[float, float]:
+    """(busy_jiffies, steal_jiffies) from /proc/stat — the sandbox is
+    a shared VM and the hypervisor steals cycles in bursts (measured
+    ~25% during spikes), invisible to loadavg and to a pre-run burn
+    test. Sampling around each scaling leg quantifies it honestly."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    vals = [float(v) for v in f[1:9]]
+    user, nice, system, idle, iowait, irq, softirq, steal = vals
+    return user + nice + system + irq + softirq, steal
+
+
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+        b0, s0 = _cpu_stat()
+        t0 = time.time()
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        wall = time.time() - t0
+        b1, s1 = _cpu_stat()
+        r = json.loads(out.strip().splitlines()[-1])
+        total = (b1 - b0) + (s1 - s0)
+        r["steal_pct_during_leg"] = round(100.0 * (s1 - s0) / total, 1) if total else 0.0
+        r["other_busy_cores"] = round(
+            max(0.0, (b1 - b0) / 100.0 / wall - ncpu * r["value"] / wall), 1)
+        return r
 
     lo, hi = (int(v) for v in
               os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
@@ -234,6 +255,8 @@ def run_scaling() -> None:
         f"docs_per_sec_{hi}": r_hi.get("docs_per_sec"),
         f"tiles_per_sec_{lo}": r_lo.get("tiles_per_sec"),
         f"tiles_per_sec_{hi}": r_hi.get("tiles_per_sec"),
+        f"steal_pct_{lo}": r_lo.get("steal_pct_during_leg"),
+        f"steal_pct_{hi}": r_hi.get("steal_pct_during_leg"),
         "speedup": round(speedup, 3),
         "sf": SF_DIR,
     }))

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from . import wire
 
@@ -91,8 +92,24 @@ def encode_point_tiles(tile_offsets: np.ndarray,
 
     # ---- per-tile value dictionaries (first-appearance order over the
     # interleaved url,midx stream) via pure integer factorization:
-    # value identity = 2*url_code for St values, 2*midx+1 for I64 ----
-    url_codes, url_uniques = pd.factorize(urls, sort=False)
+    # value identity = 2*url_code for St values, 2*midx+1 for I64.
+    # Arrow input stays Arrow: dictionary_encode runs in C++ and the
+    # distinct-url bytes/lengths come straight from the dictionary's
+    # offsets/values buffers — no Python string ever materializes ----
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    if isinstance(urls, pa.Array):
+        denc = urls.dictionary_encode()
+        url_codes = denc.indices.to_numpy().astype(np.int64)
+        dict_arr = denc.dictionary
+        u_offs = np.frombuffer(dict_arr.buffers()[1], dtype=np.int32)[
+            dict_arr.offset:dict_arr.offset + len(dict_arr) + 1].astype(np.int64)
+        dict_data = np.frombuffer(dict_arr.buffers()[2], dtype=np.uint8)
+        url_len_by_code_all = np.diff(u_offs)
+        url_uniques = None
+    else:
+        url_codes, url_uniques = pd.factorize(urls, sort=False)
+        dict_data = None
     inter_code = np.empty(2 * n, dtype=np.int64)
     inter_code[0::2] = 2 * url_codes.astype(np.int64)
     inter_code[1::2] = 2 * midx.astype(np.int64) + 1
@@ -118,7 +135,8 @@ def encode_point_tiles(tile_offsets: np.ndarray,
     uniq_is_url = np.zeros(2 * n, dtype=bool)
     uniq_is_url[0::2] = True
     # url payload bytes only for the distinct urls actually referenced
-    uniq_url_bytes = pd.Series(url_uniques).str.encode("utf-8").to_numpy()
+    if dict_data is None:
+        uniq_url_bytes = pd.Series(url_uniques).str.encode("utf-8").to_numpy()
     vals_tile = inter_tile[uniq_rows]
 
     # ---- wire pieces as flat streams ----
@@ -158,11 +176,14 @@ def encode_point_tiles(tile_offsets: np.ndarray,
     # and values write DIRECTLY into the final buffer) ----
     is_url_u = uniq_is_url[uniq_rows]
     u_codes = inter_code[uniq_rows]
-    url_len_by_code = np.fromiter((len(b) for b in uniq_url_bytes),
-                                  np.int64, count=len(uniq_url_bytes))
     st_codes = u_codes[is_url_u] // 2
-    st_payload = uniq_url_bytes[st_codes]
-    st_len = url_len_by_code[st_codes]
+    if dict_data is None:
+        url_len_by_code = np.fromiter((len(b) for b in uniq_url_bytes),
+                                      np.int64, count=len(uniq_url_bytes))
+        st_payload = uniq_url_bytes[st_codes]
+        st_len = url_len_by_code[st_codes]
+    else:
+        st_len = url_len_by_code_all[st_codes]
     st_len_len = _varint_lengths(st_len.astype(np.uint64))
     iv = ((u_codes[~is_url_u] - 1) // 2).astype(np.int64).astype(np.uint64)
     iv_len = _varint_lengths(iv)
@@ -245,9 +266,12 @@ def encode_point_tiles(tile_offsets: np.ndarray,
     sl_bytes = np.frombuffer(wire.uvarint_encode_array(st_len.astype(np.uint64)), np.uint8)
     _scatter_varints(buf, st_ip + 1, sl_bytes, st_len_len)
     st_data_starts = st_ip + 1 + st_len_len
-    if st_payload.size:
-        flat_urls = np.frombuffer(b"".join(st_payload.tolist()), np.uint8)
-        buf[_ragged_target_idx(st_data_starts, st_len)] = flat_urls
+    if st_codes.size:
+        dst = _ragged_target_idx(st_data_starts, st_len)
+        if dict_data is None:
+            buf[dst] = np.frombuffer(b"".join(st_payload.tolist()), np.uint8)
+        else:
+            buf[dst] = dict_data[_ragged_target_idx(u_offs[st_codes], st_len)]
     iv_ip = ip[~is_url_u]
     buf[iv_ip] = 0x20
     ivb = np.frombuffer(wire.uvarint_encode_array(iv), np.uint8)

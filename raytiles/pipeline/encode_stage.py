@@ -88,7 +88,7 @@ class FastPointEncoder:
                              "n_layers": pa.array([], pa.int32())})
         lengths = pc.list_value_length(batch["urls"]).to_numpy().astype(np.int64)
         tile_offsets = np.concatenate([[0], np.cumsum(lengths)])
-        urls = pc.list_flatten(batch["urls"]).to_pandas()
+        urls = pc.list_flatten(batch["urls"])  # stays Arrow: zero Python strings
         midx = pc.list_flatten(batch["mention_idx"]).to_numpy()
         lx = pc.list_flatten(batch["local_x"]).to_numpy()
         ly = pc.list_flatten(batch["local_y"]).to_numpy()
