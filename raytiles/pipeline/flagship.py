@@ -48,7 +48,7 @@ def read_webpages(path: str, columns=("url", "text"),
     count). Default: scale with the cluster, not the input."""
     if num_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        num_blocks = max(64, 4 * cpus)
+        num_blocks = min(256, max(64, 8 * cpus))
     return ray.data.read_parquet(path, columns=list(columns),
                                  override_num_blocks=num_blocks)
 
