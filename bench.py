@@ -234,10 +234,13 @@ def run_scaling() -> None:
     from raytiles.pipeline.synth import webpages_path
     webpages_path(scaling_dir)  # materialize once, outside both timings
     os.environ["GRAFT_SF_DIR"] = scaling_dir
-    p_lo = _effective_parallelism(lo)
-    r_lo = one(lo)
+    # hi leg FIRST: quiet windows on this host close within minutes,
+    # and the short hi leg should spend the freshly-verified one (the
+    # long lo leg is far less sensitive to ambient contention)
     p_hi = _effective_parallelism(hi)
     r_hi = one(hi)
+    p_lo = _effective_parallelism(lo)
+    r_lo = one(lo)
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
     # noise-adjusted: scale by the core ratio the host actually
