@@ -106,3 +106,50 @@ def test_invalid_commands():
         g.decode_points(np.array([9, 4, 4, 18, 6, 4], dtype=np.uint32))  # extra cmd
     with pytest.raises(g.GeometryError):
         g.decode_linestrings(np.array([18, 4, 4], dtype=np.uint32))  # LineTo first
+
+
+def test_small_path_matches_vectorized_on_random_streams():
+    """The pure-Python small-geometry decoders (list input) must agree
+    with the numpy decoders (array input) on random VALID command
+    streams — same geometry, same error behavior."""
+    import numpy as np
+    from raytiles.codec.geometry import (decode_linestrings, decode_points,
+                                         decode_polygons, encode_linestrings,
+                                         encode_points, encode_polygons)
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        # random geometry -> encode -> decode via both input types
+        kind = trial % 3
+        if kind == 0:
+            pts = rng.integers(-5000, 5000, size=(rng.integers(1, 9), 2))
+            cmds = encode_points(pts.astype(np.int64))
+            a = decode_points(cmds)
+            b = decode_points([int(v) for v in cmds])
+            assert np.array_equal(a, b)
+        elif kind == 1:
+            lines = [np.cumsum(rng.integers(-300, 300, size=(rng.integers(2, 7), 2)), axis=0)
+                     for _ in range(rng.integers(1, 4))]
+            cmds = encode_linestrings([l.astype(np.int64) for l in lines])
+            a = decode_linestrings(cmds)
+            b = decode_linestrings([int(v) for v in cmds])
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                assert np.array_equal(x, y)
+        else:
+            ring = np.array([[0, 0], [40, 0], [40, 40], [0, 40], [0, 0]]) \
+                + rng.integers(-2000, 2000, size=(1, 2))
+            cmds = encode_polygons([[ring.astype(np.int64)]])
+            a = decode_polygons(cmds)
+            b = decode_polygons([int(v) for v in cmds])
+            assert len(a) == len(b)
+            for pa_, pb_ in zip(a, b):
+                for ra, rb in zip(pa_, pb_):
+                    assert np.array_equal(ra, rb)
+    # error parity: empty stream + invalid command integer
+    import pytest as _pytest
+    from raytiles.codec.geometry import GeometryError
+    for bad in ([], [3]):  # empty; command id 3 is invalid
+        for as_list in (True, False):
+            cmds = bad if as_list else np.array(bad, dtype=np.uint32)
+            with _pytest.raises(GeometryError):
+                decode_points(cmds)
