@@ -221,12 +221,13 @@ def run_scaling() -> None:
               os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     # Two-cluster-size criterion, N -> 4N (BASELINE.md): default 4 vs
     # 16 cpus. Rationale: the rule scales NODES, and nodes bring their
-    # own memory bandwidth; on this single-socket sandbox the
-    # text-heavy flagship saturates socket bandwidth near ~16-24 cores
-    # (measured: per-core docs/sec at 32 cpus is ~3x worse than at 8),
-    # so 8->32 cores measures the socket, not the engine. 4->16 keeps
-    # per-core bandwidth roughly constant — the multi-node reality.
-    # GRAFT_SCALING_CPUS=8,32 reproduces the socket-bound variant.
+    # own caches/memory; on this single-socket shared VM, per-core
+    # throughput degrades with worker count (measured ~1.5-1.7x from
+    # 4 to 16 workers even at near-zero hypervisor steal — shared
+    # cache/allocator contention), so high core counts measure the
+    # socket, not the engine's partitioning. 4->16 minimizes that
+    # while still spanning the rule's 4x factor.
+    # GRAFT_SCALING_CPUS=8,32 reproduces the high-contention variant.
     # scaling tier: 36x sf0.1 (21.6M docs) so fixed pipeline-fill /
     # barrier latency is <5% of the small-cluster T (same input at
     # both levels) — the 10^12-row regime is where fixed costs vanish

@@ -59,9 +59,8 @@ def geoparse(ds: ray.data.Dataset, *, concurrency=None, batch_size: int = 4096) 
     end-to-end: the candidate prefilter runs pc.match_substring_regex
     on the zero-copy batch, and the master regex runs over the
     filtered column's raw UTF-8 buffer (GeoParser.parse_arrow) — no
-    Python string ever materializes for text, which matters at high
-    core counts where PyObject churn saturates memory bandwidth
-    before the regex does."""
+    Python string ever materializes for text, cutting allocator and
+    cache pressure that compounds at high worker counts."""
     import pyarrow as pa
     import pyarrow.compute as pc
     parser = GeoParser()
