@@ -236,6 +236,20 @@ def _q_jaccard_pairs(sf_dir: str):
     return jaccard_verify(sf_dir)
 
 
+def _q_minhash_overflow(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    from raytiles.ops.dedup import minhash_band_overflow
+    # overflow groups are rare by construction (the result is the
+    # exception report), so driver-side collection is safe; an all-empty
+    # map_groups output loses its schema in Ray, so reimpose it here
+    df = minhash_band_overflow(sf_dir).to_pandas()
+    cols = ["band_id", "band_hash", "n_docs", "n_truncated"]
+    if df.empty:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    return df[cols]
+
+
 def _q_simhash(sf_dir: str):
     from raytiles.ops.dedup import simhash
     return simhash(sf_dir)
@@ -320,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_overflow": _q_minhash_overflow,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         # similarity search
@@ -359,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": oracles.EXACT_DEDUP_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),
+        "minhash_overflow": oracles.minhash_overflow_sql(),
         "jaccard_pairs": oracles.jaccard_pairs_sql(),
         # simhash / lsh_neardup / winnow_fingerprints / media_features:
         # rows-only (non-SQL-expressible or approximate)

@@ -99,9 +99,14 @@ def encode_point_tiles(tile_offsets: np.ndarray,
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
     if isinstance(urls, pa.Array):
+        if not pa.types.is_string(urls.type):
+            # large_string (int64 offsets) or a view type would garble
+            # the int32 raw-offsets read below — normalize to utf8
+            urls = urls.cast(pa.string())
         denc = urls.dictionary_encode()
         url_codes = denc.indices.to_numpy().astype(np.int64)
         dict_arr = denc.dictionary
+        assert pa.types.is_string(dict_arr.type), dict_arr.type
         u_offs = np.frombuffer(dict_arr.buffers()[1], dtype=np.int32)[
             dict_arr.offset:dict_arr.offset + len(dict_arr) + 1].astype(np.int64)
         dict_data = np.frombuffer(dict_arr.buffers()[2], dtype=np.uint8)

@@ -115,7 +115,12 @@ def command_header(cmd: int, count: int) -> int:
 
 def _unzig_py(u: int) -> int:
     """Scalar unzig with the reference's int32 truncation — the
-    small-geometry fast path twin of ``unzig``."""
+    small-geometry fast path twin of ``unzig``. The input is masked to
+    32 bits FIRST: the vectorized path casts the command stream to
+    uint32 up front, so an over-long varint (e.g. 2^32 encoding 0,
+    valid wire data) must truncate identically here (Word32 semantics,
+    Internal.hs:226-229)."""
+    u &= 0xFFFFFFFF
     v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
     return v - 0x100000000 if v >= 0x80000000 else v
 
@@ -129,7 +134,8 @@ def parse_commands_list(cmds: list) -> list[tuple[int, int, list]]:
     pos = 0
     n = len(cmds)
     while pos < n:
-        header = cmds[pos]
+        # uint32 truncation as in the vectorized path's asarray(uint32)
+        header = cmds[pos] & 0xFFFFFFFF
         cmd = header & 7
         count = header >> 3
         pos += 1
@@ -267,7 +273,7 @@ def decode_polygons(cmds: np.ndarray) -> list[list[np.ndarray]]:
         if len(parsed) % 3:
             raise GeometryError(
                 "Polygon decode: Invalid command sequence given: "
-                f"{np.asarray(cmds, dtype=np.uint32)!r}")
+                f"{np.asarray([c & 0xFFFFFFFF for c in cmds], dtype=np.uint32)!r}")
         rings = []
         x = y = 0
         for i in range(0, len(parsed), 3):
@@ -277,7 +283,7 @@ def decode_polygons(cmds: np.ndarray) -> list[list[np.ndarray]]:
             if mcmd != MOVE_TO or lcmd != LINE_TO or ccmd != CLOSE_PATH:
                 raise GeometryError(
                     "Polygon decode: Invalid command sequence given: "
-                    f"{np.asarray(cmds, dtype=np.uint32)!r}")
+                    f"{np.asarray([c & 0xFFFFFFFF for c in cmds], dtype=np.uint32)!r}")
             if len(mp) % 2:
                 mp = mp[:-1]
             if len(lp) % 2:

@@ -127,8 +127,21 @@ class GeoParser:
                  np.empty(0, np.float64), np.empty(0, np.float64))
         if n == 0:
             return empty
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-            col.offset:col.offset + n + 1].astype(np.int64)
+        # the raw-buffer walk below assumes utf8 with int32 offsets;
+        # large_string (int64 offsets — pyarrow promotes for >2GB
+        # columns, and parquet/Ray block layouts can produce it) and
+        # any view types are normalized first, else the offsets buffer
+        # is silently reinterpreted and mentions land on wrong rows
+        if pa.types.is_large_string(col.type):
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+                col.offset:col.offset + n + 1]
+        elif pa.types.is_string(col.type):
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset:col.offset + n + 1].astype(np.int64)
+        else:
+            col = col.cast(pa.string())
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset:col.offset + n + 1].astype(np.int64)
         data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
         lens = np.diff(offs)
         out_starts = np.zeros(n + 1, dtype=np.int64)

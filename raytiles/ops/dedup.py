@@ -17,9 +17,11 @@ bucket keys, no driver materialization):
   (band_id, band_hash); within a bucket the same-signature groups are
   paired by a vectorized self-merge (capped at MAX_BAND_GROUP docs per
   signature — pair output is inherently quadratic in a duplicate
-  cluster's size, so enumeration is bounded and the cap logged in the
-  docstring); pair-distinct is a second bounded-bucket groupby with a
-  vectorized drop_duplicates, not a per-pair map_groups;
+  cluster's size, so enumeration is bounded; the truncated groups are
+  SURFACED by minhash_band_overflow, and the SQL oracle mirrors the
+  cap so both stay exact twins); pair-distinct is a second
+  bounded-bucket groupby with a vectorized drop_duplicates, not a
+  per-pair map_groups;
 - Jaccard verify: DISTRIBUTED hash joins (Dataset.join with explicit
   num_partitions) of candidate pairs against per-doc shingle-hash
   sets — no .to_pandas() of either side onto the driver, no per-pair
@@ -222,6 +224,38 @@ def minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     return bands.map_batches(add_bucket, batch_format="pandas") \
         .groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas") \
         .groupby("bucket2").map_groups(distinct_bucket, batch_format="pandas")
+
+
+def minhash_band_overflow(sf_dir: str) -> ray.data.Dataset:
+    """No-silent-caps stats: band groups larger than MAX_BAND_GROUP —
+    the groups whose pair enumeration minhash_pairs truncates — with
+    the doc count and how many docs were truncated. Shuffle shape:
+    per-batch partial counts per (band_id, band_hash) collapse first,
+    then ONE bounded-bucket groupby sums and filters (the same
+    bucketing as minhash_pairs, so a group's rows meet exactly once).
+    SQL twin: oracles.minhash_overflow_sql."""
+    bands = minhash_bands(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        part = b.groupby(["band_id", "band_hash"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        part["bucket"] = bucket_of(
+            pair_key(part["band_hash"].to_numpy().astype(np.int64),
+                     part["band_id"].to_numpy()), N_PAIR_BUCKETS)
+        return part
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["band_id", "band_hash"], as_index=False).agg(
+            n_docs=("n", "sum"))
+        out = out[out["n_docs"] > MAX_BAND_GROUP]
+        return pd.DataFrame({
+            "band_id": out["band_id"].astype(np.int64),
+            "band_hash": out["band_hash"].astype(np.int64),
+            "n_docs": out["n_docs"].astype(np.int64),
+            "n_truncated": (out["n_docs"] - MAX_BAND_GROUP).astype(np.int64)})
+
+    return bands.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

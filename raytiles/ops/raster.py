@@ -91,7 +91,13 @@ def vectorize_raster(rasters: ray.data.Dataset, threshold: int = 1) -> ray.data.
     encoded as the MVT layer "heat" by the WHOLE-BATCH columnar
     encoder (codec.fastshape — byte-identical to the generic encoder,
     asserted in tests; no per-cell Python objects). Returns
-    {z, x, y, mvt, n_polys}."""
+    {z, x, y, mvt, n_polys}.
+
+    Output contract: tiles with NO cell >= threshold are OMITTED from
+    the output (an MVT layer with zero features is an encode error in
+    the reference, Internal.hs feats; an all-cold tile has no valid
+    "heat" tile to emit). With the default threshold=1 every input
+    tile has a hot cell, so cardinality equals the input's."""
     def fn(b: pd.DataFrame) -> pd.DataFrame:
         T = len(b)
         offs = np.zeros(T + 1, dtype=np.int64)

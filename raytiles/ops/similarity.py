@@ -38,13 +38,21 @@ def _cached_stage(key, factory):
     once per worker process and reuse it across tasks — the
     make_assign_fn pattern. An actor pool costs ~2s spin-up per
     execution here while these stages hold only small broadcast
-    arrays."""
+    arrays.
+
+    Bounded: ONE entry per stage KIND (key[0]), replaced when the full
+    key (which embeds the broadcast ObjectRef hex) changes — a fresh
+    ref per pipeline execution must not accumulate entries that pin
+    stale broadcast state in the object store for the worker's
+    lifetime."""
+    kind = key[0]
+
     def fn(batch):
-        st = _STATE_CACHE.get(key)
-        if st is None:
-            st = factory()
-            _STATE_CACHE[key] = st
-        return st(batch)
+        entry = _STATE_CACHE.get(kind)
+        if entry is None or entry[0] != key:
+            entry = (key, factory())
+            _STATE_CACHE[kind] = entry
+        return entry[1](batch)
     return fn
 
 
@@ -209,23 +217,32 @@ def _bucket_pairs(ids: np.ndarray, vn: np.ndarray, threshold: float,
     than MAX_LSH_BUCKET is re-split by the next deterministic extra
     hyperplane (recursively, up to MAX_EXTRA_BITS); an irreducible
     oversized cluster (all vectors identical under every plane) is
-    processed in sorted chunks of the cap — a documented recall
-    trade-off that keeps worst-case work O(cap * n) instead of O(n²)."""
+    processed in sorted chunks of the cap — a recall trade-off that
+    keeps worst-case work O(cap * n) instead of O(n²).
+
+    Returns (pair_chunks, n_skipped_pairs): the second element COUNTS
+    the cross-chunk comparisons the fallback skipped (no silent caps —
+    callers surface it as a stats column)."""
     n = ids.size
     if n < 2:
-        return []
+        return [], 0
     if n > MAX_LSH_BUCKET and depth < MAX_EXTRA_BITS:
         side = (vn @ extra_planes[depth]) > 0
-        out = _bucket_pairs(ids[side], vn[side], threshold, extra_planes, depth + 1)
-        out += _bucket_pairs(ids[~side], vn[~side], threshold, extra_planes, depth + 1)
-        return out
-    results = []
+        out, lost = _bucket_pairs(ids[side], vn[side], threshold,
+                                  extra_planes, depth + 1)
+        out2, lost2 = _bucket_pairs(ids[~side], vn[~side], threshold,
+                                    extra_planes, depth + 1)
+        return out + out2, lost + lost2
     if n > MAX_LSH_BUCKET:
+        results = []
+        compared = 0
         for s in range(0, n, MAX_LSH_BUCKET):
             chunk = slice(s, s + MAX_LSH_BUCKET)
+            m = ids[chunk].size
+            compared += m * (m - 1) // 2
             results += _pairs_dense(ids[chunk], vn[chunk], threshold)
-        return results
-    return _pairs_dense(ids, vn, threshold)
+        return results, n * (n - 1) // 2 - compared
+    return _pairs_dense(ids, vn, threshold), 0
 
 
 def _pairs_dense(ids: np.ndarray, vn: np.ndarray, threshold: float):
@@ -245,6 +262,13 @@ def lsh_neardup_pairs(sf_dir: str, threshold: float = 0.90,
     hyperplane-LSH bucketing. Approximate by construction (same-bucket
     candidates only) — verified against brute force on a subset in
     tests, no SQL oracle.
+
+    Output columns (vec_a, vec_b, sim, skipped_pairs): skipped_pairs
+    counts the comparisons the irreducible-oversized-cluster chunked
+    fallback SKIPPED in the pair's bucket (0 on the normal path). A
+    bucket whose cap fired but produced no pairs emits one sentinel
+    row (vec_a = vec_b = -1) carrying the count — filter vec_a >= 0
+    for pairs only. No silent caps.
 
     ``n_planted`` > 0 unions deterministic near-duplicates (vec_id
     + 1_000_000, tiny seeded perturbation, cosine ~0.9999) into the
@@ -274,14 +298,22 @@ def lsh_neardup_pairs(sf_dir: str, threshold: float = 0.90,
         def __init__(self, ref):
             self.planes, _ = ray.get(ref)
 
-        def __call__(self, t: pa.Table) -> pd.DataFrame:
+        def __call__(self, t: pa.Table) -> pa.Table:
             v = _stack(t["embedding"])
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
             bits = (vn @ self.planes.T) > 0  # (n, bits)
             bucket = bits @ (1 << np.arange(self.planes.shape[0], dtype=np.int64))
-            return pd.DataFrame({"bucket": bucket.astype(np.int64),
-                                 "vec_id": t["vec_id"].to_numpy().astype(np.int64),
-                                 "embedding": list(v)})
+            # embeddings ride the shuffle as raw float64 bytes (the
+            # _shingle_sets pattern): ~8x smaller than pandas
+            # object-lists and zero-copy recoverable via np.frombuffer
+            n, dim = v.shape
+            emb = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(8 * dim), n,
+                [None, pa.py_buffer(np.ascontiguousarray(v).tobytes())])
+            return pa.table({"bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+                             "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64),
+                                                pa.int64()),
+                             "emb": emb.cast(pa.binary())})
 
     bucketed = ds.map_batches(
         _cached_stage(("lshbuck", planes_ref.hex()), lambda: Bucketize(planes_ref)),
@@ -290,20 +322,33 @@ def lsh_neardup_pairs(sf_dir: str, threshold: float = 0.90,
     extra_planes = extra  # captured by value into the reducer closure
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(g["vec_id"].to_numpy())
-        ids = g["vec_id"].to_numpy()[order]
-        v = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])[order]
+        ids = g["vec_id"].to_numpy()
+        v = np.frombuffer(b"".join(g["emb"]), dtype=np.float64).reshape(len(g), -1)
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = v[order]
         vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-        chunks = _bucket_pairs(ids, vn, threshold, extra_planes)
+        chunks, lost = _bucket_pairs(ids, vn, threshold, extra_planes)
         if not chunks:
+            if lost:  # cap fired but no pair crossed the threshold:
+                # still surface the skipped count via a sentinel row
+                return pd.DataFrame({"vec_a": np.array([-1], np.int64),
+                                     "vec_b": np.array([-1], np.int64),
+                                     "sim": np.array([0.0]),
+                                     "skipped_pairs": np.array([lost], np.int64)})
             return pd.DataFrame({"vec_a": np.empty(0, np.int64),
                                  "vec_b": np.empty(0, np.int64),
-                                 "sim": np.empty(0, np.float64)})
+                                 "sim": np.empty(0, np.float64),
+                                 "skipped_pairs": np.empty(0, np.int64)})
         a = np.concatenate([c[0] for c in chunks])
         b = np.concatenate([c[1] for c in chunks])
         s = np.concatenate([c[2] for c in chunks])
+        # skipped_pairs: comparisons the irreducible-cluster chunked
+        # fallback skipped in THIS bucket (constant per bucket) — the
+        # cap is surfaced, never silent
         return pd.DataFrame({"vec_a": a.astype(np.int64),
                              "vec_b": b.astype(np.int64),
-                             "sim": np.round(s, 6)})
+                             "sim": np.round(s, 6),
+                             "skipped_pairs": np.full(a.size, lost, np.int64)})
 
     return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")

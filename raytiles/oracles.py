@@ -10,7 +10,7 @@ md5-derived hashing reproduced via ('0x' || substr(md5(s),1,16))::UBIGINT.
 from __future__ import annotations
 
 from .geo.parse import FMT1, FMT2, FMT3, MASTER_RE
-from .ops.dedup import SEED_CONSTS
+from .ops.dedup import MAX_BAND_GROUP, SEED_CONSTS
 from .ops.text import STOP_RE, TOKEN_RE
 
 # RE2-compatible rewrites of the Python regexes (Python (?:..) works in
@@ -277,18 +277,41 @@ def minhash_bands_sql() -> str:
             f"{union}")
 
 
+# the engine caps pair enumeration at MAX_BAND_GROUP docs per
+# (band_id, band_hash), smallest doc_ids kept (dedup.pairs_in_bucket);
+# the oracle mirrors the cap so engine and SQL stay exact twins even
+# on duplicate-heavy data where a band group exceeds the cap
+_BANDS_CAPPED = (
+    "SELECT doc_id, band_id, band_hash FROM bands "
+    "QUALIFY row_number() OVER (PARTITION BY band_id, band_hash "
+    f"ORDER BY doc_id) <= {MAX_BAND_GROUP}")
+
+
 def minhash_pairs_sql() -> str:
-    return (f"WITH bands AS ({minhash_bands_sql()}) "
+    return (f"WITH bands AS ({minhash_bands_sql()}), "
+            f"capped AS ({_BANDS_CAPPED}) "
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            "FROM bands a JOIN bands b ON a.band_id = b.band_id "
+            "FROM capped a JOIN capped b ON a.band_id = b.band_id "
             "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id")
+
+
+def minhash_overflow_sql() -> str:
+    """Band groups whose size exceeds the engine's pair-enumeration
+    cap, with the truncated-doc count — the queryable twin of the
+    engine's no-silent-caps stats output."""
+    return (f"WITH bands AS ({minhash_bands_sql()}) "
+            "SELECT band_id, band_hash, count(*) AS n_docs, "
+            f"count(*) - {MAX_BAND_GROUP} AS n_truncated "
+            "FROM bands GROUP BY band_id, band_hash "
+            f"HAVING count(*) > {MAX_BAND_GROUP}")
 
 
 def jaccard_pairs_sql(threshold: float = 0.7) -> str:
     """Exact shingle-set Jaccard over the MinHash candidate pairs."""
     return (f"WITH bands AS ({minhash_bands_sql()}), "
+            f"capped AS ({_BANDS_CAPPED}), "
             "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            " FROM bands a JOIN bands b ON a.band_id = b.band_id "
+            " FROM capped a JOIN capped b ON a.band_id = b.band_id "
             " AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), "
             f"{_shingles_cte().lstrip()}, "
             "dsh AS (SELECT DISTINCT doc_id, s FROM shingles), "

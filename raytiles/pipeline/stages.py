@@ -132,15 +132,20 @@ def make_assign_fn(zoom: int, rtree_ref, extent: int = tm.DEFAULT_EXTENT,
     """Task-based assignment: the broadcast R-tree (ray.put once on
     the driver) is ray.get + built ONCE PER WORKER PROCESS via a
     module-level cache, then every task on that worker reuses it —
-    the broadcast-small-side pattern without actor-pool spin-up."""
+    the broadcast-small-side pattern without actor-pool spin-up.
+
+    The cache holds ONE entry (replaced when the key — which embeds
+    the per-execution broadcast ObjectRef — changes): per-execution
+    refs must not accumulate entries that pin stale R-trees in the
+    object store for the worker's lifetime."""
     key = (zoom, extent, with_cells, rtree_ref.hex() if rtree_ref is not None else None)
 
     def assign_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        assigner = _ASSIGNER_CACHE.get(key)
-        if assigner is None:
-            assigner = TileAssigner(zoom, rtree_ref, extent, with_cells)
-            _ASSIGNER_CACHE[key] = assigner
-        return assigner(batch)
+        entry = _ASSIGNER_CACHE.get("assign")
+        if entry is None or entry[0] != key:
+            entry = (key, TileAssigner(zoom, rtree_ref, extent, with_cells))
+            _ASSIGNER_CACHE["assign"] = entry
+        return entry[1](batch)
 
     return assign_batch
 

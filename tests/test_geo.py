@@ -77,6 +77,31 @@ def test_geoparser_grammars():
     assert r3.iloc[1].lat == -33.8688
 
 
+def test_geoparser_arrow_large_string_and_sliced():
+    """parse_arrow must give identical output for string, large_string
+    (int64 offsets — pyarrow promotes for >2GB data) and sliced inputs;
+    the raw-buffer walk previously reinterpreted large_string offsets
+    as int32 and silently misattributed mentions."""
+    import pyarrow as pa
+    p = GeoParser()
+    texts = ["pad no geo here", "city located at 37.7749, -122.4194 x",
+             "(lat 51.5074, lon -0.1278)", "nothing",
+             "at 40.7128N 74.0060W corner then located at 1.0000, 2.0000"]
+    base = pa.array(texts, pa.string())
+    expect = p.parse_arrow(base)
+    for variant in (pa.array(texts, pa.large_string()),
+                    pa.chunked_array([texts[:2], texts[2:]],
+                                     pa.large_string()),
+                    base.slice(0),  # offset-0 identity
+                    pa.array(["x"] + texts, pa.string()).slice(1),
+                    pa.array(["x"] + texts, pa.large_string()).slice(1)):
+        got = p.parse_arrow(variant)
+        for e, g_ in zip(expect, got):
+            assert np.array_equal(e, g_), (variant.type, e, g_)
+    # row_pos sanity: mentions attributed to the right rows
+    assert expect[0].tolist() == [1, 2, 4, 4]
+
+
 def test_geoparser_range_validation():
     p = GeoParser()
     out = p.parse_series(pd.Series(["located at 89.0000, 10.0000 then located at 10.0000, 20.0000"]))

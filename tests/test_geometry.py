@@ -153,3 +153,26 @@ def test_small_path_matches_vectorized_on_random_streams():
             cmds = bad if as_list else np.array(bad, dtype=np.uint32)
             with _pytest.raises(GeometryError):
                 decode_points(cmds)
+
+
+def test_small_path_overlong_varint_truncates_like_vectorized():
+    """An over-long varint (value >= 2^32, legal protobuf wire data)
+    must truncate to uint32 identically on both decode paths — the
+    vectorized path casts to uint32 up front; the list path masks in
+    parse_commands_list/_unzig_py (Word32 semantics, Internal.hs:226)."""
+    from raytiles.codec.geometry import decode_points, decode_polygons
+    # MoveTo count 2: params [2^32 (->0), 2^32+2 (->2->unzig 1), 3, 2^33+4 (->4)]
+    raw = [17, 2**32, 2**32 + 2, 3, 2**33 + 4]
+    arr = np.array(raw, dtype=np.uint64).astype(np.uint32)
+    a = decode_points(arr)
+    b = decode_points(raw)
+    assert np.array_equal(a, b)
+    assert b.tolist() == [[0, 1], [-2, 3]]
+    # over-long header too: 2^32+9 truncates to 9 (MoveTo count 1)
+    a2 = decode_points(np.array([2**32 + 9, 4, 4], dtype=np.uint64).astype(np.uint32))
+    b2 = decode_points([2**32 + 9, 4, 4])
+    assert np.array_equal(a2, b2)
+    # polygon error path must raise GeometryError (not OverflowError)
+    # when the stream contains over-long words
+    with pytest.raises(g.GeometryError):
+        decode_polygons([2**32 + 9, 4, 4])

@@ -241,15 +241,60 @@ def test_lsh_bucket_cap_bounds_quadratic():
     vn = v / np.linalg.norm(v, axis=1, keepdims=True)
     ids = np.arange(n)
     extra = _hyperplanes(64, bits=16, seed=1001)
-    chunks = _bucket_pairs(ids, vn, 0.99, extra)
+    chunks, lost = _bucket_pairs(ids, vn, 0.99, extra)
     # every dense block the recursion produced was within the cap:
     # the largest possible pair-chunk is cap*(cap-1)/2
     max_chunk = max(c[0].size for c in chunks)
     assert max_chunk <= MAX_LSH_BUCKET * (MAX_LSH_BUCKET - 1) // 2
     total_pairs = sum(c[0].size for c in chunks)
     assert total_pairs > 0  # the cluster still yields near-dup pairs
+    assert lost >= 0
     for a, b, s in chunks:
         assert (s >= 0.99).all()
+
+
+def test_lsh_skipped_pairs_surfaced_for_irreducible_cluster():
+    """No silent caps: an IRREDUCIBLE oversized cluster (identical
+    vectors — no hyperplane can split them) falls back to chunked
+    processing, and the skipped cross-chunk comparison count is
+    returned, nonzero and exact; work stays bounded."""
+    from raytiles.ops.similarity import (MAX_LSH_BUCKET, _bucket_pairs,
+                                         _hyperplanes)
+    n = MAX_LSH_BUCKET + 100
+    v = np.tile(np.arange(1, 65, dtype=np.float64), (n, 1))
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    ids = np.arange(n)
+    extra = _hyperplanes(64, bits=16, seed=1001)
+    chunks, lost = _bucket_pairs(ids, vn, 0.99, extra)
+    expect_lost = (n * (n - 1) // 2
+                   - MAX_LSH_BUCKET * (MAX_LSH_BUCKET - 1) // 2
+                   - 100 * 99 // 2)
+    assert lost == expect_lost and lost > 0
+    assert max(c[0].size for c in chunks) <= MAX_LSH_BUCKET * (MAX_LSH_BUCKET - 1) // 2
+
+
+def test_minhash_overflow_counter(tmp_path, monkeypatch):
+    """No silent caps: a band group larger than MAX_BAND_GROUP is
+    surfaced by minhash_band_overflow with the exact truncated-doc
+    count, while minhash_pairs enumeration stays capped."""
+    import raytiles.ops.dedup as dd
+    monkeypatch.setattr(dd, "MAX_BAND_GROUP", 8)
+    n_dup, n_other = 20, 3
+    texts = (["all the same duplicated document text here ok"] * n_dup
+             + [f"unique text number {i} totally different content" for i in range(n_other)])
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    over = dd.minhash_band_overflow(str(tmp_path)).to_pandas()
+    # 4 bands, each with one 20-doc group over the cap of 8
+    assert len(over) == 4
+    assert (over["n_docs"] == n_dup).all()
+    assert (over["n_truncated"] == n_dup - 8).all()
+    pairs = dd.minhash_pairs(str(tmp_path)).to_pandas()
+    # enumeration capped: pairs only among the 8 smallest doc_ids
+    dup_pairs = pairs[(pairs["doc_a"] < n_dup) & (pairs["doc_b"] < n_dup)]
+    assert len(dup_pairs) == 8 * 7 // 2
+    assert dup_pairs["doc_b"].max() <= 7
 
 
 def test_lsh_neardup_gate_emits_planted_rows():

@@ -85,6 +85,31 @@ def test_encoder_roundtrip_small():
     assert layer.points[1].geometry.tolist() == [[4095, 2048]]
 
 
+def test_fastpoint_encoder_large_string_parity():
+    """FastPointEncoder must emit identical bytes when the urls list
+    column arrives as list<large_string> (int64 offsets) — the
+    dictionary raw-buffer path previously assumed int32 offsets."""
+    from raytiles.pipeline.encode_stage import FastPointEncoder
+    batch = pa.table({
+        "z": pa.array([12, 12], pa.int32()),
+        "x": pa.array([655, 656], pa.int32()),
+        "y": pa.array([1583, 1583], pa.int32()),
+        "urls": pa.array([["https://a/1", "https://b/2"], ["https://a/1"]],
+                         pa.list_(pa.string())),
+        "mention_idx": pa.array([[0, 1], [0]], pa.list_(pa.int32())),
+        "local_x": pa.array([[100, 4095], [7]], pa.list_(pa.int32())),
+        "local_y": pa.array([[0, 2048], [9]], pa.list_(pa.int32())),
+    })
+    big = batch.set_column(
+        batch.column_names.index("urls"), "urls",
+        batch["urls"].cast(pa.list_(pa.large_string())))
+    enc = FastPointEncoder()
+    a, b = enc(batch), enc(big)
+    assert a["mvt"].to_pylist() == b["mvt"].to_pylist()
+    assert decode_tile(a["mvt"][0].as_py()).layers[b"mentions"].points[0] \
+        .metadata[b"url"] == ("St", b"https://a/1")
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestDistributed:
     def test_assignments_match_oracle(self, webpages_500, tmp_path):
