@@ -201,7 +201,29 @@ def _cpu_stat() -> tuple[float, float]:
     return user + nice + system + irq + softirq, steal
 
 
+def _steal_cores(seconds: float = 10.0) -> float:
+    """Cores currently being stolen by the hypervisor (pre-leg gate —
+    when the box is idle, steal/busy ratios are 0/0, so gate on
+    absolute stolen cores instead)."""
+    _, s0 = _cpu_stat()
+    time.sleep(seconds)
+    _, s1 = _cpu_stat()
+    return (s1 - s0) / 100.0 / seconds
+
+
+STEAL_GATE_CORES = float(os.environ.get("GRAFT_STEAL_GATE_CORES", "0.5"))
+STEAL_GATE_LEG_PCT = float(os.environ.get("GRAFT_STEAL_GATE_LEG_PCT", "1.5"))
+
+
 def run_scaling() -> None:
+    """Two-cluster-size criterion, STEAL-GATED: this VM loses 0-25%+
+    of cycles to hypervisor steal in multi-minute bursts (measured 90%
+    once), invisible to loadavg. Each attempt (a) waits for a window
+    with < STEAL_GATE_CORES stolen cores, (b) runs the hi then lo leg
+    sampling /proc/stat steal around each, and (c) DISCARDS the pair
+    if either leg saw > STEAL_GATE_LEG_PCT% steal. Only a steal-clean
+    pair is reported as the result; discards are counted and their
+    efficiencies listed for transparency."""
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         b0, s0 = _cpu_stat()
@@ -235,13 +257,52 @@ def run_scaling() -> None:
     from raytiles.pipeline.synth import webpages_path
     webpages_path(scaling_dir)  # materialize once, outside both timings
     os.environ["GRAFT_SF_DIR"] = scaling_dir
-    # hi leg FIRST: quiet windows on this host close within minutes,
-    # and the short hi leg should spend the freshly-verified one (the
-    # long lo leg is far less sensitive to ambient contention)
-    p_hi = _effective_parallelism(hi)
-    r_hi = one(hi)
-    p_lo = _effective_parallelism(lo)
-    r_lo = one(lo)
+
+    max_attempts = int(os.environ.get("GRAFT_SCALING_MAX_ATTEMPTS", "6"))
+    gate_budget_s = float(os.environ.get("GRAFT_SCALING_GATE_BUDGET", "900"))
+    discarded = []
+    result = None
+    for attempt in range(max_attempts):
+        # (a) pre-leg gate: wait for a steal-quiet AND load-quiet window
+        # (loadavg catches this box's own other processes, which steal
+        # sampling cannot; steal catches the hypervisor, which loadavg
+        # cannot)
+        waited = 0.0
+        while waited < gate_budget_s:
+            sc = _steal_cores(8.0)
+            waited += 8.0
+            with open("/proc/loadavg") as fh:
+                load1 = float(fh.read().split()[0])
+            if sc < STEAL_GATE_CORES and load1 < 2.0:
+                break
+        # (b) hi leg FIRST: quiet windows close within minutes, and the
+        # short hi leg should spend the freshly-verified one (the long
+        # lo leg is far less sensitive to ambient contention)
+        p_hi = _effective_parallelism(hi)
+        r_hi = one(hi)
+        if (r_hi["steal_pct_during_leg"] > STEAL_GATE_LEG_PCT
+                or r_hi["other_busy_cores"] > 2.0):
+            discarded.append({"leg": "hi", "steal_pct": r_hi["steal_pct_during_leg"],
+                              "other_busy_cores": r_hi["other_busy_cores"],
+                              "sec": r_hi["value"]})
+            continue
+        p_lo = _effective_parallelism(lo)
+        r_lo = one(lo)
+        if (r_lo["steal_pct_during_leg"] > STEAL_GATE_LEG_PCT
+                or r_lo["other_busy_cores"] > 2.0):
+            discarded.append({"leg": "lo", "steal_pct": r_lo["steal_pct_during_leg"],
+                              "other_busy_cores": r_lo["other_busy_cores"],
+                              "sec": r_lo["value"],
+                              "eff_if_kept": round(r_lo["value"] / r_hi["value"] / (hi / lo), 3)})
+            continue
+        result = (p_lo, p_hi, r_lo, r_hi)
+        break
+    if result is None:
+        print(json.dumps({"metric": "scaling_efficiency", "value": None,
+                          "unit": "ratio", "error": "no steal-clean pair",
+                          "discarded_attempts": discarded, "sf": scaling_dir}))
+        return
+    p_lo, p_hi, r_lo, r_hi = result
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
     # noise-adjusted: scale by the core ratio the host actually
@@ -251,6 +312,9 @@ def run_scaling() -> None:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "steal_clean": True,
+        "n_discarded": len(discarded),
+        "discarded_attempts": discarded,
         f"parallelism_delivered_{lo}": p_lo,
         f"parallelism_delivered_{hi}": p_hi,
         "efficiency_vs_delivered_cores": eff_adj,

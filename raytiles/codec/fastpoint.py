@@ -31,19 +31,60 @@ def _varint_lengths(v: np.ndarray) -> np.ndarray:
     v = v.astype(np.uint64)
     n = np.ones(v.shape, dtype=np.int64)
     for k in range(1, 10):
-        n += v >= np.uint64(1) << np.uint64(7 * k)
+        t = np.uint64(1) << np.uint64(7 * k)
+        if not (v >= t).any():
+            break
+        n += v >= t
     return n
 
 
 def _ragged_target_idx(dst_starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Flat destination indices for copying chunk i (length l_i) to
-    dst_starts[i]: [d0, d0+1, .., d0+l0-1, d1, ...]."""
+    dst_starts[i]: [d0, d0+1, .., d0+l0-1, d1, ...]. Built with ONE
+    cumsum over step deltas (no np.repeat / modular arithmetic — those
+    dominated the encoder's profile at mega-tile scale)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
     total = int(lengths.sum())
     if total == 0:
         return np.empty(0, np.int64)
-    chunk = np.repeat(np.arange(lengths.size), lengths)
-    pos = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lengths) - lengths, lengths)
-    return dst_starts[chunk] + pos
+    nz = np.flatnonzero(lengths)
+    d = dst_starts[nz]
+    ln = lengths[nz]
+    out = np.ones(total, dtype=np.int64)
+    out[0] = d[0]
+    if ln.size > 1:
+        pos = np.cumsum(ln)[:-1]
+        out[pos] = d[1:] - (d[:-1] + ln[:-1]) + 1
+    return np.cumsum(out, out=out)
+
+
+def _write_varints(out: np.ndarray, dst_starts: np.ndarray,
+                   values: np.ndarray, lengths: np.ndarray) -> None:
+    """Encode uvarints DIRECTLY into the output buffer as byte planes:
+    pass j writes byte j of every varint still active (one shift + one
+    fancy-index scatter per plane, <= 10 planes, typically 1-3). No
+    intermediate varint byte stream, no per-element ragged index
+    arithmetic — this replaced a uvarint_encode_array + ragged-scatter
+    pipeline that dominated the hot-tile encode profile."""
+    v = values.astype(np.uint64, copy=False)
+    if lengths.size == 0:
+        return
+    maxlen = int(lengths.max())
+    if maxlen == 1:  # common fast path: all single-byte
+        out[dst_starts] = v.astype(np.uint8)
+        return
+    # plane 0 over all, later planes over the still-active subset
+    cont = lengths > 1
+    out[dst_starts] = (v & np.uint64(0x7F)).astype(np.uint8) \
+        | (cont.astype(np.uint8) << np.uint8(7))
+    active = np.flatnonzero(cont)
+    for j in range(1, maxlen):
+        d = dst_starts[active] + j
+        vv = (v[active] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = lengths[active] > j + 1
+        out[d] = vv.astype(np.uint8) | (cont.astype(np.uint8) << np.uint8(7))
+        if j + 1 < maxlen:
+            active = active[cont]
 
 
 def _scatter_varints(out: np.ndarray, dst_starts: np.ndarray,
@@ -225,70 +266,68 @@ def encode_point_tiles(tile_offsets: np.ndarray,
     tile_content = tile_starts_b + 1 + layer_len_len + len(name_bytes)  # features origin
     tile_vals_origin = tile_content + tile_feat_len + len(keys_bytes)   # values origin
 
-    # ---- write features at absolute positions ----
+    # ---- write features at absolute positions (varints encode
+    # directly into the buffer as byte planes — see _write_varints) ----
     # rel position of each feature within its tile's feature block
     rel_feat = (feat_cum[:-1] - np.repeat(feat_cum[tile_offsets[:-1]], nfeat))
     p = np.repeat(tile_content, nfeat) + rel_feat
     buf[p] = 0x12
-    msg_len_bytes = np.frombuffer(wire.uvarint_encode_array(msg_len.astype(np.uint64)), np.uint8)
-    _scatter_varints(buf, p + 1, msg_len_bytes, len_msg_len)
+    _write_varints(buf, p + 1, msg_len, len_msg_len)
     q = p + 1 + len_msg_len
     buf[q] = 0x08
-    fid_bytes = np.frombuffer(wire.uvarint_encode_array(fid_u), np.uint8)
-    _scatter_varints(buf, q + 1, fid_bytes, len_fid)
+    _write_varints(buf, q + 1, fid_u, len_fid)
     r = q + 1 + len_fid
     buf[r] = 0x12
-    tl_bytes = np.frombuffer(wire.uvarint_encode_array(len_tags.astype(np.uint64)), np.uint8)
-    _scatter_varints(buf, r + 1, tl_bytes, len_tags_len)
+    _write_varints(buf, r + 1, len_tags, len_tags_len)
     tp = r + 1 + len_tags_len
-    tags_bytes = np.frombuffer(wire.uvarint_encode_array(tags_flat), np.uint8)
     tag_off = np.zeros((n, 4), dtype=np.int64)
     tag_off[:, 1:] = np.cumsum(len_tags_each, axis=1)[:, :-1]
-    _scatter_varints(buf, (tp[:, None] + tag_off).ravel(), tags_bytes,
-                     len_tags_each.ravel())
+    _write_varints(buf, (tp[:, None] + tag_off).ravel(), tags_flat,
+                   len_tags_each.ravel())
     sbase = tp + len_tags
     buf[sbase] = 0x18
     buf[sbase + 1] = 0x01
     buf[sbase + 2] = 0x22
-    gl_bytes = np.frombuffer(wire.uvarint_encode_array(len_geom.astype(np.uint64)), np.uint8)
-    _scatter_varints(buf, sbase + 3, gl_bytes, len_geom_len)
+    _write_varints(buf, sbase + 3, len_geom, len_geom_len)
     gp = sbase + 3 + len_geom_len
-    geom_bytes = np.frombuffer(wire.uvarint_encode_array(geom_flat), np.uint8)
     geom_off = np.zeros((n, 3), dtype=np.int64)
     geom_off[:, 1:] = np.cumsum(len_geom_each, axis=1)[:, :-1]
-    _scatter_varints(buf, (gp[:, None] + geom_off).ravel(), geom_bytes,
-                     len_geom_each.ravel())
+    _write_varints(buf, (gp[:, None] + geom_off).ravel(), geom_flat,
+                   len_geom_each.ravel())
 
     # ---- write values at absolute positions ----
     rel_val = val_cum[:-1] - np.repeat(val_cum[v_off[:-1]], vcount)
     vp = np.repeat(tile_vals_origin, vcount) + rel_val
     buf[vp] = 0x22
-    il_bytes = np.frombuffer(wire.uvarint_encode_array(inner_len.astype(np.uint64)), np.uint8)
-    _scatter_varints(buf, vp + 1, il_bytes, inner_len_len)
+    _write_varints(buf, vp + 1, inner_len, inner_len_len)
     ip = vp + 1 + inner_len_len
     st_ip = ip[is_url_u]
     buf[st_ip] = 0x0A
-    sl_bytes = np.frombuffer(wire.uvarint_encode_array(st_len.astype(np.uint64)), np.uint8)
-    _scatter_varints(buf, st_ip + 1, sl_bytes, st_len_len)
+    _write_varints(buf, st_ip + 1, st_len, st_len_len)
     st_data_starts = st_ip + 1 + st_len_len
     if st_codes.size:
         dst = _ragged_target_idx(st_data_starts, st_len)
         if dict_data is None:
             buf[dst] = np.frombuffer(b"".join(st_payload.tolist()), np.uint8)
         else:
-            buf[dst] = dict_data[_ragged_target_idx(u_offs[st_codes], st_len)]
+            # Arrow take concatenates the payload bytes CONTIGUOUSLY in
+            # output order — one gather in C++ instead of a second
+            # ragged source-index build over every payload byte
+            taken = dict_arr.take(pa.array(st_codes, pa.int64()))
+            tb = taken.buffers()
+            toffs = np.frombuffer(tb[1], dtype=np.int32)
+            lo = toffs[taken.offset]
+            hi = toffs[taken.offset + len(taken)]
+            buf[dst] = np.frombuffer(tb[2], dtype=np.uint8)[lo:hi]
     iv_ip = ip[~is_url_u]
     buf[iv_ip] = 0x20
-    ivb = np.frombuffer(wire.uvarint_encode_array(iv), np.uint8)
-    _scatter_varints(buf, iv_ip + 1, ivb, iv_len)
+    _write_varints(buf, iv_ip + 1, iv, iv_len)
 
     # ---- fixed sections + headers per nonempty tile ----
     tnz = np.flatnonzero(nfeat > 0)
     hp = tile_starts_b[tnz]
     buf[hp] = 0x1A  # tag(3, LEN)
-    ll_bytes = np.frombuffer(
-        wire.uvarint_encode_array(layer_len[tnz].astype(np.uint64)), np.uint8)
-    _scatter_varints(buf, hp + 1, ll_bytes, layer_len_len[tnz])
+    _write_varints(buf, hp + 1, layer_len[tnz], layer_len_len[tnz])
     name_arr = np.frombuffer(name_bytes, np.uint8)
     nq = hp + 1 + layer_len_len[tnz]
     buf[(nq[:, None] + np.arange(len(name_bytes))[None, :]).ravel()] = \
