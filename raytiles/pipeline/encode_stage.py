@@ -14,12 +14,49 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ..codec.encode import encode_tile
 from ..codec.fastpoint import encode_point_tiles
 from ..codec.model import I64V, ST, Feature, Layer, VectorTile
 
 LAYER_NAME = b"mentions"
+
+# Feature budget per nested encode chunk, and the batch-level feature
+# count above which the encode fans out to nested Ray tasks. The
+# shuffle's reducer blocks skew ~4x in features (a hot-city bucket
+# range is one block), and the fused merge->encode->write task for the
+# fattest block is the measured end-of-pipeline straggler (2.9x the
+# mean task). Fanning the encode of an abnormally fat batch out to
+# whole-tile chunks lets the tail straggler spend the cluster's
+# otherwise-idle CPUs; normal batches stay inline (no object-store
+# round trip). Tile granularity is preserved (a chunk is a run of
+# whole tiles), so output bytes are identical by construction.
+ENCODE_CHUNK_FEATURES = 131_072
+ENCODE_FANOUT_MIN_FEATURES = 2 * ENCODE_CHUNK_FEATURES
+
+
+@ray.remote(num_cpus=1)
+def _encode_point_chunk(tile_offsets: np.ndarray, urls, midx, lx, ly,
+                        extent: int, version: int) -> list[bytes]:
+    """One nested encode task: a run of WHOLE tiles from a fat batch.
+    Inputs are numpy views / Arrow slices of the parent's flat arrays
+    (pickled as just the sliced region)."""
+    return encode_point_tiles(tile_offsets, urls, midx, lx, ly,
+                              extent=extent, version=version)
+
+
+def _chunk_tile_cuts(tile_offsets: np.ndarray,
+                     target: int = ENCODE_CHUNK_FEATURES) -> np.ndarray:
+    """Tile-index cut points splitting a batch into runs of whole tiles
+    of ~target features each (a single mega-tile larger than target
+    stays one chunk — tile granularity is the floor)."""
+    T = tile_offsets.size - 1
+    total = int(tile_offsets[-1])
+    k = np.arange(1, total // target + 1, dtype=np.int64) * target
+    cut = np.unique(np.searchsorted(tile_offsets[1:], k, side="left") + 1)
+    cut = cut[cut < T]
+    return np.concatenate([[0], cut, [T]]).astype(np.int64)
 
 
 class MvtEncoder:
@@ -73,9 +110,36 @@ class FastPointEncoder:
     byte-identical to MvtEncoder. Stateful actor per ray_guide: setup
     (constants, buffers) once per actor."""
 
-    def __init__(self, extent: int = 4096, layer_version: int = 2) -> None:
+    def __init__(self, extent: int = 4096, layer_version: int = 2,
+                 chunk_features: int = ENCODE_CHUNK_FEATURES) -> None:
         self.extent = extent
         self.version = layer_version
+        self.chunk_features = chunk_features
+
+    def _encode_fanout(self, tile_offsets, urls, midx, lx, ly) -> list[bytes]:
+        """Fan a fat batch's encode out to nested Ray tasks over runs
+        of whole tiles, gather in order. The parent releases its CPU
+        while blocked in ray.get, so the chunks fill the cluster's
+        idle slots — this is the straggler-tail fix for the hot-city
+        reducer block. Byte-identical: each tile is still encoded by
+        encode_point_tiles, just grouped into smaller calls."""
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        cuts = _chunk_tile_cuts(tile_offsets, target=self.chunk_features)
+        refs = []
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            fa, fb = int(tile_offsets[a]), int(tile_offsets[b])
+            # concat_arrays compacts the slice: a bare Arrow slice
+            # pickles its FULL underlying buffers (measured 10MB for a
+            # 64-element slice), which would re-ship the whole batch
+            # to every chunk task
+            refs.append(_encode_point_chunk.remote(
+                tile_offsets[a:b + 1] - fa,
+                pa.concat_arrays([urls.slice(fa, fb - fa)]),
+                midx[fa:fb], lx[fa:fb], ly[fa:fb],
+                self.extent, self.version))
+        parts = ray.get(refs)
+        return [m for part in parts for m in part]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # NOTE: no lazy raytiles imports here — this body runs on ray
@@ -92,8 +156,13 @@ class FastPointEncoder:
         midx = pc.list_flatten(batch["mention_idx"]).to_numpy()
         lx = pc.list_flatten(batch["local_x"]).to_numpy()
         ly = pc.list_flatten(batch["local_y"]).to_numpy()
-        mvts = encode_point_tiles(tile_offsets, urls, midx, lx, ly,
-                                  extent=self.extent, version=self.version)
+        total = int(tile_offsets[-1])
+        if (self.chunk_features > 0 and total >= 2 * self.chunk_features
+                and ray.is_initialized()):
+            mvts = self._encode_fanout(tile_offsets, urls, midx, lx, ly)
+        else:
+            mvts = encode_point_tiles(tile_offsets, urls, midx, lx, ly,
+                                      extent=self.extent, version=self.version)
         return pa.table({
             "z": batch["z"], "x": batch["x"], "y": batch["y"],
             "mvt": pa.array(mvts, pa.binary()),

@@ -115,14 +115,53 @@ def assign(ds: ray.data.Dataset, zoom: int = DEFAULT_ZOOM, *,
 
 def aggregate_tiles(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Two-phase tile aggregation: per-batch partial pack into per-tile
-    rows capped at 512 features (no shuffle), then ONE groupby(bucket)
-    shuffle where bucket = splitmix(z,x,y) % 1024 bounds the group
-    count and spreads city skew tile-by-tile; the merge re-splits each
-    bucket into per-tile packed rows with pure offset arithmetic
-    (stages.py)."""
+    rows capped at 512 features (no shuffle), then ONE shuffle keyed by
+    bucket = splitmix(z,x,y) % 1024 (bounded key domain; city skew
+    spreads across buckets tile-by-tile), then a whole-block merge that
+    re-splits into per-tile packed rows with pure offset arithmetic.
+
+    The merge is map_batches(batch_size=None) over the shuffle's output
+    blocks, NOT groupby().map_groups(): the merge only needs all
+    partials of a tile co-located in one block (which the shuffle
+    guarantees — see merge_tile_partials), so per-group slicing +
+    format conversion x 1024 groups is pure overhead.
+
+    GRAFT_AGG_SHUFFLE selects the exchange: "sort" (default; Ray's
+    sample + range-partition sort) or "hash" (hash-partition
+    repartition — streams through aggregator actors without the sort's
+    sample barrier, at the cost of actor-pool spin-up)."""
     packed = ds.map_batches(pack_tile_partials, batch_format="pyarrow")
-    return packed.groupby("bucket").map_groups(
-        merge_tile_partials, batch_format="pyarrow")
+    if os.environ.get("GRAFT_AGG_SHUFFLE", "sort") == "hash":
+        # NOTE: Datasets snapshot DataContext at creation — the caller
+        # must set shuffle_strategy=HASH_SHUFFLE before building the
+        # pipeline (tiles_pipeline does this when the env knob is set)
+        shuffled = packed.repartition(
+            num_blocks=_shuffle_width(), keys=["bucket"])
+    else:
+        # explicit range boundaries over the KNOWN bucket domain
+        # [0, N_MERGE_BUCKETS): skips the sort's sample stage (a
+        # barrier + one extra pass over every block's key column) —
+        # bucket ids are already a uniform hash, so uniform boundaries
+        # equal what sampling would estimate
+        from .stages import N_MERGE_BUCKETS
+        n_out = _shuffle_width()
+        step = N_MERGE_BUCKETS / n_out
+        bounds = [int(step * i) for i in range(1, n_out)]
+        shuffled = packed.sort("bucket", boundaries=bounds)
+    return shuffled.map_batches(merge_tile_partials, batch_size=None,
+                                zero_copy_batch=True, batch_format="pyarrow")
+
+
+def _shuffle_width() -> int:
+    """Reducer count for the tile exchange. Floor 64 keeps the SAME
+    layout at every cluster size up to 64 cpus (a cpu-scaled count
+    gives the 4N leg a different shuffle than the N leg — measured as
+    a direct efficiency hit), rising to one reducer per CPU on bigger
+    clusters; capped at the bucket domain (reducers receive whole
+    buckets, so more reducers than buckets is useless)."""
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    from .stages import N_MERGE_BUCKETS
+    return min(N_MERGE_BUCKETS, max(64, cpus))
 
 
 def encode_tiles(ds: ray.data.Dataset, *, concurrency=None,
@@ -136,11 +175,15 @@ def encode_tiles(ds: ray.data.Dataset, *, concurrency=None,
     ``concurrency=N`` to run the same class as a bounded actor pool —
     the right choice when per-actor state is expensive (big models) or
     memory must be capped per node."""
+    chunk = int(os.environ.get("GRAFT_ENCODE_CHUNK", "0")) or None
+    kwargs = {"extent": extent}
+    if chunk is not None:
+        kwargs["chunk_features"] = chunk  # <=0 disables the fanout path
     if concurrency is not None:
         return ds.map_batches(FastPointEncoder, batch_format="pyarrow",
                               batch_size=batch_size, concurrency=concurrency,
-                              fn_constructor_kwargs={"extent": extent})
-    encoder = FastPointEncoder(extent=extent)
+                              fn_constructor_kwargs=kwargs)
+    encoder = FastPointEncoder(**kwargs)
 
     def encode_batch(batch):
         return encoder(batch)
@@ -151,6 +194,9 @@ def encode_tiles(ds: ray.data.Dataset, *, concurrency=None,
 def tiles_pipeline(webpages_path: str, zoom: int = DEFAULT_ZOOM, *,
                    parse_concurrency=None, encode_concurrency=None) -> ray.data.Dataset:
     """Full pipeline, lazy — consume with write_parquet / iter_batches."""
+    if os.environ.get("GRAFT_AGG_SHUFFLE") == "hash":
+        from ray.data.context import DataContext, ShuffleStrategy
+        DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ds = read_webpages(webpages_path)
     ds = geoparse(ds, concurrency=parse_concurrency)
     ds = assign(ds, zoom, with_cells=False)  # cells unused downstream

@@ -248,12 +248,22 @@ def pack_tile_partials(batch: pa.Table) -> pa.Table:
 
 
 def merge_tile_partials(group: pa.Table) -> pa.Table:
-    """Phase 2 (after the groupby(bucket) shuffle): flatten one
-    bucket's partials and re-split into one packed row PER TILE,
-    features sorted (url, mention_idx). The multi-key sort runs
-    Arrow-native (pc.sort_indices on the flattened table) so url
-    strings never materialize as Python objects — the string column
-    moves zero-copy from flatten to take to the output list array."""
+    """Phase 2 (after the shuffle): flatten partial rows and re-split
+    into one packed row PER TILE, features sorted (url, mention_idx).
+    The multi-key sort runs Arrow-native (pc.sort_indices on the
+    flattened table) so url strings never materialize as Python
+    objects — the string column moves zero-copy from flatten to take
+    to the output list array.
+
+    Runs per BLOCK, not per bucket group (map_batches(batch_size=None)
+    after the shuffle): correctness needs only that all partials of a
+    tile share a block, which both shuffle paths guarantee — the sort
+    never splits equal keys across partition boundaries (Ray's own
+    map_groups applies per-block group boundaries on that same
+    invariant) and hash partitioning is a pure function of the key.
+    Tiles are disjoint across buckets, so merging a multi-bucket block
+    in one vectorized pass is equivalent to per-group calls without
+    the ~0.2-0.5ms-per-group map_groups overhead x 1024 groups."""
     n_per_row = pc.list_value_length(group["x"]).to_numpy()
     flat = pa.table({
         "z": pa.array(np.repeat(group["z"].to_numpy(), n_per_row), pa.int32()),

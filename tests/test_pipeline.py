@@ -111,6 +111,48 @@ def test_fastpoint_encoder_large_string_parity():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_encoder_fanout_byte_equality():
+    """The fat-batch nested-task fanout must emit exactly the bytes of
+    the inline path: same tiles, same order, tile granularity
+    preserved across chunk cuts."""
+    from raytiles.pipeline import encode_stage
+    from raytiles.pipeline.encode_stage import FastPointEncoder, _chunk_tile_cuts
+    rng = np.random.default_rng(7)
+    n_tiles, per = 40, 37
+    urls, midx, lxs, lys = [], [], [], []
+    for t in range(n_tiles):
+        k = per + (t % 5)
+        urls.append([f"https://s{rng.integers(0, 9)}.example.com/p{i}" for i in range(k)])
+        midx.append(rng.integers(0, 50, k).tolist())
+        lxs.append(rng.integers(0, 4096, k).tolist())
+        lys.append(rng.integers(0, 4096, k).tolist())
+    batch = pa.table({
+        "z": pa.array([12] * n_tiles, pa.int32()),
+        "x": pa.array(list(range(n_tiles)), pa.int32()),
+        "y": pa.array([9] * n_tiles, pa.int32()),
+        "urls": pa.array(urls, pa.list_(pa.string())),
+        "mention_idx": pa.array(midx, pa.list_(pa.int32())),
+        "local_x": pa.array(lxs, pa.list_(pa.int32())),
+        "local_y": pa.array(lys, pa.list_(pa.int32())),
+    })
+    inline = FastPointEncoder()(batch)["mvt"].to_pylist()
+    # force the fanout path with a tiny chunk budget
+    offs = np.concatenate([[0], np.cumsum([len(u) for u in urls])]).astype(np.int64)
+    cuts = _chunk_tile_cuts(offs, target=100)
+    assert cuts.size > 3  # actually chunked
+    fan_enc = FastPointEncoder(chunk_features=100)
+    fanned = fan_enc(batch)["mvt"].to_pylist()  # __call__ takes the fanout branch
+    assert fanned == inline
+    # direct fanout call too (covers the slice-compaction path)
+    fan = fan_enc._encode_fanout(
+        offs, pa.array([u for row in urls for u in row], pa.string()),
+        np.array([m for row in midx for m in row], np.int64),
+        np.array([v for row in lxs for v in row], np.int64),
+        np.array([v for row in lys for v in row], np.int64))
+    assert fan == inline
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDistributed:
     def test_assignments_match_oracle(self, webpages_500, tmp_path):
         import pyarrow.parquet as pq
