@@ -36,6 +36,7 @@ the DuckDB oracle can reproduce it exactly:
 
 from __future__ import annotations
 
+import binascii
 import hashlib
 import re
 
@@ -140,7 +141,8 @@ class MinHasher:
     dedups repeated shingles before hashing), permutations via one
     (n_shingles, n_hashes) xor broadcast, per-doc signature mins via
     np.minimum.reduceat over segment starts. The only per-doc Python
-    work left is tokenization and the 4 band-key md5s."""
+    work left is tokenization and one md5 call per band over a
+    precomputed hex slice (the hex itself is one batch hexlify)."""
 
     def __init__(self) -> None:
         self.consts = np.array(SEED_CONSTS, dtype=np.uint64)
@@ -165,12 +167,17 @@ class MinHasher:
         n = kept_ids.size
         md5 = hashlib.md5
         out_hash = np.empty(n * N_BANDS, dtype=np.uint64)
+        # band key = md5 over the band's signature words as fixed-width
+        # lowercase hex (ONE hexlify for the whole batch — no per-row
+        # int->str->join; SQL twin: md5(lower(lpad(to_hex(m),16,'0'))||…)
+        w = 16 * rpb  # hex chars per band row
         for band in range(N_BANDS):
-            part = sigs[:, band * rpb:(band + 1) * rpb]
+            part = np.ascontiguousarray(
+                sigs[:, band * rpb:(band + 1) * rpb]).astype(">u8")
+            hx = binascii.hexlify(part.tobytes())
             out_hash[band * n:(band + 1) * n] = np.fromiter(
-                (int.from_bytes(
-                    md5("_".join(str(int(v)) for v in row).encode()).digest()[:8],
-                    "big") for row in part),
+                (int.from_bytes(md5(hx[i * w:(i + 1) * w]).digest()[:8], "big")
+                 for i in range(n)),
                 dtype=np.uint64, count=n)
         return pd.DataFrame({
             "doc_id": np.tile(kept_ids, N_BANDS),
@@ -224,6 +231,22 @@ def minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     return bands.map_batches(add_bucket, batch_format="pandas") \
         .groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas") \
         .groupby("bucket2").map_groups(distinct_bucket, batch_format="pandas")
+
+
+_PAIRS_CACHE: dict[str, "ray.data.Dataset"] = {}
+
+
+def candidate_pairs(sf_dir: str) -> ray.data.Dataset:
+    """``minhash_pairs`` materialized ONCE per process per sf_dir (one
+    cache slot — stale entries are dropped so their blocks unpin).
+    The pair set is the LSH-filtered small side (16 B/row), so pinning
+    it in the object store is cheap, and every consumer in the same
+    session (the minhash_pairs gate query, jaccard verification) costs
+    one execution of the minhash chain instead of one each."""
+    if sf_dir not in _PAIRS_CACHE:
+        _PAIRS_CACHE.clear()
+        _PAIRS_CACHE[sf_dir] = minhash_pairs(sf_dir).materialize()
+    return _PAIRS_CACHE[sf_dir]
 
 
 def minhash_band_overflow(sf_dir: str) -> ray.data.Dataset:
@@ -290,7 +313,7 @@ def jaccard_verify(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
     map_batches computes |A∩B| via np.intersect1d on the sorted
     uint64 arrays. No driver materialization anywhere — at 100 TB
     with real duplication the candidate set is NOT small."""
-    pairs = minhash_pairs(sf_dir)
+    pairs = candidate_pairs(sf_dir)
     sets = _shingle_sets(sf_dir)
     n_part = _join_partitions()
 

@@ -264,7 +264,10 @@ def minhash_bands_sql() -> str:
     bands = []
     rpb = 2
     for b in range(4):
-        key = " || '_' || ".join(f"m{b * rpb + j}::VARCHAR" for j in range(rpb))
+        # band key = md5 of the band's signature words as fixed-width
+        # lowercase hex — the exact twin of MinHasher's batch hexlify
+        key = " || ".join(
+            f"lower(lpad(to_hex(m{b * rpb + j}), 16, '0'))" for j in range(rpb))
         bands.append(
             f"SELECT doc_id, {b} AS band_id, "
             f"((('0x' || substr(md5({key}), 1, 16))::UBIGINT)::HUGEINT "
