@@ -19,6 +19,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -228,15 +229,56 @@ def run_scaling() -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         b0, s0 = _cpu_stat()
         t0 = time.time()
-        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                             env=env, capture_output=True, text=True, check=True).stdout
+        # Sample OUR process tree's cumulative CPU during the leg:
+        # hidden co-tenant processes never appear in /proc/<pid> but do
+        # appear in /proc/stat busy time, so (busy - ours) attributes
+        # the leg's contention honestly. A per-pid running max survives
+        # worker exit (ray.shutdown at leg end would otherwise lose
+        # every worker's accumulated jiffies).
+        seen: dict[str, float] = {}
+        stop = threading.Event()
+
+        def sample_ours() -> None:
+            while not stop.is_set():
+                for pid in os.listdir("/proc"):
+                    if not pid.isdigit():
+                        continue
+                    try:
+                        with open(f"/proc/{pid}/stat") as fh:
+                            parts = fh.read().rsplit(")", 1)[1].split()
+                        seen[pid] = max(seen.get(pid, 0.0),
+                                        float(parts[11]) + float(parts[12]))
+                    except (OSError, IndexError, ValueError):
+                        continue
+                stop.wait(0.5)
+
+        base = {}
+        for pid in os.listdir("/proc"):
+            if pid.isdigit():
+                try:
+                    with open(f"/proc/{pid}/stat") as fh:
+                        parts = fh.read().rsplit(")", 1)[1].split()
+                    base[pid] = float(parts[11]) + float(parts[12])
+                except (OSError, IndexError, ValueError):
+                    continue
+        th = threading.Thread(target=sample_ours, daemon=True)
+        th.start()
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, check=True).stdout
+        finally:
+            stop.set()
+            th.join()
         wall = time.time() - t0
         b1, s1 = _cpu_stat()
         r = json.loads(out.strip().splitlines()[-1])
         total = (b1 - b0) + (s1 - s0)
         r["steal_pct_during_leg"] = round(100.0 * (s1 - s0) / total, 1) if total else 0.0
+        ours = sum(max(0.0, v - base.get(pid, 0.0)) for pid, v in seen.items())
+        r["own_busy_cores"] = round(ours / 100.0 / wall, 1)
         r["other_busy_cores"] = round(
-            max(0.0, (b1 - b0) / 100.0 / wall - ncpu * r["value"] / wall), 1)
+            max(0.0, ((b1 - b0) - ours) / 100.0 / wall), 1)
         return r
 
     lo, hi = (int(v) for v in

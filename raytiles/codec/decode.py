@@ -34,7 +34,7 @@ def _unpack_f4(b):
 def _unpack_f8(b):
     return struct.unpack("<d", b)
 
-from . import wire
+from . import fastdecode, wire
 from .geometry import (
     GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON, GeometryError,
     decode_linestrings, decode_points, decode_polygons,
@@ -161,7 +161,25 @@ def _get_meta(keys: list, values: list, tags) -> dict:
     return meta
 
 
+LAYER_BATCH_BYTES = 2048  # above this, batched whole-layer decode wins
+
+
 def _decode_layer(buf, start: int, end: int) -> Layer:
+    """Size-dispatched: large layers go through the batched decoder
+    (fastdecode.decode_layer_batched — one vectorized varint/unzig/
+    cumsum pass for ALL features); small layers and ANY anomaly use
+    the exact per-feature path, which owns the reference's error
+    messages and error order."""
+    if end - start >= LAYER_BATCH_BYTES:
+        try:
+            return fastdecode.decode_layer_batched(
+                buf, start, end, _decode_value, _get_meta)
+        except fastdecode.FallbackDecode:
+            pass
+    return _decode_layer_exact(buf, start, end)
+
+
+def _decode_layer_exact(buf, start: int, end: int) -> Layer:
     version = 1
     name = b""
     extent = None
