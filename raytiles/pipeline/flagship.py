@@ -168,6 +168,18 @@ def encode_tiles(ds: ray.data.Dataset, *, concurrency=None,
                  batch_size: int = 4096, extent: int = 4096) -> ray.data.Dataset:
     """Packed tile rows -> {z,x,y,mvt,...} via the vectorized encoder.
 
+    ``batch_size=4096`` (~55k features/call at sfbig12) beats both
+    whole-block batches and the nested-task fanout, MEASURED
+    (sfbig12/16cpu, interleaved A/B): 4096-inline 20.2s e2e vs
+    whole-block+fanout 24.7s. Chunked calls keep the kernel's working
+    set L3-sized, and the fanout's object-store round trips cost more
+    than the straggler they spread: the fat reducer block's inline
+    encode is only ~1.2s (and the hottest single tile ~0.5s), while
+    fanout doubled the reduce operator's CPU time (59.5s vs 27.3s
+    parent-side) and blocked the parent in ray.get for half its wall
+    time. Sub-tile fanout stays available via GRAFT_ENCODE_CHUNK for
+    genuinely mega single tiles (>=2x ENCODE_CHUNK_FEATURES).
+
     Default is task-based (encoder instance cached per worker process):
     on this single-node setup an actor pool costs ~2s spin-up per
     execution (measured: a NOOP 28-actor pool = 1.7-2.1s) while the
