@@ -102,6 +102,52 @@ def test_geoparser_arrow_large_string_and_sliced():
     assert expect[0].tolist() == [1, 2, 4, 4]
 
 
+def test_geoparser_re2_matches_python_scan():
+    """Property: the RE2 round-loop (parse_arrow) must be byte-identical
+    to the Python-finditer reference (_py_scan_arrow + filter) on random
+    mixed streams, including docs deep enough to hit the straggler
+    fallback (> MAX_RE2_ROUNDS mentions)."""
+    import pyarrow as pa
+    from raytiles.geo.parse import MAX_LAT, MAX_RE2_ROUNDS
+    p = GeoParser()
+
+    def reference(arr):
+        row, seq, lat, lon = p._py_scan_arrow(arr)
+        keep = (np.abs(lat) <= MAX_LAT) & (np.abs(lon) <= 180.0)
+        row = row[keep]
+        lat, lon = lat[keep], lon[keep]
+        run_first = np.zeros(row.size, np.int64)
+        if row.size:
+            ch = np.empty(row.size, bool)
+            ch[0] = True
+            ch[1:] = row[1:] != row[:-1]
+            firsts = np.flatnonzero(ch)
+            run_first = np.repeat(
+                firsts, np.diff(np.concatenate([firsts, [row.size]])))
+        mi = (np.arange(row.size) - run_first).astype(np.int32)
+        return row, mi, lat, lon
+
+    rng = np.random.default_rng(17)
+    frag = ["located at {a:.4f}, {b:.4f}", "(lat {a:.4f}, lon {b:.4f})",
+            "{c:.4f}N {d:.4f}W", "price $12.99 v3.25", "plain filler"]
+    docs = []
+    for i in range(300):
+        n = int(rng.integers(0, 8))
+        parts = [frag[int(rng.integers(0, len(frag)))].format(
+            a=rng.uniform(-95, 95), b=rng.uniform(-190, 190),
+            c=rng.uniform(0, 95), d=rng.uniform(0, 190)) for _ in range(n)]
+        docs.append(" and ".join(parts))
+    # one straggler exceeding the RE2 round budget
+    docs.append(" ".join("located at 37.7749, -122.4194"
+                         for _ in range(MAX_RE2_ROUNDS + 5)))
+    arr = pa.array(docs, pa.string())
+    expect = reference(arr)
+    got = p.parse_arrow(arr)
+    assert expect[0].size > 0
+    for e, g in zip(expect, got):
+        assert np.array_equal(e, g)
+
+
 def test_geoparser_range_validation():
     p = GeoParser()
     out = p.parse_series(pd.Series(["located at 89.0000, 10.0000 then located at 10.0000, 20.0000"]))
