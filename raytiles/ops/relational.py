@@ -46,25 +46,41 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     l_shipdate, groupby returnflag+linestatus, sums/avgs/count) with a
     per-batch partial aggregate before the shuffle."""
     cutoff = np.datetime64("1998-09-02T00:00:00")
+    _EMPTY_PARTIAL = pa.schema([
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("s_qty", pa.float64()), ("s_base", pa.float64()),
+        ("s_disc", pa.float64()), ("s_charge", pa.float64()),
+        ("s_discount", pa.float64()), ("n", pa.int64())])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[batch["l_shipdate"] <= cutoff]
-        if b.empty:
-            return pd.DataFrame({"l_returnflag": [], "l_linestatus": [],
-                                 "s_qty": [], "s_base": [], "s_disc": [],
-                                 "s_charge": [], "s_discount": [], "n": []})
-        b = b.assign(disc_price=b["l_extendedprice"] * (1 - b["l_discount"]))
-        b = b.assign(charge=b["disc_price"] * (1 + b["l_tax"]))
-        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            s_qty=("l_quantity", "sum"), s_base=("l_extendedprice", "sum"),
-            s_disc=("disc_price", "sum"), s_charge=("charge", "sum"),
-            s_discount=("l_discount", "sum"), n=("l_quantity", "size"))
+    def partial(batch: pa.Table) -> pa.Table:
+        """Arrow-native combiner: pc kernels + one C++ hash aggregate
+        per batch — the string key columns never round-trip through
+        pandas object arrays."""
+        import pyarrow.compute as pc
+        b = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        if b.num_rows == 0:
+            return _EMPTY_PARTIAL.empty_table()
+        disc_price = pc.multiply(
+            b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(1.0, b["l_tax"]))
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "s_qty": b["l_quantity"], "s_base": b["l_extendedprice"],
+            "s_disc": disc_price, "s_charge": charge,
+            "s_discount": b["l_discount"]})
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("s_qty", "sum"), ("s_base", "sum"), ("s_disc", "sum"),
+             ("s_charge", "sum"), ("s_discount", "sum"), ("s_qty", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "s_qty",
+                                 "s_base", "s_disc", "s_charge",
+                                 "s_discount", "n"])
 
     ds = ray.data.read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
                  "l_returnflag", "l_linestatus", "l_shipdate"])
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("s_qty", alias_name="sum_qty"),
         Sum("s_base", alias_name="sum_base_price"),
@@ -105,13 +121,14 @@ def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
     dim_ref = ray.put(dim[["c_custkey", "c_name", "n_name"]])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("o_custkey", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_orderkey", "count"))
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, "o_custkey").aggregate(
+            [("o_totalprice", "sum"), ("o_orderkey", "count")])
+        return g.rename_columns(["o_custkey", "revenue", "n_orders"])
 
     orders = ray.data.read_parquet(_p(sf_dir, "orders"),
                                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    agg = orders.map_batches(partial, batch_format="pandas") \
+    agg = orders.map_batches(partial, batch_format="pyarrow") \
         .groupby("o_custkey").aggregate(
             Sum("revenue", alias_name="revenue"),
             Sum("n_orders", alias_name="n_orders"))
@@ -137,16 +154,18 @@ def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
 def events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1-hour window per event_type: count + value sum/min/max
     (partial per batch, final groupby over (event_type, window))."""
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch.copy()
-        b["window_start"] = b["ts"].dt.floor("h")
-        return b.groupby(["event_type", "window_start"], as_index=False).agg(
-            n=("event_id", "count"), s_value=("value", "sum"),
-            mn=("value", "min"), mx=("value", "max"))
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = pa.table({"event_type": batch["event_type"],
+                      "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+                      "value": batch["value"]})
+        g = pa.TableGroupBy(t, ["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["event_type", "window_start", "n", "s_value"])
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"),
-                               columns=["event_id", "ts", "event_type", "value"])
-    agg = ds.map_batches(partial, batch_format="pandas") \
+                               columns=["ts", "event_type", "value"])
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["event_type", "window_start"]).aggregate(
             Sum("n", alias_name="n_events"),
             Sum("s_value", alias_name="sum_value"),
@@ -170,23 +189,23 @@ def events_sliding(sf_dir: str, window_min: int = 60, step_min: int = 15) -> ray
     explode-then-groupby formulation (no ordering requirement, pure
     partial aggregation before the shuffle)."""
     k = window_min // step_min
-    step = np.timedelta64(step_min, "m")
+    step_us = step_min * 60_000_000
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        base = batch["ts"].dt.floor(f"{step_min}min")
-        frames = []
-        for i in range(k):
-            w = base - step * i
-            frames.append(pd.DataFrame({"event_type": batch["event_type"],
-                                        "window_start": w,
-                                        "value": batch["value"]}))
-        ex = pd.concat(frames, ignore_index=True)
-        return ex.groupby(["event_type", "window_start"], as_index=False).agg(
-            n=("value", "size"), s_value=("value", "sum"))
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        base = pc.floor_temporal(batch["ts"], multiple=step_min, unit="minute")
+        parts = [pa.table({"event_type": batch["event_type"],
+                           "window_start": pc.subtract(
+                               base, pa.scalar(step_us * i, pa.duration("us"))),
+                           "value": batch["value"]}) for i in range(k)]
+        ex = pa.concat_tables(parts)
+        g = pa.TableGroupBy(ex, ["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["event_type", "window_start", "n", "s_value"])
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"),
                                columns=["ts", "event_type", "value"])
-    agg = ds.map_batches(partial, batch_format="pandas") \
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["event_type", "window_start"]).aggregate(
             Sum("n", alias_name="n_events"),
             Sum("s_value", alias_name="sum_value"))
