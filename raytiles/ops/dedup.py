@@ -97,28 +97,43 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     per batch, never the text), then one bounded 512-bucket groupby
     merges with a vectorized pandas groupby — no per-hash Python
     calls, no unbounded-key shuffle."""
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        df = pd.DataFrame({
-            "doc_id": b["doc_id"].astype(np.int64),
-            "h": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in b["text"]],
-        })
-        part = df.groupby("h", as_index=False).agg(
-            doc_id=("doc_id", "min"), n=("doc_id", "size"))
-        hk = np.fromiter((int(s[:16], 16) for s in part["h"]),
-                         np.uint64, count=len(part))
-        part["bucket"] = bucket_of(hk, N_DEDUP_BUCKETS)
-        return part
+    def partial(b: pa.Table) -> pa.Table:
+        # md5 over each row's UTF-8 slice of the Arrow values buffer —
+        # no Python str materializes, no .encode() copy (the md5 loop
+        # itself is inherent; this keeps its input zero-copy)
+        col = b["text"].combine_chunks()
+        if pa.types.is_large_string(col.type):
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int64)
+        else:
+            if not pa.types.is_string(col.type):
+                col = col.cast(pa.string())
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)
+        offs = offs[col.offset:col.offset + len(col) + 1]
+        mv = memoryview(col.buffers()[2])
+        md5 = hashlib.md5
+        digests = [md5(mv[offs[i]:offs[i + 1]]).digest()
+                   for i in range(len(col))]
+        hs = np.array([d.hex() for d in digests], dtype=object)
+        doc_ids = b["doc_id"].to_numpy().astype(np.int64)
+        uniq, first, inv = np.unique(hs, return_index=True, return_inverse=True)
+        doc_min = np.full(uniq.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(doc_min, inv, doc_ids)
+        n = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        hk = np.fromiter(
+            (int.from_bytes(digests[i][:8], "big") for i in first),
+            np.uint64, count=uniq.size)
+        return pa.table({"h": pa.array(uniq, pa.string()),
+                         "doc_id": doc_min, "n": n,
+                         "bucket": bucket_of(hk, N_DEDUP_BUCKETS)})
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("h", as_index=False).agg(
-            doc_id=("doc_id", "min"), n_dups=("n", "sum"))
-        return pd.DataFrame({"h": out["h"],
-                             "doc_id": out["doc_id"].astype(np.int64),
-                             "n_dups": out["n_dups"].astype(np.int64)})
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g.select(["h", "doc_id", "n"]), "h").aggregate(
+            [("doc_id", "min"), ("n", "sum")])
+        return out.rename_columns(["h", "doc_id", "n_dups"])
 
     return _docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(partial, batch_format="pandas") \
-        .groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

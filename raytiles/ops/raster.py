@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -36,31 +37,36 @@ def _partial_cells(assignments: ray.data.Dataset) -> ray.data.Dataset:
     30k (z,x,y,gx,gy) keys measured 21.7s where this path takes ~2s)."""
     from ..pipeline.stages import tile_bucket
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame({
-            "z": b["z"].astype(np.int64), "x": b["x"].astype(np.int64),
-            "y": b["y"].astype(np.int64),
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "z": pc.cast(b["z"], pa.int64()),
+            "x": pc.cast(b["x"], pa.int64()),
+            "y": pc.cast(b["y"], pa.int64()),
             "gx": (b["local_x"].to_numpy() // CELL).astype(np.int64),
             "gy": (b["local_y"].to_numpy() // CELL).astype(np.int64),
         })
-        out = g.groupby(["z", "x", "y", "gx", "gy"], as_index=False).size() \
-            .rename(columns={"size": "n"})
-        out["bucket"] = tile_bucket(out["z"].to_numpy(), out["x"].to_numpy(),
-                                    out["y"].to_numpy())
-        return out
+        g = pa.TableGroupBy(t, ["z", "x", "y", "gx", "gy"]).aggregate(
+            [("gx", "count")])
+        out = g.rename_columns(["z", "x", "y", "gx", "gy", "n"])
+        bucket = tile_bucket(out["z"].to_numpy(), out["x"].to_numpy(),
+                             out["y"].to_numpy())
+        return out.append_column("bucket", pa.array(bucket))
 
-    return assignments.map_batches(partial, batch_format="pandas")
+    return assignments.map_batches(partial, batch_format="pyarrow")
 
 
 def raster_cells(assignments: ray.data.Dataset) -> ray.data.Dataset:
     """Sparse raster: (z, x, y, gx, gy, n) — count of mentions per
     GRID x GRID cell per tile. SQL twin: gx = local_x // 16."""
-    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["z", "x", "y", "gx", "gy"], as_index=False)["n"].sum()
-        return out.astype({"n": np.int64})
+    def final_sum(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(
+            g.select(["z", "x", "y", "gx", "gy", "n"]),
+            ["z", "x", "y", "gx", "gy"]).aggregate([("n", "sum")])
+        out = out.rename_columns(["z", "x", "y", "gx", "gy", "n"])
+        return out.set_column(5, "n", pc.cast(out["n"], pa.int64()))
 
     return _partial_cells(assignments).groupby("bucket").map_groups(
-        final_sum, batch_format="pandas")
+        final_sum, batch_format="pyarrow")
 
 
 def rasterize_tiles(assignments: ray.data.Dataset) -> ray.data.Dataset:
