@@ -64,11 +64,12 @@ def run_benchmarks() -> dict:
     flagship.tiles_pipeline(wp, 12).write_parquet(out_dir)
     extras["cold_start_sec"] = round(time.time() - t0, 3)
 
-    # two timed steady-state runs; report the min (this host carries
+    # N timed steady-state runs; report the min (this host carries
     # bursty background load from other tenants — min is the least
-    # biased estimator of the pipeline's own cost)
+    # biased estimator of the pipeline's own cost). Scaling legs bump
+    # this to 3 so a single in-leg noise burst can't skew a leg.
     runs = []
-    for _ in range(2):
+    for _ in range(int(os.environ.get("GRAFT_BENCH_RUNS", "2"))):
         t0 = time.time()
         tiles = flagship.tiles_pipeline(wp, 12)
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -227,6 +228,7 @@ def run_scaling() -> None:
     efficiencies listed for transparency."""
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+        env.setdefault("GRAFT_BENCH_RUNS", "3")
         b0, s0 = _cpu_stat()
         t0 = time.time()
         # Sample OUR process tree's cumulative CPU during the leg:
@@ -368,7 +370,7 @@ def run_scaling() -> None:
         f"steal_pct_{lo}": r_lo.get("steal_pct_during_leg"),
         f"steal_pct_{hi}": r_hi.get("steal_pct_during_leg"),
         "speedup": round(speedup, 3),
-        "sf": SF_DIR,
+        "sf": scaling_dir,
     }))
 
 

@@ -43,6 +43,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -220,12 +221,11 @@ def minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     groupby with drop_duplicates — never a per-pair map_groups."""
     bands = minhash_bands(sf_dir)
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(b: pa.Table) -> pa.Table:
         key = pair_key(b["band_hash"].to_numpy().astype(np.int64),
                        b["band_id"].to_numpy())
-        b = b.copy()
-        b["bucket"] = bucket_of(key, N_PAIR_BUCKETS)
-        return b
+        return b.append_column(
+            "bucket", pa.array(bucket_of(key, N_PAIR_BUCKETS)))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         df = g.sort_values("doc_id")[["band_id", "band_hash", "doc_id"]]
@@ -243,7 +243,7 @@ def minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g[["doc_a", "doc_b"]].drop_duplicates()
 
-    return bands.map_batches(add_bucket, batch_format="pandas") \
+    return bands.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas") \
         .groupby("bucket2").map_groups(distinct_bucket, batch_format="pandas")
 
@@ -274,13 +274,16 @@ def minhash_band_overflow(sf_dir: str) -> ray.data.Dataset:
     SQL twin: oracles.minhash_overflow_sql."""
     bands = minhash_bands(sf_dir)
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        part = b.groupby(["band_id", "band_hash"], as_index=False).size() \
-            .rename(columns={"size": "n"})
-        part["bucket"] = bucket_of(
+    def partial(b: pa.Table) -> pa.Table:
+        part = pa.TableGroupBy(b.select(["band_id", "band_hash"]),
+                               ["band_id", "band_hash"]).aggregate(
+            [([], "count_all")])
+        part = part.rename_columns(["band_id", "band_hash", "n"])
+        bucket = bucket_of(
             pair_key(part["band_hash"].to_numpy().astype(np.int64),
                      part["band_id"].to_numpy()), N_PAIR_BUCKETS)
-        return part
+        return part.set_column(2, "n", pc.cast(part["n"], pa.int64())) \
+            .append_column("bucket", pa.array(bucket))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["band_id", "band_hash"], as_index=False).agg(
@@ -292,7 +295,7 @@ def minhash_band_overflow(sf_dir: str) -> ray.data.Dataset:
             "n_docs": out["n_docs"].astype(np.int64),
             "n_truncated": (out["n_docs"] - MAX_BAND_GROUP).astype(np.int64)})
 
-    return bands.map_batches(partial, batch_format="pandas") \
+    return bands.map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pandas")
 
 

@@ -167,28 +167,29 @@ def tile_pyramid(assignments: ray.data.Dataset,
     UNION ALL of integer-divided groupbys."""
     from ..pipeline.stages import tile_bucket
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        frames = []
+    def partial(b: pa.Table) -> pa.Table:
         x = b["x"].to_numpy().astype(np.int64)
         y = b["y"].to_numpy().astype(np.int64)
-        for zp in zooms:
-            dz = base_zoom - zp
-            frames.append(pd.DataFrame({
-                "z": np.int64(zp), "x": x >> dz, "y": y >> dz}))
-        ex = pd.concat(frames, ignore_index=True)
-        out = ex.groupby(["z", "x", "y"], as_index=False).size() \
-            .rename(columns={"size": "n"})
-        out["bucket"] = tile_bucket(out["z"].to_numpy(), out["x"].to_numpy(),
-                                    out["y"].to_numpy())
-        return out
+        n = x.size
+        zs = np.repeat(np.asarray(zooms, np.int64), n)
+        xs = np.concatenate([x >> (base_zoom - zp) for zp in zooms])
+        ys = np.concatenate([y >> (base_zoom - zp) for zp in zooms])
+        t = pa.table({"z": zs, "x": xs, "y": ys})
+        out = pa.TableGroupBy(t, ["z", "x", "y"]).aggregate([([], "count_all")])
+        out = out.rename_columns(["z", "x", "y", "n"])
+        bucket = tile_bucket(out["z"].to_numpy(), out["x"].to_numpy(),
+                             out["y"].to_numpy())
+        return out.set_column(3, "n", pc.cast(out["n"], pa.int64())) \
+            .append_column("bucket", pa.array(bucket))
 
-    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["z", "x", "y"], as_index=False)["n"].sum()
-        return out.astype({"z": np.int64, "x": np.int64, "y": np.int64,
-                           "n": np.int64})
+    def final_sum(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g.select(["z", "x", "y", "n"]),
+                              ["z", "x", "y"]).aggregate([("n", "sum")])
+        out = out.rename_columns(["z", "x", "y", "n"])
+        return out.set_column(3, "n", pc.cast(out["n"], pa.int64()))
 
-    return assignments.map_batches(partial, batch_format="pandas") \
-        .groupby("bucket").map_groups(final_sum, batch_format="pandas")
+    return assignments.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(final_sum, batch_format="pyarrow")
 
 
 def heatmap_pipeline(webpages_path: str, zoom: int = 8) -> ray.data.Dataset:

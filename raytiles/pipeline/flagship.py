@@ -10,6 +10,8 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -224,25 +226,28 @@ def cell_counts_pipeline(webpages_path: str, res: int = 5,
     then ONE bounded-bucket groupby counts vectorized within buckets.
     Distinct-url counting is exact because a cell's rows all land in
     the same bucket (bucket is a pure function of the cell id)."""
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    def partial(b: pa.Table) -> pa.Table:
         cell = tm.cell_id(b["lon"].to_numpy(), b["lat"].to_numpy(), res)
-        df = pd.DataFrame({"cell_r5": cell, "url": b["url"]})
-        part = df.groupby(["cell_r5", "url"], as_index=False).size() \
-            .rename(columns={"size": "n"})
-        part["bucket"] = bucket_of(part["cell_r5"].to_numpy(), n_buckets)
-        return part
+        t = pa.table({"cell_r5": cell, "url": b["url"]})
+        part = pa.TableGroupBy(t, ["cell_r5", "url"]).aggregate(
+            [([], "count_all")])
+        part = part.rename_columns(["cell_r5", "url", "n"])
+        bucket = bucket_of(part["cell_r5"].to_numpy(), n_buckets)
+        return part.set_column(2, "n", pc.cast(part["n"], pa.int64())) \
+            .append_column("bucket", pa.array(bucket))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("cell_r5").agg(
-            n_mentions=("n", "sum"), n_docs=("url", "nunique")).reset_index()
-        return pd.DataFrame({
-            "cell_r5": out["cell_r5"].astype("int64"),
-            "n_mentions": out["n_mentions"].astype("int64"),
-            "n_docs": out["n_docs"].astype("int64")})
+    def merge(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g.select(["cell_r5", "url", "n"]),
+                              "cell_r5").aggregate(
+            [("n", "sum"), ("url", "count_distinct")])
+        out = out.rename_columns(["cell_r5", "n_mentions", "n_docs"])
+        return pa.table({"cell_r5": pc.cast(out["cell_r5"], pa.int64()),
+                         "n_mentions": pc.cast(out["n_mentions"], pa.int64()),
+                         "n_docs": pc.cast(out["n_docs"], pa.int64())})
 
     ds = geoparse(read_webpages(webpages_path))
-    return ds.map_batches(partial, batch_format="pandas") \
-        .groupby("bucket").map_groups(merge, batch_format="pandas")
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def assignments_pipeline(webpages_path: str, zoom: int = DEFAULT_ZOOM) -> ray.data.Dataset:
