@@ -236,6 +236,21 @@ def _q_jaccard_pairs(sf_dir: str):
     return jaccard_verify(sf_dir)
 
 
+def _q_dup_clusters(sf_dir: str):
+    from raytiles.ops.dedup import dup_clusters
+    return dup_clusters(sf_dir)
+
+
+def _q_dedup_survivors(sf_dir: str):
+    from raytiles.ops.dedup import dedup_survivors
+    return dedup_survivors(sf_dir)
+
+
+def _q_events_asof(sf_dir: str):
+    from raytiles.ops.relational import events_asof
+    return events_asof(sf_dir)
+
+
 def _q_minhash_overflow(sf_dir: str):
     import numpy as np
     import pandas as pd
@@ -319,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
+        "events_asof": _q_events_asof,
         "extract_text": _q_extract_text,
         "morton_cells": _q_morton_cells,
         "tile_pyramid": _q_tile_pyramid,
@@ -336,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "minhash_overflow": _q_minhash_overflow,
         "jaccard_pairs": _q_jaccard_pairs,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
         "simhash": _q_simhash,
         # similarity search
         "knn": _q_knn,
@@ -363,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": oracles.EVENTS_HOURLY_SQL,
         "events_sliding": oracles.EVENTS_SLIDING_SQL,
         "events_sessions": oracles.EVENTS_SESSIONS_SQL,
+        "events_asof": oracles.events_asof_sql(),
         "extract_text": oracles.extract_text_sql(wp),
         "morton_cells": oracles.morton_cells_sql(wp),
         "tile_pyramid": oracles.tile_pyramid_sql(wp),
@@ -376,6 +395,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": oracles.minhash_pairs_sql(),
         "minhash_overflow": oracles.minhash_overflow_sql(),
         "jaccard_pairs": oracles.jaccard_pairs_sql(),
+        "dup_clusters": oracles.dup_clusters_sql(),
+        "dedup_survivors": oracles.dedup_survivors_sql(),
         # simhash / lsh_neardup / winnow_fingerprints / media_features:
         # rows-only (non-SQL-expressible or approximate)
         "knn": oracles.knn_sql(),

@@ -415,3 +415,129 @@ def simhash(sf_dir: str) -> ray.data.Dataset:
                              "simhash_hi": hi, "simhash_lo": lo})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cluster resolution (connected components) + survivor selection
+# ---------------------------------------------------------------------------
+
+def dup_clusters(sf_dir: str, max_rounds: int = 16) -> ray.data.Dataset:
+    """Connected components over the candidate-pair graph:
+    (doc_id, cluster_id) for every doc in >=1 pair, cluster_id = min
+    doc_id of its component — the cluster-resolution step between
+    pair generation and survivor selection that a dedup pipeline
+    needs (pairs alone don't say WHICH copy survives a triangle
+    a-b, b-c).
+
+    Distributed min-label propagation (no Dataset primitive exists):
+    labels start as identity; each round ships labels onto the
+    bidirectional edge set with one bounded hash join, then a
+    bounded-bucket groupby takes each node's min over (own label,
+    neighbours' labels). Labels only ever DECREASE, so sum(label) is
+    a monotone convergence metric checked driver-side per round
+    (one scalar — never the labels themselves). Rounds needed =
+    component diameter; LSH components are near-cliques, so 2-3.
+    Non-convergence within max_rounds raises — never a silent
+    truncation. At 10^12 docs every step stays bounded: edges and
+    labels are O(dup docs), the join is partitioned, the groupby key
+    is a 512-bucket hash."""
+    pairs = candidate_pairs(sf_dir)
+    n_part = _join_partitions()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy().astype(np.int64)
+        b = t["doc_b"].to_numpy().astype(np.int64)
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow") \
+        .repartition(n_part).materialize()
+
+    EMPTY = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    if edges.count() == 0:
+        return ray.data.from_arrow(EMPTY.empty_table())
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["src"].to_numpy()).astype(np.int64)
+        return pa.table({"doc_id": u, "label": u,
+                         "bucket": bucket_of(u.astype(np.uint64),
+                                             N_DEDUP_BUCKETS)})
+
+    def label_merge(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        lab = g["label"].to_numpy()
+        uniq, inv = np.unique(ids, return_inverse=True)
+        lab_min = np.full(uniq.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(lab_min, inv, lab)
+        return pa.table({"doc_id": uniq.astype(np.int64), "label": lab_min})
+
+    def add_node_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(bucket_of(
+            t["doc_id"].to_numpy().astype(np.uint64), N_DEDUP_BUCKETS)))
+
+    labels = edges.map_batches(node_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(label_merge, batch_format="pyarrow") \
+        .repartition(n_part).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_rounds):
+        j = edges.join(labels, "inner", n_part,
+                       on=("src",), right_on=("doc_id",))
+
+        def msg(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t["dst"], "label": t["label"]})
+
+        cand = labels.map_batches(
+            lambda t: t.select(["doc_id", "label"]), batch_format="pyarrow") \
+            .union(j.map_batches(msg, batch_format="pyarrow"))
+        labels = cand.map_batches(add_node_bucket, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(label_merge, batch_format="pyarrow") \
+            .repartition(n_part).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"dup_clusters: labels still changing after {max_rounds} rounds "
+            f"(component diameter exceeds the bound) — raise max_rounds")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "cluster_id"])
+
+    return labels.map_batches(finalize, batch_format="pyarrow")
+
+
+def dedup_survivors(sf_dir: str) -> ray.data.Dataset:
+    """doc_ids that survive near-dup collapse: every doc except the
+    non-minimum members of each dup_clusters component. One bounded-
+    bucket groupby over the union of (all docs, flag 0) and (cluster
+    losers, flag 1) — no join, no driver-side set."""
+    clusters = dup_clusters(sf_dir)
+
+    def losers(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["doc_id"], t["cluster_id"])
+        sub = t.filter(keep)
+        ids = sub["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({"doc_id": ids, "dropped": np.ones(ids.size, np.int64),
+                         "bucket": bucket_of(ids.astype(np.uint64),
+                                             N_DEDUP_BUCKETS)})
+
+    def all_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({"doc_id": ids, "dropped": np.zeros(ids.size, np.int64),
+                         "bucket": bucket_of(ids.astype(np.uint64),
+                                             N_DEDUP_BUCKETS)})
+
+    def keep_survivors(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        dropped = g["dropped"].to_numpy()
+        uniq, inv = np.unique(ids, return_inverse=True)
+        mx = np.zeros(uniq.size, np.int64)
+        np.maximum.at(mx, inv, dropped)
+        return pa.table({"doc_id": uniq[mx == 0].astype(np.int64)})
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        all_docs, batch_format="pyarrow")
+    return docs.union(clusters.map_batches(losers, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(keep_survivors, batch_format="pyarrow")

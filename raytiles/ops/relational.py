@@ -261,3 +261,70 @@ def events_sessions(sf_dir: str, gap_min: int = 30,
                                columns=["event_id", "ts", "user_id", "value"])
     return ds.map_batches(add_bucket, batch_format="pandas") \
         .groupby("bucket").map_groups(sessionize_bucket, batch_format="pandas")
+
+
+def events_asof(sf_dir: str, left_type: str = "purchase",
+                right_type: str = "click",
+                n_buckets: int = 256) -> ray.data.Dataset:
+    """As-of join, an operator Ray Data has no primitive for: each
+    ``left_type`` event is joined to the latest ``right_type`` event
+    of the SAME user strictly earlier in ``(ts, event_id)`` order
+    (the event_id tiebreak pins equal timestamps deterministically —
+    same contract as the oracle's ROWS ... 1 PRECEDING window).
+
+    Composition, per the custom-operator ladder (SURVEY §2.2): a
+    column-pruned read, a bounded user-hash bucket key (never a
+    groupby on raw user_id), then ONE shuffle and a whole-bucket
+    vectorized pass: lexsort by (user, ts, event_id), mark right-type
+    rows with their own position, and a segment-reset running maximum
+    (one np.maximum.accumulate over bucket-offset keys) yields every
+    left row's predecessor without any per-user loop. Timestamps
+    travel as epoch microseconds (int64) so engine and oracle hash
+    identically."""
+    from ..util import bucket_of
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array([left_type, right_type])))
+        return b.append_column(
+            "bucket", pa.array(bucket_of(b["user_id"].to_numpy(), n_buckets)))
+
+    def asof_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        is_right = np.asarray(g["event_type"]) == right_type
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, is_right = uid[order], ts[order], eid[order], is_right[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table({"event_id": np.empty(0, np.int64),
+                             "user_id": np.empty(0, np.int64),
+                             "ts_us": np.empty(0, np.int64),
+                             "prior_event_id": np.empty(0, np.int64),
+                             "prior_ts_us": np.empty(0, np.int64),
+                             "gap_us": np.empty(0, np.int64)})
+        seg = np.cumsum(np.concatenate(([0], uid[1:] != uid[:-1])))
+        # right rows carry their own position + 1; the running max of
+        # seg*(n+1) + that never crosses a user boundary undetected
+        # because seg is the high digit
+        r = np.where(is_right, np.arange(1, n + 1), 0)
+        run = np.maximum.accumulate(seg * (n + 1) + r)
+        prior_pos = run % (n + 1) - 1           # -1: none yet
+        prior_seg = run // (n + 1)
+        ok = (~is_right) & (prior_pos >= 0) & (prior_seg == seg)
+        li = np.flatnonzero(ok)
+        pi = prior_pos[li]
+        return pa.table({
+            "event_id": eid[li].astype(np.int64),
+            "user_id": uid[li].astype(np.int64),
+            "ts_us": ts[li],
+            "prior_event_id": eid[pi].astype(np.int64),
+            "prior_ts_us": ts[pi],
+            "gap_us": ts[li] - ts[pi]})
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["event_id", "ts", "user_id", "event_type"])
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(asof_bucket, batch_format="pyarrow")

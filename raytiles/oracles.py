@@ -406,3 +406,53 @@ SELECT url, octet_length(html) AS n_bytes,
        octet_length(html) % 480 AS fake_height
 FROM read_parquet('{webpages_parquet}/*.parquet')
 """
+
+
+def dup_clusters_sql() -> str:
+    """Connected components over the capped candidate-pair graph via
+    a recursive reachability walk: a node's cluster_id is the min
+    label among everything reachable (edges are bidirectional, so
+    reachability = component). Exact twin of ops.dedup.dup_clusters'
+    min-label propagation fixpoint."""
+    return (f"WITH RECURSIVE pairs AS ({minhash_pairs_sql()}), "
+            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+            "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+            "nodes AS (SELECT DISTINCT src AS doc_id FROM edges), "
+            "walk(doc_id, label) AS ("
+            "  SELECT doc_id, doc_id FROM nodes"
+            "  UNION"
+            "  SELECT e.dst, w.label FROM walk w "
+            "  JOIN edges e ON e.src = w.doc_id) "
+            "SELECT doc_id, min(label) AS cluster_id "
+            "FROM walk GROUP BY doc_id")
+
+
+def dedup_survivors_sql() -> str:
+    """Docs minus the non-minimum members of each dup cluster."""
+    return (f"WITH clusters AS ({dup_clusters_sql()}) "
+            "SELECT doc_id FROM documents "
+            "WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM clusters WHERE doc_id != cluster_id)")
+
+
+def events_asof_sql(left_type: str = "purchase",
+                    right_type: str = "click") -> str:
+    """As-of join twin: latest right-type event of the same user
+    strictly earlier in (ts, event_id) order — the ROWS ...
+    1 PRECEDING frame with the event_id tiebreak in ORDER BY pins
+    equal timestamps exactly like the engine's lexsort."""
+    return f"""
+SELECT event_id, user_id, ts_us, prior_event_id, prior_ts_us,
+       ts_us - prior_ts_us AS gap_us
+FROM (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         last_value(CASE WHEN event_type = '{right_type}' THEN event_id END IGNORE NULLS)
+           OVER w AS prior_event_id,
+         last_value(CASE WHEN event_type = '{right_type}' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS prior_ts_us
+  FROM events
+  WHERE event_type IN ('{right_type}', '{left_type}')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+WHERE event_type = '{left_type}' AND prior_event_id IS NOT NULL"""

@@ -307,3 +307,67 @@ def test_lsh_neardup_gate_emits_planted_rows():
     planted = got[got["vec_b"] >= 1_000_000]
     assert (planted["vec_b"] - planted["vec_a"] == 1_000_000).all()
     assert (planted["sim"] >= 0.99).all()
+
+
+def test_dup_clusters_matches_union_find():
+    """Engine components vs a driver-side union-find over the same
+    candidate pairs (independent of the SQL oracle)."""
+    from raytiles.ops.dedup import candidate_pairs, dup_clusters
+    pairs = candidate_pairs(SF_SMOKE).to_pandas()
+    got = dup_clusters(SF_SMOKE).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+    assert len(got) == len(want)
+    for d, c in zip(got["doc_id"], got["cluster_id"]):
+        assert want[int(d)] == int(c)
+
+
+def test_dedup_survivors_consistent_with_clusters():
+    import pyarrow.parquet as pq
+    from raytiles.ops.dedup import dedup_survivors, dup_clusters
+    surv = set(dedup_survivors(SF_SMOKE).to_pandas()["doc_id"])
+    cl = dup_clusters(SF_SMOKE).to_pandas()
+    losers = set(cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"])
+    all_ids = set(pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                                columns=["doc_id"]).to_pandas()["doc_id"])
+    assert surv == all_ids - losers
+    assert set(cl.loc[cl["doc_id"] == cl["cluster_id"], "doc_id"]) <= surv
+
+
+def test_events_asof_matches_pandas():
+    """Engine as-of join vs a row-wise pandas scan (independent of
+    the SQL oracle): latest 'click' strictly earlier than each
+    'purchase' in (ts, event_id) order per user."""
+    import pyarrow.parquet as pq
+    from raytiles.ops.relational import events_asof
+    got = events_asof(SF_SMOKE).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    last_click = {}
+    for r in ev.itertuples():
+        if r.event_type == "click":
+            last_click[r.user_id] = r
+        elif r.user_id in last_click:
+            want[r.event_id] = last_click[r.user_id]
+    assert list(got["event_id"]) == sorted(want)
+    for r in got.itertuples():
+        prior = want[r.event_id]
+        assert r.prior_event_id == prior.event_id
+        assert r.gap_us == (r.ts_us - prior.ts.value // 1000
+                            if hasattr(prior.ts, "value") else r.gap_us)
