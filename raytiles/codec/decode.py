@@ -97,39 +97,56 @@ def _decode_feature_raw(buf, start: int, end: int):
     geom_parts: list = []
     pos = start
     uvarint = wire.uvarint_decode
-    while pos < end:
-        key, pos = uvarint(buf, pos)
-        fno = key >> 3
-        wtype = key & 7
-        if wtype == wire.VARINT:
-            val, pos = uvarint(buf, pos)
-            if fno == 1:
-                fid = val
-            elif fno == 2:
-                tags_parts.append([val])
-            elif fno == 3:
-                geom_type = val
-            elif fno == 4:
-                geom_parts.append([val])
-        elif wtype == wire.LEN:
-            ln, pos = uvarint(buf, pos)
-            s, e = pos, pos + ln
-            if e > end:
-                raise wire.WireError("scan_fields: truncated LEN field")
-            pos = e
-            if fno == 2:
-                tags_parts.append(wire.uvarint_decode_list(buf[s:e]))
-            elif fno == 4:
-                if ln < SMALL_GEOM_BYTES:
-                    geom_parts.append(wire.uvarint_decode_list(buf[s:e]))
-                else:
-                    geom_parts.append(wire.uvarint_decode_array(buf[s:e]))
-        elif wtype == wire.I32:
-            pos += 4
-        elif wtype == wire.I64:
-            pos += 8
-        else:
-            raise wire.WireError(f"scan_fields: unsupported wire type {wtype}")
+    # single-byte varints are inlined (the overwhelmingly common case
+    # for keys and small values — a function call per varint is the
+    # dominant cost of tiny-tile decode); multi-byte falls back to the
+    # shared decoder, and IndexError past the buffer maps to the same
+    # truncation error the decoder raises
+    try:
+        while pos < end:
+            key = buf[pos]
+            pos += 1
+            if key & 0x80:
+                key, pos = uvarint(buf, pos - 1)
+            fno = key >> 3
+            wtype = key & 7
+            if wtype == wire.VARINT:
+                val = buf[pos]
+                pos += 1
+                if val & 0x80:
+                    val, pos = uvarint(buf, pos - 1)
+                if fno == 1:
+                    fid = val
+                elif fno == 2:
+                    tags_parts.append([val])
+                elif fno == 3:
+                    geom_type = val
+                elif fno == 4:
+                    geom_parts.append([val])
+            elif wtype == wire.LEN:
+                ln = buf[pos]
+                pos += 1
+                if ln & 0x80:
+                    ln, pos = uvarint(buf, pos - 1)
+                s, e = pos, pos + ln
+                if e > end:
+                    raise wire.WireError("scan_fields: truncated LEN field")
+                pos = e
+                if fno == 2:
+                    tags_parts.append(wire.uvarint_decode_list(buf[s:e]))
+                elif fno == 4:
+                    if ln < SMALL_GEOM_BYTES:
+                        geom_parts.append(wire.uvarint_decode_list(buf[s:e]))
+                    else:
+                        geom_parts.append(wire.uvarint_decode_array(buf[s:e]))
+            elif wtype == wire.I32:
+                pos += 4
+            elif wtype == wire.I64:
+                pos += 8
+            else:
+                raise wire.WireError(f"scan_fields: unsupported wire type {wtype}")
+    except IndexError:
+        raise wire.WireError("uvarint_decode: truncated varint") from None
 
     tags = [t for part in tags_parts for t in part]
     if not geom_parts:
@@ -190,36 +207,49 @@ def _decode_layer_exact(buf, start: int, end: int) -> Layer:
     # the per-tile hot loops for small tiles
     pos = start
     uvarint = wire.uvarint_decode
-    while pos < end:
-        key, pos = uvarint(buf, pos)
-        fno = key >> 3
-        wtype = key & 7
-        if wtype == wire.LEN:
-            ln, pos = uvarint(buf, pos)
-            span = (pos, pos + ln)
-            if span[1] > end:
-                raise wire.WireError("scan_fields: truncated LEN field")
-            pos = span[1]
-            if fno == 2:
-                feature_spans.append(span)
-            elif fno == 1:
-                name = bytes(buf[span[0]:span[1]])
-            elif fno == 3:
-                keys.append(bytes(buf[span[0]:span[1]]))
-            elif fno == 4:
-                value_spans.append(span)
-        elif wtype == wire.VARINT:
-            val, pos = uvarint(buf, pos)
-            if fno == 15:
-                version = val
-            elif fno == 5:
-                extent = val
-        elif wtype == wire.I32:
-            pos += 4
-        elif wtype == wire.I64:
-            pos += 8
-        else:
-            raise wire.WireError(f"scan_fields: unsupported wire type {wtype}")
+    # inline single-byte varint fast path — see _decode_feature_raw
+    try:
+        while pos < end:
+            key = buf[pos]
+            pos += 1
+            if key & 0x80:
+                key, pos = uvarint(buf, pos - 1)
+            fno = key >> 3
+            wtype = key & 7
+            if wtype == wire.LEN:
+                ln = buf[pos]
+                pos += 1
+                if ln & 0x80:
+                    ln, pos = uvarint(buf, pos - 1)
+                span = (pos, pos + ln)
+                if span[1] > end:
+                    raise wire.WireError("scan_fields: truncated LEN field")
+                pos = span[1]
+                if fno == 2:
+                    feature_spans.append(span)
+                elif fno == 1:
+                    name = bytes(buf[span[0]:span[1]])
+                elif fno == 3:
+                    keys.append(bytes(buf[span[0]:span[1]]))
+                elif fno == 4:
+                    value_spans.append(span)
+            elif wtype == wire.VARINT:
+                val = buf[pos]
+                pos += 1
+                if val & 0x80:
+                    val, pos = uvarint(buf, pos - 1)
+                if fno == 15:
+                    version = val
+                elif fno == 5:
+                    extent = val
+            elif wtype == wire.I32:
+                pos += 4
+            elif wtype == wire.I64:
+                pos += 8
+            else:
+                raise wire.WireError(f"scan_fields: unsupported wire type {wtype}")
+    except IndexError:
+        raise wire.WireError("uvarint_decode: truncated varint") from None
     if not feature_spans:
         raise CodecError("VectorTile.features: `[RawFeature]` empty")
     values = [_decode_value(buf, s, e) for s, e in value_spans]
