@@ -421,6 +421,9 @@ def simhash(sf_dir: str) -> ray.data.Dataset:
 # cluster resolution (connected components) + survivor selection
 # ---------------------------------------------------------------------------
 
+_CLUSTERS_CACHE: dict[str, "ray.data.Dataset"] = {}
+
+
 def dup_clusters(sf_dir: str, max_rounds: int = 16) -> ray.data.Dataset:
     """Connected components over the candidate-pair graph:
     (doc_id, cluster_id) for every doc in >=1 pair, cluster_id = min
@@ -428,6 +431,11 @@ def dup_clusters(sf_dir: str, max_rounds: int = 16) -> ray.data.Dataset:
     pair generation and survivor selection that a dedup pipeline
     needs (pairs alone don't say WHICH copy survives a triangle
     a-b, b-c).
+
+    Cached per process per sf_dir like candidate_pairs (one slot):
+    the result is one 16-byte row per dup doc, and both the gate
+    query and dedup_survivors consume it — one propagation loop
+    instead of one each.
 
     Distributed min-label propagation (no Dataset primitive exists):
     labels start as identity; each round ships labels onto the
@@ -441,6 +449,8 @@ def dup_clusters(sf_dir: str, max_rounds: int = 16) -> ray.data.Dataset:
     truncation. At 10^12 docs every step stays bounded: edges and
     labels are O(dup docs), the join is partitioned, the groupby key
     is a 512-bucket hash."""
+    if sf_dir in _CLUSTERS_CACHE:
+        return _CLUSTERS_CACHE[sf_dir]
     pairs = candidate_pairs(sf_dir)
     n_part = _join_partitions()
 
@@ -505,7 +515,10 @@ def dup_clusters(sf_dir: str, max_rounds: int = 16) -> ray.data.Dataset:
     def finalize(t: pa.Table) -> pa.Table:
         return t.rename_columns(["doc_id", "cluster_id"])
 
-    return labels.map_batches(finalize, batch_format="pyarrow")
+    out = labels.map_batches(finalize, batch_format="pyarrow").materialize()
+    _CLUSTERS_CACHE.clear()
+    _CLUSTERS_CACHE[sf_dir] = out
+    return out
 
 
 def dedup_survivors(sf_dir: str) -> ray.data.Dataset:
