@@ -31,9 +31,11 @@ from __future__ import annotations
 import numpy as np
 
 from . import wire
+from .fastpoint import _varint_lengths
 from .geometry import (
     GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON,
-    encode_linestrings, encode_points, encode_polygons,
+    encode_linestrings, encode_linestrings_batch, encode_points,
+    encode_points_batch, encode_polygons, encode_polygons_batch,
 )
 from .model import BV, DO, FL, I64V, S64V, ST, W64V, Feature, Layer, VectorTile
 
@@ -99,27 +101,26 @@ def total_meta(layer: Layer) -> tuple[list, list]:
     vals: dict = {}
     for group in (layer.points, layer.linestrings, layer.polygons):
         for f in group:
-            for k, v in f.metadata.items():
-                keys.setdefault(k, None)
-                vals.setdefault(v, None)
+            md = f.metadata
+            if md:
+                keys.update(dict.fromkeys(md))
+                vals.update(dict.fromkeys(md.values()))
     return list(keys), list(vals)
 
 
-def encode_layer(layer: Layer) -> bytes:
-    """`toProtobuf @Layer` (Internal.hs:114-125)."""
-    keys, vals = total_meta(layer)
-    key_index = {k: i for i, k in enumerate(keys)}
-    val_index = {v: i for i, v in enumerate(vals)}
-    out: list[bytes] = []
-    wire.put_len_field(out, 1, layer.name)
-    feats: list[tuple[Feature, int]] = []
-    for group, gt in ((layer.points, GEOM_POINT),
-                      (layer.linestrings, GEOM_LINESTRING),
-                      (layer.polygons, GEOM_POLYGON)):
-        feats.extend((f, gt) for f in group)
-    # whole-layer batched geometry encode: ONE vectorized varint pass
-    # over every feature's command words, then byte-sliced back per
-    # feature (per-feature small-array encodes dominated otherwise)
+# Below this many features the per-feature scalar encoder wins: the
+# batched path's fixed numpy costs (~12 array ops) exceed the saved
+# per-feature overhead (measured on the reference fixtures).
+BATCH_MIN_FEATURES = 8
+
+_GT_BYTES = {GEOM_POINT: b"\x18\x01", GEOM_LINESTRING: b"\x18\x02",
+             GEOM_POLYGON: b"\x18\x03"}
+
+
+def _encode_features_small(out: list, feats: list, key_index: dict,
+                           val_index: dict) -> None:
+    """Per-feature encode path for sparse layers (and the byte-parity
+    reference for the batched path's property test)."""
     geom_arrays = [_geometry_commands(gt, f.geometry) for f, gt in feats]
     total_words = sum(g.size for g in geom_arrays)
     if geom_arrays and 0 < total_words < 48:
@@ -144,6 +145,118 @@ def encode_layer(layer: Layer) -> bytes:
         geom_payloads = [b""] * len(feats)
     for (f, gt), gb in zip(feats, geom_payloads):
         wire.put_len_field(out, 2, _encode_feature(f, gt, key_index, val_index, gb))
+
+
+def _encode_features_batched(out: list, feats: list, key_index: dict,
+                             val_index: dict, group_counts: tuple) -> None:
+    """Whole-layer feature encode: every numeric section (geometry
+    command words, tag words, fids, all length prefixes) is varint-
+    encoded in ONE vectorized pass over the layer and byte-sliced back
+    per feature; the only remaining per-feature work is tag-index
+    lookup (dict metadata is inherently per-row) and slice assembly.
+    Byte-identical to _encode_features_small (property test +
+    45-fixture encode fixpoint)."""
+    n = len(feats)
+    n_pts, n_ls, n_pg = group_counts
+    pw, ps = encode_points_batch([f.geometry for f, _ in feats[:n_pts]])
+    lw, ls = encode_linestrings_batch(
+        [f.geometry for f, _ in feats[n_pts:n_pts + n_ls]])
+    gw, gs = encode_polygons_batch([f.geometry for f, _ in feats[n_pts + n_ls:]])
+    allg = np.concatenate([pw, lw, gw]).astype(np.uint64)
+    sizes = np.concatenate([ps, ls, gs])
+
+    # geometry bytes: one varint pass, feature bounds via byte cumsum
+    geom_b = wire.uvarint_encode_array(allg)
+    byte_lens = np.ones(allg.size, dtype=np.int64)
+    for k in range(1, 5):  # u32 commands: <= 5 varint bytes
+        byte_lens += allg >= np.uint64(1) << np.uint64(7 * k)
+    gcum = np.zeros(allg.size + 1, dtype=np.int64)
+    np.cumsum(byte_lens, out=gcum[1:])
+    wbounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=wbounds[1:])
+    geom_lo = gcum[wbounds[:-1]]
+    geom_hi = gcum[wbounds[1:]]
+    len_geom = geom_hi - geom_lo
+
+    # tag words: flat across the layer, one varint pass
+    ntags = np.empty(n, dtype=np.int64)
+    tag_flat: list[int] = []
+    ext = tag_flat.extend
+    for i, (f, _) in enumerate(feats):
+        md = f.metadata
+        ntags[i] = 2 * len(md)
+        for k, v in md.items():
+            ext((key_index[k], val_index[v]))
+    tags_arr = np.asarray(tag_flat, dtype=np.uint64)
+    tags_b = wire.uvarint_encode_array(tags_arr)
+    tcum = np.zeros(tags_arr.size + 1, dtype=np.int64)
+    np.cumsum(_varint_lengths(tags_arr), out=tcum[1:])
+    tbounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ntags, out=tbounds[1:])
+    tags_lo = tcum[tbounds[:-1]]
+    tags_hi = tcum[tbounds[1:]]
+    len_tags = tags_hi - tags_lo
+
+    # fids + the three length-prefix varint streams
+    fids = np.fromiter((int(f.fid) for f, _ in feats), np.uint64, count=n)
+    fid_b = wire.uvarint_encode_array(fids)
+    fid_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(_varint_lengths(fids), out=fid_cum[1:])
+    tl_b = wire.uvarint_encode_array(len_tags.astype(np.uint64))
+    tl_lens = _varint_lengths(len_tags.astype(np.uint64))
+    tl_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tl_lens, out=tl_cum[1:])
+    gl_b = wire.uvarint_encode_array(len_geom.astype(np.uint64))
+    gl_lens = _varint_lengths(len_geom.astype(np.uint64))
+    gl_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(gl_lens, out=gl_cum[1:])
+
+    # feature message: 08 <fid> [12 <len> <tags>] 18 <gt> [22 <len> <geom>]
+    msg_len = (1 + np.diff(fid_cum) + 2
+               + np.where(ntags > 0, 1 + tl_lens + len_tags, 0)
+               + np.where(len_geom > 0, 1 + gl_lens + len_geom, 0))
+    ml_b = wire.uvarint_encode_array(msg_len.astype(np.uint64))
+    ml_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(_varint_lengths(msg_len.astype(np.uint64)), out=ml_cum[1:])
+
+    gtb = ([_GT_BYTES[GEOM_POINT]] * n_pts
+           + [_GT_BYTES[GEOM_LINESTRING]] * n_ls
+           + [_GT_BYTES[GEOM_POLYGON]] * n_pg)
+    app = out.append
+    for i in range(n):
+        app(b"\x12")
+        app(ml_b[ml_cum[i]:ml_cum[i + 1]])
+        app(b"\x08")
+        app(fid_b[fid_cum[i]:fid_cum[i + 1]])
+        if ntags[i]:
+            app(b"\x12")
+            app(tl_b[tl_cum[i]:tl_cum[i + 1]])
+            app(tags_b[tags_lo[i]:tags_hi[i]])
+        app(gtb[i])
+        if len_geom[i]:
+            app(b"\x22")
+            app(gl_b[gl_cum[i]:gl_cum[i + 1]])
+            app(geom_b[geom_lo[i]:geom_hi[i]])
+
+
+def encode_layer(layer: Layer) -> bytes:
+    """`toProtobuf @Layer` (Internal.hs:114-125)."""
+    keys, vals = total_meta(layer)
+    key_index = {k: i for i, k in enumerate(keys)}
+    val_index = {v: i for i, v in enumerate(vals)}
+    out: list[bytes] = []
+    wire.put_len_field(out, 1, layer.name)
+    feats: list[tuple[Feature, int]] = []
+    for group, gt in ((layer.points, GEOM_POINT),
+                      (layer.linestrings, GEOM_LINESTRING),
+                      (layer.polygons, GEOM_POLYGON)):
+        feats.extend((f, gt) for f in group)
+    if len(feats) >= BATCH_MIN_FEATURES:
+        _encode_features_batched(
+            out, feats, key_index, val_index,
+            (len(layer.points), len(layer.linestrings), len(layer.polygons)))
+    else:
+        _encode_features_small(out, feats, key_index, val_index)
     for k in keys:
         wire.put_len_field(out, 3, k)
     for v in vals:

@@ -376,6 +376,10 @@ def encode_linestrings(lines: list[np.ndarray]) -> np.ndarray:
     only headers are interleaved per segment."""
     if not lines:
         return np.empty(0, dtype=np.uint32)
+    if len(lines) >= 8:
+        # many segments: the batched twin interleaves every header in
+        # one vectorized scatter instead of a per-segment loop
+        return encode_linestrings_batch([lines])[0]
     counts = [np.asarray(l).shape[0] for l in lines]
     allpts = np.concatenate([np.asarray(l, dtype=np.int64).reshape(-1, 2) for l in lines])
     deltas = np.diff(allpts, axis=0, prepend=np.zeros((1, 2), dtype=np.int64))
@@ -399,6 +403,9 @@ def encode_polygons(polys: list[list[np.ndarray]]) -> np.ndarray:
     closing point, MoveTo head, LineTo rest, ClosePath; cursor carries
     across rings and polygons — so one global diff + zig pass over the
     stripped rings, headers interleaved per ring."""
+    if sum(len(rings) for rings in polys) >= 8:
+        # many rings: one vectorized header scatter beats the loop
+        return encode_polygons_batch([polys])[0]
     stripped = [np.asarray(r, dtype=np.int64).reshape(-1, 2)[:-1]
                 for rings in polys for r in rings]
     if not stripped:
@@ -420,6 +427,128 @@ def encode_polygons(polys: list[list[np.ndarray]]) -> np.ndarray:
         pos += 3 + 2 * n
         zpos += 2 * n
     return out
+
+
+# ---------------------------------------------------------------------------
+# batched encode: whole-layer command-word construction
+#
+# The per-feature encoders above pay fixed numpy costs (diff/concat/
+# empty) PER FEATURE; a dense layer (roads.mvt: ~450 features) spends
+# more time in that machinery than in the arithmetic. These twins
+# build the command words for EVERY feature of a geometry group in
+# one vectorized pass and return (flat_words, per_feature_word_counts)
+# so encode_layer can varint-encode the whole layer at once. Byte
+# parity with the per-feature encoders is asserted by a property test
+# (tests/test_geometry.py) and the 45-fixture encode fixpoint.
+# ---------------------------------------------------------------------------
+
+def _reset_deltas(pts: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-feature cursor-reset deltas: delta[i] = pts[i] - pts[i-1],
+    except at each feature's first point where the cursor restarts at
+    (0,0) so the delta is the absolute coordinate (Internal.hs:349)."""
+    deltas = pts.copy()
+    if pts.shape[0] > 1:
+        deltas[1:] -= pts[:-1]
+    s = starts[(starts > 0) & (starts < pts.shape[0])]
+    deltas[s] = pts[s]
+    return deltas
+
+
+def _scatter_params(out: np.ndarray, seg_woff: np.ndarray,
+                    seg_counts: np.ndarray, z: np.ndarray) -> None:
+    """Scatter zigzagged params into ``out``: segment (line/ring) words
+    are [MoveTo hdr, z0, z1, LineTo hdr, z2, ...], so param k of a
+    segment lands at seg_woff + 1 + k + (k >= 2)."""
+    if z.size == 0:
+        return
+    pair_off = np.cumsum(seg_counts) - seg_counts
+    k = np.arange(z.size, dtype=np.int64) - np.repeat(2 * pair_off, 2 * seg_counts)
+    out[np.repeat(seg_woff + 1, 2 * seg_counts) + k + (k >= 2)] = z
+
+
+def encode_points_batch(geoms: list) -> tuple[np.ndarray, np.ndarray]:
+    """Batched twin of encode_points over a list of (n, 2) arrays."""
+    m = len(geoms)
+    arrs = [np.asarray(g, dtype=np.int64).reshape(-1, 2) for g in geoms]
+    counts = np.fromiter((a.shape[0] for a in arrs), np.int64, count=m)
+    sizes = 1 + 2 * counts
+    if m == 0:
+        return np.empty(0, np.uint32), sizes
+    pts = np.concatenate(arrs) if m > 1 else arrs[0]
+    pstart = np.cumsum(counts) - counts
+    z = zig(_reset_deltas(pts, pstart).ravel())
+    woff = np.cumsum(sizes) - sizes
+    out = np.empty(int(sizes.sum()), np.uint32)
+    out[woff] = (counts << 3) | MOVE_TO
+    if z.size:
+        k = np.arange(z.size, dtype=np.int64) - np.repeat(2 * pstart, 2 * counts)
+        out[np.repeat(woff + 1, 2 * counts) + k] = z
+    return out, sizes
+
+
+def encode_linestrings_batch(geoms: list) -> tuple[np.ndarray, np.ndarray]:
+    """Batched twin of encode_linestrings over a list of features,
+    each a list of (n, 2) line arrays. Cursor carries across lines
+    within a feature and resets between features."""
+    m = len(geoms)
+    lines: list[np.ndarray] = []
+    nlines = np.empty(m, dtype=np.int64)
+    for i, feat in enumerate(geoms):
+        nlines[i] = len(feat)
+        for l in feat:
+            lines.append(np.asarray(l, dtype=np.int64).reshape(-1, 2))
+    if not lines:
+        return np.empty(0, np.uint32), np.zeros(m, np.int64)
+    lcounts = np.fromiter((l.shape[0] for l in lines), np.int64, count=len(lines))
+    lsizes = 2 + 2 * lcounts
+    lb = np.cumsum(nlines) - nlines  # first-line index per feature
+    size_cum = np.concatenate([[0], np.cumsum(lsizes)])
+    sizes = size_cum[lb + nlines] - size_cum[lb]
+    pts = np.concatenate(lines) if len(lines) > 1 else lines[0]
+    lpstart = np.cumsum(lcounts) - lcounts
+    feat_start_pts = lpstart[lb[nlines > 0]]  # first point of each nonempty feature
+    z = zig(_reset_deltas(pts, feat_start_pts).ravel())
+    lwoff = size_cum[:-1]
+    out = np.empty(int(size_cum[-1]), np.uint32)
+    out[lwoff] = command_header(MOVE_TO, 1)
+    out[lwoff + 3] = ((lcounts - 1) << 3) | LINE_TO
+    _scatter_params(out, lwoff, lcounts, z)
+    return out, sizes
+
+
+def encode_polygons_batch(geoms: list) -> tuple[np.ndarray, np.ndarray]:
+    """Batched twin of encode_polygons over a list of features, each a
+    list of polygons (each a list of closed rings). Rings drop their
+    closing point; cursor carries across rings and polygons within a
+    feature and resets between features."""
+    m = len(geoms)
+    rings: list[np.ndarray] = []
+    nrings = np.empty(m, dtype=np.int64)
+    for i, feat in enumerate(geoms):
+        c = 0
+        for poly in feat:
+            for r in poly:
+                rings.append(np.asarray(r, dtype=np.int64).reshape(-1, 2)[:-1])
+                c += 1
+        nrings[i] = c
+    if not rings:
+        return np.empty(0, np.uint32), np.zeros(m, np.int64)
+    rcounts = np.fromiter((r.shape[0] for r in rings), np.int64, count=len(rings))
+    rsizes = 3 + 2 * rcounts
+    rb = np.cumsum(nrings) - nrings
+    size_cum = np.concatenate([[0], np.cumsum(rsizes)])
+    sizes = size_cum[rb + nrings] - size_cum[rb]
+    pts = np.concatenate(rings) if len(rings) > 1 else rings[0]
+    rpstart = np.cumsum(rcounts) - rcounts
+    feat_start_pts = rpstart[rb[nrings > 0]]
+    z = zig(_reset_deltas(pts, feat_start_pts).ravel())
+    rwoff = size_cum[:-1]
+    out = np.empty(int(size_cum[-1]), np.uint32)
+    out[rwoff] = command_header(MOVE_TO, 1)
+    out[rwoff + 3] = ((rcounts - 1) << 3) | LINE_TO
+    out[rwoff + 2 + 2 * rcounts] = command_header(CLOSE_PATH, 1)
+    _scatter_params(out, rwoff, rcounts, z)
+    return out, sizes
 
 
 # ---------------------------------------------------------------------------

@@ -35,8 +35,15 @@ class WireError(ValueError):
 # varint: scalar
 # ---------------------------------------------------------------------------
 
+# single-byte varints (the overwhelmingly common case for field
+# lengths and small ids) precomputed once
+_VARINT1 = [bytes([i]) for i in range(128)]
+
+
 def uvarint_encode(value: int) -> bytes:
     """Encode one unsigned varint (value must be 0 <= v < 2**64)."""
+    if 0 <= value < 128:
+        return _VARINT1[value]
     if value < 0:
         raise WireError(f"uvarint_encode: negative value {value}")
     out = bytearray()

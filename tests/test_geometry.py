@@ -176,3 +176,62 @@ def test_small_path_overlong_varint_truncates_like_vectorized():
     # when the stream contains over-long words
     with pytest.raises(g.GeometryError):
         decode_polygons([2**32 + 9, 4, 4])
+
+
+def test_batched_encoders_match_per_feature():
+    """The whole-layer batch kernels (encode_*_batch) must produce the
+    exact word streams of the per-feature encoders, feature by feature,
+    across empty/degenerate shapes."""
+    rng = np.random.default_rng(42)
+
+    def rand_pts(n):
+        return rng.integers(-5000, 5000, size=(n, 2))
+
+    pts_feats = [rand_pts(int(k)) for k in rng.integers(0, 9, size=50)]
+    words, sizes = g.encode_points_batch(pts_feats)
+    ref = [g.encode_points(f) for f in pts_feats]
+    assert np.array_equal(words, np.concatenate(ref))
+    assert sizes.tolist() == [r.size for r in ref]
+
+    ls_feats = [[rand_pts(int(rng.integers(2, 8)))
+                 for _ in range(int(rng.integers(0, 5)))] for _ in range(50)]
+    words, sizes = g.encode_linestrings_batch(ls_feats)
+    ref = [g.encode_linestrings(f) for f in ls_feats]
+    assert np.array_equal(words, np.concatenate(ref))
+    assert sizes.tolist() == [r.size for r in ref]
+
+    def ring(n):
+        r = rand_pts(n)
+        return np.vstack([r, r[:1]])
+
+    pg_feats = [[[ring(int(rng.integers(3, 8)))
+                  for _ in range(int(rng.integers(1, 3)))]
+                 for _ in range(int(rng.integers(0, 4)))] for _ in range(50)]
+    words, sizes = g.encode_polygons_batch(pg_feats)
+    ref = [g.encode_polygons(f) for f in pg_feats]
+    assert np.array_equal(words, np.concatenate(ref))
+    assert sizes.tolist() == [r.size for r in ref]
+
+
+def test_encode_layer_batched_path_matches_small_path():
+    """encode_tile must emit identical bytes whether a layer's feature
+    section goes through the batched whole-layer path or the
+    per-feature path (BATCH_MIN_FEATURES forced to extremes)."""
+    import glob
+
+    import raytiles.codec.encode as E
+    from raytiles.codec.decode import decode_tile
+    from raytiles.codec.encode import encode_tile
+
+    for fx in sorted(glob.glob("/root/reference/test/**/*.mvt", recursive=True)):
+        t = decode_tile(open(fx, "rb").read())
+        orig = E.BATCH_MIN_FEATURES
+        try:
+            E.BATCH_MIN_FEATURES = 0
+            b_batched = encode_tile(t)
+            E.BATCH_MIN_FEATURES = 10 ** 9
+            b_small = encode_tile(t)
+        finally:
+            E.BATCH_MIN_FEATURES = orig
+        assert b_batched == b_small, fx
+        assert encode_tile(decode_tile(b_batched)) == b_batched, fx
