@@ -178,7 +178,10 @@ def _get_meta(keys: list, values: list, tags) -> dict:
     return meta
 
 
-LAYER_BATCH_BYTES = 2048  # above this, batched whole-layer decode wins
+LAYER_BATCH_BYTES = 512  # above this, batched whole-layer decode wins
+# (re-measured after the combined geometry+tags varint pass: 512 beats
+# 2048 on roads.mvt because mid-size layers now amortize the batch
+# machinery across tags too)
 
 
 def _decode_layer(buf, start: int, end: int) -> Layer:

@@ -50,40 +50,51 @@ class FallbackDecode(Exception):
 
 
 def _scan_features(buf, spans):
-    """Per-feature field scan WITHOUT decoding geometry varints:
-    returns [(fid, tags, geom_type, [(gs, ge), ...])] in stream order.
-    Unpacked (non-LEN) geometry encoding -> FallbackDecode (rare on
-    real data; the exact path handles it)."""
+    """Per-feature field scan WITHOUT decoding geometry or tag
+    varints: returns [(fid, [(ts, te), ...], geom_type,
+    [(gs, ge), ...])] in stream order — tag and geometry payloads stay
+    as byte spans for the single whole-layer varint pass. Unpacked
+    (non-LEN) geometry or tag encoding -> FallbackDecode (rare on real
+    data; the exact path handles it)."""
     out = []
     uvarint = wire.uvarint_decode
     for start, end in spans:
         fid = 0
         geom_type = None
-        tags_parts: list = []
+        tspans: list = []
         gspans: list = []
         pos = start
         while pos < end:
-            key, pos = uvarint(buf, pos)
+            key = buf[pos]
+            pos += 1
+            if key & 0x80:
+                key, pos = uvarint(buf, pos - 1)
             fno = key >> 3
             wtype = key & 7
             if wtype == wire.VARINT:
-                val, pos = uvarint(buf, pos)
+                val = buf[pos]
+                pos += 1
+                if val & 0x80:
+                    val, pos = uvarint(buf, pos - 1)
                 if fno == 1:
                     fid = val
                 elif fno == 2:
-                    tags_parts.append([val])
+                    raise FallbackDecode("unpacked tags")
                 elif fno == 3:
                     geom_type = val
                 elif fno == 4:
                     raise FallbackDecode("unpacked geometry")
             elif wtype == wire.LEN:
-                ln, pos = uvarint(buf, pos)
+                ln = buf[pos]
+                pos += 1
+                if ln & 0x80:
+                    ln, pos = uvarint(buf, pos - 1)
                 s, e = pos, pos + ln
                 if e > end:
                     raise FallbackDecode("truncated LEN")
                 pos = e
                 if fno == 2:
-                    tags_parts.append(wire.uvarint_decode_list(buf[s:e]))
+                    tspans.append((s, e))
                 elif fno == 4:
                     gspans.append((s, e))
             elif wtype == wire.I32:
@@ -92,30 +103,22 @@ def _scan_features(buf, spans):
                 pos += 8
             else:
                 raise FallbackDecode(f"wire type {wtype}")
-        tags = [t for part in tags_parts for t in part]
         if geom_type not in (GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON):
             raise FallbackDecode("geom type")
-        out.append((fid, tags, geom_type, gspans))
+        out.append((fid, tspans, geom_type, gspans))
     return out
 
 
-def _batch_geometry_words(b8, feats):
-    """Gather every feature's geometry spans and decode ALL varints in
-    one vectorized pass. Returns (words_u32, feat_word_offsets) where
-    feat_word_offsets[i]:feat_word_offsets[i+1] is feature i's word
-    range in stream order."""
-    starts, ends, span_feat = [], [], []
-    for i, (_, _, _, gspans) in enumerate(feats):
-        for s, e in gspans:
-            starts.append(s)
-            ends.append(e)
-            span_feat.append(i)
-    nf = len(feats)
+def _batch_varint_spans(b8, starts, ends, span_owner, n_owners):
+    """Gather byte spans and decode ALL their varints in one
+    vectorized pass. Returns (words_u64, owner_word_offsets) where
+    owner_word_offsets[i]:owner_word_offsets[i+1] is owner i's word
+    range (spans of one owner concatenate in span order)."""
     if not starts:
-        return (np.empty(0, np.uint32), np.zeros(nf + 1, np.int64))
+        return (np.empty(0, np.uint64), np.zeros(n_owners + 1, np.int64))
     starts = np.asarray(starts, np.int64)
     ends = np.asarray(ends, np.int64)
-    span_feat = np.asarray(span_feat, np.int64)
+    span_owner = np.asarray(span_owner, np.int64)
     lens = ends - starts
     off = np.empty(lens.size + 1, np.int64)
     off[0] = 0
@@ -142,17 +145,17 @@ def _batch_geometry_words(b8, feats):
         raise FallbackDecode("varint too long")
     vals = ((g.astype(np.uint64) & np.uint64(0x7F))
             << (offsets.astype(np.uint64) * np.uint64(7)))
-    words = np.bitwise_or.reduceat(vals, word_starts).astype(np.uint32)
-    # words per span -> words per feature (feature order == span order)
+    words = np.bitwise_or.reduceat(vals, word_starts)
+    # words per span -> words per owner (owner order == span order)
     tcum = np.zeros(g.size + 1, np.int64)
     np.cumsum(is_last, out=tcum[1:])
     span_words = tcum[off[1:]] - tcum[off[:-1]]
-    feat_words = np.zeros(nf, np.int64)
-    np.add.at(feat_words, span_feat, span_words)
-    foff = np.empty(nf + 1, np.int64)
-    foff[0] = 0
-    np.cumsum(feat_words, out=foff[1:])
-    return words, foff
+    owner_words = np.zeros(n_owners, np.int64)
+    np.add.at(owner_words, span_owner, span_words)
+    ooff = np.empty(n_owners + 1, np.int64)
+    ooff[0] = 0
+    np.cumsum(owner_words, out=ooff[1:])
+    return words, ooff
 
 
 def decode_layer_batched(buf, start: int, end: int,
@@ -170,11 +173,17 @@ def decode_layer_batched(buf, start: int, end: int,
     uvarint = wire.uvarint_decode
     try:
         while pos < end:
-            key, pos = uvarint(buf, pos)
+            key = buf[pos]
+            pos += 1
+            if key & 0x80:
+                key, pos = uvarint(buf, pos - 1)
             fno = key >> 3
             wtype = key & 7
             if wtype == wire.LEN:
-                ln, pos = uvarint(buf, pos)
+                ln = buf[pos]
+                pos += 1
+                if ln & 0x80:
+                    ln, pos = uvarint(buf, pos - 1)
                 span = (pos, pos + ln)
                 if span[1] > end:
                     raise FallbackDecode("truncated LEN")
@@ -188,7 +197,10 @@ def decode_layer_batched(buf, start: int, end: int,
                 elif fno == 4:
                     value_spans.append(span)
             elif wtype == wire.VARINT:
-                val, pos = uvarint(buf, pos)
+                val = buf[pos]
+                pos += 1
+                if val & 0x80:
+                    val, pos = uvarint(buf, pos - 1)
                 if fno == 15:
                     version = val
                 elif fno == 5:
@@ -208,11 +220,32 @@ def decode_layer_batched(buf, start: int, end: int,
     except Exception as e:  # noqa: BLE001 — exact path re-raises precisely
         raise FallbackDecode(str(e)) from e
 
+    # ONE vectorized varint pass over every feature's geometry AND tag
+    # spans: owners 0..nf-1 are per-feature geometry (spans concatenate
+    # in stream order), owners nf..2nf-1 are per-feature tags
+    nf = len(feats)
+    starts: list = []
+    ends: list = []
+    owner: list = []
+    for i, (_, _, _, gspans) in enumerate(feats):
+        for s, e in gspans:
+            starts.append(s)
+            ends.append(e)
+            owner.append(i)
+    for i, (_, tspans, _, _) in enumerate(feats):
+        for s, e in tspans:
+            starts.append(s)
+            ends.append(e)
+            owner.append(nf + i)
     b8 = np.frombuffer(buf, dtype=np.uint8)
-    words, foff = _batch_geometry_words(b8, feats)
+    allwords, ooff = _batch_varint_spans(b8, starts, ends, owner, 2 * nf)
+    gsplit = int(ooff[nf])
+    words = allwords[:gsplit].astype(np.uint32)
+    foff = ooff[:nf + 1]
+    tag_list = allwords[gsplit:].tolist()
+    tag_off = (ooff[nf:] - gsplit).tolist()
     unz = unzig(words)
     wl = words.tolist()
-    nf = len(feats)
 
     # --- command-header walk: collect kept-param chunks in stream order
     chunk_start: list[int] = []   # global word index of chunk's first param
@@ -362,8 +395,8 @@ def decode_layer_batched(buf, start: int, end: int,
                   extent=DEFAULT_EXTENT if extent is None else extent)
     ring_cursor = 0
     try:
-        for f, (fid, tags, gtype, _) in enumerate(feats):
-            meta = get_meta(keys, values, tags)
+        for f, (fid, _, gtype, _) in enumerate(feats):
+            meta = get_meta(keys, values, tag_list[tag_off[f]:tag_off[f + 1]])
             a, b = int(poff[f]), int(poff[f + 1])
             if gtype == GEOM_POINT:
                 layer.points.append(Feature(fid, meta, absolute[a:b]))
