@@ -251,6 +251,31 @@ def _q_events_asof(sf_dir: str):
     return events_asof(sf_dir)
 
 
+def _q_top_orders(sf_dir: str):
+    from raytiles.ops.groupops import top_orders_per_customer
+    return top_orders_per_customer(sf_dir)
+
+
+def _q_stratified_sample(sf_dir: str):
+    from raytiles.ops.groupops import stratified_sample
+    return stratified_sample(sf_dir)
+
+
+def _q_group_quantiles(sf_dir: str):
+    from raytiles.ops.groupops import group_quantiles
+    return group_quantiles(sf_dir)
+
+
+def _q_range_join(sf_dir: str):
+    from raytiles.ops.groupops import orders_price_bands
+    return orders_price_bands(sf_dir)
+
+
+def _q_distinct_users(sf_dir: str):
+    from raytiles.ops.groupops import distinct_users
+    return distinct_users(sf_dir)
+
+
 def _q_minhash_overflow(sf_dir: str):
     import numpy as np
     import pandas as pd
@@ -335,6 +360,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_asof": _q_events_asof,
+        "top_orders": _q_top_orders,
+        "stratified_sample": _q_stratified_sample,
+        "group_quantiles": _q_group_quantiles,
+        "range_join_bands": _q_range_join,
+        "distinct_users": _q_distinct_users,
         "extract_text": _q_extract_text,
         "morton_cells": _q_morton_cells,
         "tile_pyramid": _q_tile_pyramid,
@@ -382,6 +412,11 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": oracles.EVENTS_SLIDING_SQL,
         "events_sessions": oracles.EVENTS_SESSIONS_SQL,
         "events_asof": oracles.events_asof_sql(),
+        "top_orders": oracles.top_orders_sql(),
+        "stratified_sample": oracles.stratified_sample_sql(),
+        "group_quantiles": oracles.group_quantiles_sql(),
+        "range_join_bands": oracles.range_join_sql(),
+        "distinct_users": oracles.DISTINCT_USERS_SQL,
         "extract_text": oracles.extract_text_sql(wp),
         "morton_cells": oracles.morton_cells_sql(wp),
         "tile_pyramid": oracles.tile_pyramid_sql(wp),

@@ -456,3 +456,66 @@ FROM (
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
 WHERE event_type = '{left_type}' AND prior_event_id IS NOT NULL"""
+
+
+def top_orders_sql(k: int = 3) -> str:
+    """Top-k orders per customer by (o_totalprice DESC, o_orderkey) —
+    twin of ops.groupops.top_orders_per_customer's lexsort rank."""
+    return f"""
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders)
+WHERE rank <= {k}"""
+
+
+def stratified_sample_sql(n_per_stratum: int = 20) -> str:
+    """md5-rank stratified sample twin: DuckDB's md5(varchar) is the
+    lowercase hex of the same digest the engine carries as binary, and
+    hex order == byte order, so the row_number ranks match exactly."""
+    return f"""
+SELECT lang, doc_id, n_chars, sample_rank FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {n_per_stratum}"""
+
+
+def group_quantiles_sql(qs=(0.25, 0.50, 0.75, 0.95)) -> str:
+    """Histogram-quantile twin: p_q = min l_quantity whose within-group
+    cumulative count >= ceil(q*n) — the identical rule groupops'
+    finalizer evaluates with cumsum + minimum.reduceat."""
+    picks = ", ".join(
+        f"min(l_quantity) FILTER (WHERE cum >= ceil({q} * tot)) AS p{int(q * 100)}"
+        for q in qs)
+    return f"""
+WITH h AS (
+  SELECT l_suppkey, l_quantity, count(*) AS n
+  FROM lineitem GROUP BY l_suppkey, l_quantity),
+c AS (
+  SELECT l_suppkey, l_quantity,
+         sum(n) OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS cum,
+         sum(n) OVER (PARTITION BY l_suppkey) AS tot
+  FROM h)
+SELECT l_suppkey, CAST(max(tot) AS BIGINT) AS n, {picks}
+FROM c GROUP BY l_suppkey"""
+
+
+def range_join_sql(n_bands: int = 120, chunk: float = 5000.0,
+                   width: float = 15000.0) -> str:
+    """Range-join twin: the same formulaic overlapping band table via
+    range(), joined on lo <= o_totalprice < hi."""
+    return f"""
+SELECT o.o_orderkey, b.band_id, o.o_totalprice
+FROM orders o
+JOIN (SELECT i AS band_id, i * {chunk} AS lo, i * {chunk} + {width} AS hi
+      FROM range(0, {n_bands}) t(i)) b
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi"""
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type"""

@@ -1,0 +1,97 @@
+"""Grouped-selection operators (groupops): single-process pandas/numpy
+oracles. Full value verification against the DuckDB twins comes from
+scripts/check_correctness.py + the driver gate; these tests pin the
+semantics at sf0.001 and the structural invariants (exact per-stratum
+counts, rank bounds, quantile rule, interval-match completeness)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_top_orders_matches_pandas_rank():
+    from raytiles.ops.groupops import top_orders_per_customer
+    df = top_orders_per_customer(SF_SMOKE, k=3).to_pandas()
+    orders = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+    want = orders.sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True]).groupby("o_custkey").head(3)
+    assert len(df) == len(want)
+    assert df["rank"].between(1, 3).all()
+    got = set(zip(df["o_custkey"], df["o_orderkey"]))
+    exp = set(zip(want["o_custkey"], want["o_orderkey"]))
+    assert got == exp
+    # rank 1 is the max-price order per customer
+    r1 = df[df["rank"] == 1].set_index("o_custkey")["o_totalprice"]
+    mx = orders.groupby("o_custkey")["o_totalprice"].max()
+    assert np.allclose(r1.sort_index(), mx.sort_index(), rtol=0, atol=0)
+
+
+def test_stratified_sample_exact_counts_and_md5_order():
+    from raytiles.ops.groupops import stratified_sample
+    n = 5
+    df = stratified_sample(SF_SMOKE, n_per_stratum=n).to_pandas()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    sizes = docs.groupby("lang").size()
+    got_sizes = df.groupby("lang").size()
+    for lang, tot in sizes.items():
+        assert got_sizes.get(lang, 0) == min(n, tot)
+    # per stratum the selected ids are the n smallest by (md5hex, doc_id)
+    for lang, grp in docs.groupby("lang"):
+        key = sorted((hashlib.md5(str(i).encode()).hexdigest(), i)
+                     for i in grp["doc_id"])
+        exp = [i for _, i in key[:n]]
+        sub = df[df["lang"] == lang].sort_values("sample_rank")
+        assert list(sub["doc_id"]) == exp
+        assert list(sub["sample_rank"]) == list(range(1, len(exp) + 1))
+
+
+def test_group_quantiles_rule():
+    from raytiles.ops.groupops import group_quantiles
+    qs = (0.25, 0.50, 0.75, 0.95)
+    df = group_quantiles(SF_SMOKE, qs=qs).to_pandas().set_index("l_suppkey")
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet",
+                       columns=["l_suppkey", "l_quantity"]).to_pandas()
+    for supp, grp in li.groupby("l_suppkey"):
+        v = np.sort(grp["l_quantity"].to_numpy())
+        row = df.loc[supp]
+        assert row["n"] == len(v)
+        for q in qs:
+            # p_q = min value with cumulative count >= ceil(q*n)
+            exp = v[int(np.ceil(q * len(v))) - 1]
+            assert row[f"p{int(q * 100)}"] == exp
+    mono = df[["p25", "p50", "p75", "p95"]].to_numpy()
+    assert (np.diff(mono, axis=1) >= 0).all()
+
+
+def test_range_join_matches_mask_join():
+    from raytiles.ops.groupops import orders_price_bands
+    df = orders_price_bands(SF_SMOKE).to_pandas()
+    orders = pq.read_table(f"{SF_SMOKE}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    v = orders["o_totalprice"].to_numpy()
+    exp_pairs = set()
+    for i in range(120):
+        lo, hi = i * 5000.0, i * 5000.0 + 15000.0
+        for ok in orders["o_orderkey"].to_numpy()[(v >= lo) & (v < hi)]:
+            exp_pairs.add((int(ok), i))
+    assert set(zip(df["o_orderkey"], df["band_id"])) == exp_pairs
+    assert len(df) == len(exp_pairs)
+
+
+def test_distinct_users_matches_nunique():
+    from raytiles.ops.groupops import distinct_users
+    df = distinct_users(SF_SMOKE).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    exp = ev.groupby("event_type")["user_id"].nunique()
+    assert len(df) == len(exp)
+    for et, n in exp.items():
+        assert df.loc[et, "n_users"] == n
