@@ -276,6 +276,16 @@ def _q_distinct_users(sf_dir: str):
     return distinct_users(sf_dir)
 
 
+def _q_vocab_topk(sf_dir: str):
+    from raytiles.ops.text import vocab_topk
+    return vocab_topk(sf_dir)
+
+
+def _q_doc_top_terms(sf_dir: str):
+    from raytiles.ops.text import doc_top_terms
+    return doc_top_terms(sf_dir)
+
+
 def _q_minhash_overflow(sf_dir: str):
     import numpy as np
     import pandas as pd
@@ -376,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "doc_md5": _q_doc_md5,
+        "vocab_topk": _q_vocab_topk,
+        "doc_top_terms": _q_doc_top_terms,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
@@ -425,6 +437,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": oracles.QUALITY_SCORES_SQL,
         "lang_id": oracles.LANG_ID_SQL,
         "doc_md5": oracles.DOC_MD5_SQL,
+        "vocab_topk": oracles.vocab_topk_sql(),
+        "doc_top_terms": oracles.doc_top_terms_sql(),
         "exact_dedup": oracles.EXACT_DEDUP_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),

@@ -159,3 +159,109 @@ def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
     # stage state is one integer
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _WINNOW, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building: corpus document-frequency / per-doc top terms
+# ---------------------------------------------------------------------------
+
+NON_TOKEN_RE = r"[^0-9A-Za-z_]+"
+
+
+def _tokens_table(b: pa.Table) -> pa.Table:
+    """(doc_id, token) rows, one per token occurrence, via ONE RE2
+    split-by-complement pass + list_flatten/list_parent_indices — all
+    C++ over Arrow buffers, no Python strings.  Splitting by
+    NON_TOKEN_RE and dropping empties is token-for-token identical to
+    regexp_extract_all(text, TOKEN_RE), the oracle's formulation."""
+    toks = pc.split_pattern_regex(b["text"], NON_TOKEN_RE)
+    flat = pc.list_flatten(toks)
+    doc = pc.take(b["doc_id"], pc.list_parent_indices(toks))
+    t = pa.table({"doc_id": pc.cast(doc, pa.int64()), "token": flat})
+    return t.filter(pc.not_equal(t["token"], ""))
+
+
+def vocab_topk(sf_dir: str, k: int = 100,
+               n_buckets: int = 64) -> ray.data.Dataset:
+    """Corpus vocabulary: top-k tokens by document frequency (ties by
+    token ascending), with total term frequency — the vocabulary-build
+    pass of a training-data pipeline.
+
+    Per-batch partial: tokenize (Arrow RE2), collapse to per-token
+    (df, tf) partials with two C++ hash-aggregates (docs never split
+    across batches, so per-batch distinct (doc, token) is globally
+    exact), and md5-hash the DISTINCT tokens into a bounded bucket
+    key.  ONE bounded groupby merges per-token partials and keeps each
+    bucket's top-k, so the driver-side sort sees <= k x n_buckets
+    rows no matter the corpus vocabulary size."""
+    import hashlib
+
+    from ..util import bucket_of
+
+    _EMPTY = pa.schema([("token", pa.string()), ("df", pa.int64()),
+                        ("tf", pa.int64()), ("bucket", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows == 0:
+            return _EMPTY.empty_table()
+        per_doc = pa.TableGroupBy(t, ["token", "doc_id"]).aggregate(
+            [("doc_id", "count")]).rename_columns(["token", "doc_id", "tf"])
+        per_tok = pa.TableGroupBy(per_doc, "token").aggregate(
+            [("doc_id", "count"), ("tf", "sum")]).rename_columns(
+            ["token", "df", "tf"])
+        toks = per_tok["token"].to_pylist()
+        h = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                      for s in toks], dtype=np.uint64)
+        return pa.table({
+            "token": per_tok["token"],
+            "df": pc.cast(per_tok["df"], pa.int64()),
+            "tf": pc.cast(per_tok["tf"], pa.int64()),
+            "bucket": pa.array(bucket_of(h, n_buckets))})
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.select(["token", "df", "tf"]), "token") \
+            .aggregate([("df", "sum"), ("tf", "sum")]) \
+            .rename_columns(["token", "df", "tf"])
+        m = m.sort_by([("df", "descending"), ("token", "ascending")])
+        return pa.table({"token": m["token"].slice(0, k),
+                         "df": pc.cast(m["df"].slice(0, k), pa.int64()),
+                         "tf": pc.cast(m["tf"].slice(0, k), pa.int64())})
+
+    topn = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
+    return topn.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+def doc_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Per-document top-k tokens by (term frequency DESC, token ASC) —
+    embarrassingly parallel (docs never split across batches, so no
+    shuffle at all): tokenize, one C++ hash-aggregate per batch, one
+    C++ sort, and a vectorized run-rank."""
+    def fn(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows == 0:
+            return pa.table({"doc_id": np.empty(0, np.int64),
+                             "token": pa.array([], pa.string()),
+                             "tf": np.empty(0, np.int64),
+                             "rank": np.empty(0, np.int64)})
+        tf = pa.TableGroupBy(t, ["doc_id", "token"]).aggregate(
+            [("token", "count")]).rename_columns(["doc_id", "token", "tf"])
+        tf = tf.sort_by([("doc_id", "ascending"), ("tf", "descending"),
+                         ("token", "ascending")])
+        doc = tf["doc_id"].to_numpy()
+        n = len(doc)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(n, dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
+        keep = rank <= k
+        return pa.table({"doc_id": doc[keep],
+                         "token": tf["token"].filter(pa.array(keep)),
+                         "tf": pc.cast(tf["tf"], pa.int64()).filter(pa.array(keep)),
+                         "rank": rank[keep]})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

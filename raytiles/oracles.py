@@ -519,3 +519,34 @@ JOIN (SELECT i AS band_id, i * {chunk} AS lo, i * {chunk} + {width} AS hi
 DISTINCT_USERS_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type"""
+
+
+_TOKS_CTE = f"""
+toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '{SQL_TOKEN_RE}')) AS token
+         FROM documents)"""
+
+
+def vocab_topk_sql(k: int = 100) -> str:
+    """Vocabulary twin: DF = distinct docs per token, TF = total
+    occurrences; top-k by (df DESC, token) — the tie-break makes the
+    LIMIT boundary deterministic, matching the engine's bucket-top-k
+    + final sort."""
+    return f"""
+WITH {_TOKS_CTE},
+dt AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY token, doc_id)
+SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf
+FROM dt GROUP BY token
+ORDER BY df DESC, token LIMIT {k}"""
+
+
+def doc_top_terms_sql(k: int = 5) -> str:
+    """Per-doc top-k terms twin: row_number over (tf DESC, token)."""
+    return f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token)
+SELECT doc_id, token, tf, rank FROM (
+  SELECT doc_id, token, tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, token) AS rank
+  FROM tf)
+WHERE rank <= {k}"""

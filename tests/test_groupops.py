@@ -95,3 +95,38 @@ def test_distinct_users_matches_nunique():
     assert len(df) == len(exp)
     for et, n in exp.items():
         assert df.loc[et, "n_users"] == n
+
+
+def test_vocab_topk_matches_python_tokenizer():
+    import re
+    from raytiles.ops.text import TOKEN_RE, vocab_topk
+    df = vocab_topk(SF_SMOKE, k=10).to_pandas()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    tok_re = re.compile(TOKEN_RE)
+    dfreq, tfreq = {}, {}
+    for _, row in docs.iterrows():
+        toks = tok_re.findall(row["text"])
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+        for t in toks:
+            tfreq[t] = tfreq.get(t, 0) + 1
+    exp = sorted(dfreq, key=lambda t: (-dfreq[t], t))[:10]
+    got = df.sort_values(["df", "token"], ascending=[False, True])
+    assert list(got["token"]) == exp
+    for _, r in got.iterrows():
+        assert r["df"] == dfreq[r["token"]] and r["tf"] == tfreq[r["token"]]
+
+
+def test_doc_top_terms_rank_rule():
+    import re
+    from collections import Counter
+    from raytiles.ops.text import TOKEN_RE, doc_top_terms
+    df = doc_top_terms(SF_SMOKE, k=3).to_pandas()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    tok_re = re.compile(TOKEN_RE)
+    for _, row in docs.sample(10, random_state=0).iterrows():
+        c = Counter(tok_re.findall(row["text"]))
+        exp = sorted(c, key=lambda t: (-c[t], t))[:3]
+        sub = df[df["doc_id"] == row["doc_id"]].sort_values("rank")
+        assert list(sub["token"]) == exp
+        assert list(sub["tf"]) == [c[t] for t in exp]
