@@ -257,23 +257,31 @@ def range_join(left: ray.data.Dataset, value_col: str, carry_col: str,
     replication factor stays ~(width/chunk + 1).
 
     ``intervals`` must have columns (band_id int64, lo float64,
-    hi float64); the join is lo <= value < hi."""
-    bid = intervals["band_id"].to_numpy()
-    lo = intervals["lo"].to_numpy().astype(np.float64)
-    hi = intervals["hi"].to_numpy().astype(np.float64)
-    c0 = np.floor(lo / chunk).astype(np.int64)
-    c1 = np.ceil(hi / chunk).astype(np.int64)    # hi exclusive: last chunk is c1-1
-    reps = np.maximum(c1 - c0, 1)
-    idx = np.repeat(np.arange(len(bid)), reps)
-    off = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
-    right_t = pa.table({
-        "chunk": (c0[idx] + off).astype(np.int64),
-        "side": np.ones(len(idx), np.int8),
-        carry_col: np.full(len(idx), -1, np.int64),
-        value_col: np.full(len(idx), np.nan),
-        "band_id": bid[idx].astype(np.int64),
-        "lo": lo[idx], "hi": hi[idx]})
-    right = ray.data.from_arrow(right_t)
+    hi float64), as a pyarrow Table or a ray Dataset; the join is
+    lo <= value < hi.  Replication runs INSIDE map_batches over the
+    intervals dataset, so an interval table too large to hold on the
+    driver streams through the same path."""
+
+    def replicate(b: pa.Table) -> pa.Table:
+        bid = b["band_id"].to_numpy()
+        lo = b["lo"].to_numpy().astype(np.float64)
+        hi = b["hi"].to_numpy().astype(np.float64)
+        c0 = np.floor(lo / chunk).astype(np.int64)
+        c1 = np.ceil(hi / chunk).astype(np.int64)  # hi exclusive: last chunk is c1-1
+        reps = np.maximum(c1 - c0, 1)
+        idx = np.repeat(np.arange(len(bid)), reps)
+        off = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+        return pa.table({
+            "chunk": (c0[idx] + off).astype(np.int64),
+            "side": np.ones(len(idx), np.int8),
+            carry_col: np.full(len(idx), -1, np.int64),
+            value_col: np.full(len(idx), np.nan),
+            "band_id": bid[idx].astype(np.int64),
+            "lo": lo[idx], "hi": hi[idx]})
+
+    if isinstance(intervals, pa.Table):
+        intervals = ray.data.from_arrow(intervals)
+    right = intervals.map_batches(replicate, batch_format="pyarrow")
 
     def tag(batch: pa.Table) -> pa.Table:
         v = batch[value_col].to_numpy().astype(np.float64)
