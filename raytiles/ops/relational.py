@@ -233,10 +233,9 @@ def events_sessions(sf_dir: str, gap_min: int = 30,
     from ..util import bucket_of
     gap = np.timedelta64(gap_min, "m")
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["bucket"] = bucket_of(b["user_id"].to_numpy(), n_buckets)
-        return b
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pa.array(bucket_of(b["user_id"].to_numpy(), n_buckets)))
 
     def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -259,7 +258,7 @@ def events_sessions(sf_dir: str, gap_min: int = 30,
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"),
                                columns=["event_id", "ts", "user_id", "value"])
-    return ds.map_batches(add_bucket, batch_format="pandas") \
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(sessionize_bucket, batch_format="pandas")
 
 
