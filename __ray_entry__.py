@@ -286,6 +286,11 @@ def _q_doc_top_terms(sf_dir: str):
     return doc_top_terms(sf_dir)
 
 
+def _q_order_revenue(sf_dir: str):
+    from raytiles.ops.relational import order_revenue
+    return order_revenue(sf_dir)
+
+
 def _q_minhash_overflow(sf_dir: str):
     import numpy as np
     import pandas as pd
@@ -370,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_asof": _q_events_asof,
+        "order_revenue": _q_order_revenue,
         "top_orders": _q_top_orders,
         "stratified_sample": _q_stratified_sample,
         "group_quantiles": _q_group_quantiles,
@@ -424,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": oracles.EVENTS_SLIDING_SQL,
         "events_sessions": oracles.EVENTS_SESSIONS_SQL,
         "events_asof": oracles.events_asof_sql(),
+        "order_revenue": oracles.ORDER_REVENUE_SQL,
         "top_orders": oracles.top_orders_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
         "group_quantiles": oracles.group_quantiles_sql(),

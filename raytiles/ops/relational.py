@@ -327,3 +327,77 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
                                columns=["event_id", "ts", "user_id", "event_type"])
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(asof_bucket, batch_format="pyarrow")
+
+
+def order_revenue(sf_dir: str, status: str = "O",
+                  n_buckets: int = 256) -> ray.data.Dataset:
+    """Distributed BIG x BIG equi-join: per-order lineitem revenue
+    joined to open orders. Neither side broadcasts — lineitem first
+    collapses to exact per-order partials (per-batch Arrow hash
+    aggregate, then ONE bounded-bucket groupby on splitmix(orderkey)
+    — never a raw groupby on the high-cardinality key), and the
+    result hash-joins the status-filtered orders side with Ray Data's
+    partitioned join (explicit bounded num_partitions, same sizing
+    rule as the dedup joins).
+
+    Revenue is rounded half-away-from-zero to 2 decimals (_fq): the
+    per-order addend count is tiny (<= ~13 lineitems) so engine and
+    oracle sums agree far beyond 2 decimals regardless of addition
+    order. o_orderdate travels as epoch microseconds (int64) so the
+    hashes match exactly."""
+    from .dedup import _join_partitions
+    from ..util import bucket_of
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        g = g.rename_columns(["l_orderkey", "rev", "n"])
+        return g.append_column(
+            "bucket", pa.array(bucket_of(g["l_orderkey"].to_numpy(), n_buckets)))
+
+    def li_merge(g: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(g.select(["l_orderkey", "rev", "n"]), "l_orderkey") \
+            .aggregate([("rev", "sum"), ("n", "sum")])
+        t = t.rename_columns(["l_orderkey", "rev", "n_items"])
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": t["rev"],
+                         "n_items": pa.compute.cast(t["n_items"], pa.int64())})
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.equal(b["o_orderstatus"], status))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "orderdate_us": pc.cast(
+                pc.cast(b["o_orderdate"], pa.timestamp("us")), pa.int64())})
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(li_merge, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]) \
+        .map_batches(ord_filter, batch_format="pyarrow")
+
+    n_part = _join_partitions()
+    # map_groups emits schema-less blocks for empty reducer partitions
+    # and the hash join rejects them; a cheap repartition merges them
+    li = li.repartition(n_part)
+    j = li.join(orders, "inner", n_part,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].astype(np.int64),
+            "o_custkey": b["o_custkey"].astype(np.int64),
+            "orderdate_us": b["orderdate_us"].astype(np.int64),
+            "revenue": _fq(b["rev"], 2),
+            "n_items": b["n_items"].astype(np.int64)})
+
+    return j.map_batches(finalize, batch_format="pandas")

@@ -550,3 +550,12 @@ SELECT doc_id, token, tf, rank FROM (
                             ORDER BY tf DESC, token) AS rank
   FROM tf)
 WHERE rank <= {k}"""
+
+
+ORDER_REVENUE_SQL = """
+SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS orderdate_us,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY 1, 2, 3"""
