@@ -279,11 +279,42 @@ def decode_tile(buf: bytes) -> VectorTile:
     """`tile` (lib/Geography/VectorTile.hs:70-71). Raises CodecError."""
     try:
         tile = VectorTile()
-        for fno, wtype, val in wire.scan_fields(buf, 0, len(buf)):
-            if fno == 3 and wtype == wire.LEN:
-                s, e = val
-                layer = _decode_layer(buf, s, e)
-                tile.layers[layer.name] = layer  # dup name: last wins
+        # inline outer scan (no generator): one pass over the tile's
+        # field headers; non-layer fields are skipped by wire type
+        pos, n = 0, len(buf)
+        uvarint = wire.uvarint_decode
+        try:
+            while pos < n:
+                key = buf[pos]
+                pos += 1
+                if key & 0x80:
+                    key, pos = uvarint(buf, pos - 1)
+                wtype = key & 7
+                if wtype == wire.LEN:
+                    ln = buf[pos]
+                    pos += 1
+                    if ln & 0x80:
+                        ln, pos = uvarint(buf, pos - 1)
+                    s, e = pos, pos + ln
+                    if e > n:
+                        raise wire.WireError("scan_fields: truncated LEN field")
+                    pos = e
+                    if key >> 3 == 3:
+                        layer = _decode_layer(buf, s, e)
+                        tile.layers[layer.name] = layer  # dup name: last wins
+                elif wtype == wire.VARINT:
+                    while buf[pos] & 0x80:
+                        pos += 1
+                    pos += 1
+                elif wtype == wire.I32:
+                    pos += 4
+                elif wtype == wire.I64:
+                    pos += 8
+                else:
+                    raise wire.WireError(
+                        f"scan_fields: unsupported wire type {wtype}")
+        except IndexError:
+            raise wire.WireError("uvarint_decode: truncated varint") from None
         return tile
     except wire.WireError as w:
         raise CodecError(str(w)) from w

@@ -183,12 +183,14 @@ def decode_points(cmds: np.ndarray) -> np.ndarray:
         if not p:
             return np.empty((0, 2), dtype=np.int64)
         x = y = 0
-        out = []
-        for i in range(0, len(p), 2):
-            x += p[i]
-            y += p[i + 1]
-            out.append((x, y))
-        return np.array(out, dtype=np.int64)
+        m = len(p) // 2
+        out = np.empty((m, 2), dtype=np.int64)
+        for i in range(m):
+            x += p[2 * i]
+            y += p[2 * i + 1]
+            out[i, 0] = x
+            out[i, 1] = y
+        return out
     parsed = parse_commands(cmds)
     if not parsed:
         raise GeometryError("No points given!")

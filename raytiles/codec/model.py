@@ -29,7 +29,7 @@ VAL_TAGS = (ST, FL, DO, I64V, W64V, S64V, BV)
 Val = tuple  # (tag, value)
 
 
-@dataclass
+@dataclass(slots=True)
 class Feature:
     """One feature (VectorTile.hs:123-125). ``geometry`` container type
     is implied by which Layer vector holds the feature."""
@@ -38,7 +38,7 @@ class Feature:
     geometry: Any = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Layer:
     """A named layer with features split by geometry type
     (VectorTile.hs:73-79)."""
@@ -50,7 +50,7 @@ class Layer:
     polygons: list = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class VectorTile:
     """layers: bytes name -> Layer (VectorTile.hs:62); duplicate wire
     names collapse keep-last (Internal.hs:99)."""

@@ -125,7 +125,9 @@ def uvarint_decode_list(buf) -> list:
     out = []
     result = 0
     shift = 0
-    for byte in bytes(buf):
+    if type(buf) is not bytes:  # bytes slices arrive copy-free
+        buf = bytes(buf)
+    for byte in buf:
         result |= (byte & 0x7F) << shift
         if byte & 0x80:
             shift += 7
