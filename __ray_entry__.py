@@ -291,6 +291,13 @@ def _q_order_revenue(sf_dir: str):
     return order_revenue(sf_dir)
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HLL approximate count-distinct (no SQL twin — approximate by
+    design; pytest pins accuracy vs exact and merge invariance)."""
+    from raytiles.ops.sketch import approx_distinct_users
+    return approx_distinct_users(sf_dir)
+
+
 def _q_minhash_overflow(sf_dir: str):
     import numpy as np
     import pandas as pd
@@ -381,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "range_join_bands": _q_range_join,
         "distinct_users": _q_distinct_users,
+        "approx_distinct": _q_approx_distinct,
         "extract_text": _q_extract_text,
         "morton_cells": _q_morton_cells,
         "tile_pyramid": _q_tile_pyramid,

@@ -150,3 +150,21 @@ def test_order_revenue_matches_pandas_join():
     assert np.array_equal(got["o_orderkey"], want["o_orderkey"])
     assert np.array_equal(got["n_items"], want["n_items"])
     assert np.allclose(got["revenue"], want["revenue"].round(2), atol=0.005)
+
+
+def test_approx_distinct_hll_accuracy_and_determinism():
+    from raytiles.ops.sketch import approx_distinct_users
+    df = approx_distinct_users(SF_SMOKE).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    assert len(df) == len(exact)
+    for et, n in exact.items():
+        est = df.loc[et, "n_users_est"]
+        # m=4096 -> sigma ~1.6%; allow 5% (deterministic, so stable)
+        assert abs(est - n) <= max(3, 0.05 * n), (et, est, n)
+    # merge invariance: a different batch regrouping yields the same
+    # registers, hence bit-identical estimates
+    df2 = approx_distinct_users(SF_SMOKE).to_pandas().set_index("event_type")
+    assert df["n_users_est"].sort_index().equals(
+        df2["n_users_est"].sort_index())
