@@ -196,6 +196,12 @@ def _q_heatmap_mvt(sf_dir: str):
     return heatmap_pipeline(webpages_path(sf_dir), 8)
 
 
+def _q_tile_neighborhood(sf_dir: str):
+    from raytiles.ops.raster import tile_neighborhood
+    from raytiles.pipeline.synth import webpages_path
+    return tile_neighborhood(webpages_path(sf_dir), 12)
+
+
 def _q_token_counts(sf_dir: str):
     from raytiles.ops.text import token_counts
     return token_counts(sf_dir)
@@ -393,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morton_cells": _q_morton_cells,
         "tile_pyramid": _q_tile_pyramid,
         "raster_cells": _q_raster_cells,
+        "tile_neighborhood": _q_tile_neighborhood,
         "heatmap_mvt": _q_heatmap_mvt,
         "trajectories_mvt": _q_trajectories,
         # text analysis
@@ -448,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "morton_cells": oracles.morton_cells_sql(wp),
         "tile_pyramid": oracles.tile_pyramid_sql(wp),
         "raster_cells": oracles.raster_cells_sql(wp),
+        "tile_neighborhood": oracles.tile_neighborhood_sql(wp),
         "token_counts": oracles.TOKEN_COUNTS_SQL,
         "quality_scores": oracles.QUALITY_SCORES_SQL,
         "lang_id": oracles.LANG_ID_SQL,

@@ -199,3 +199,61 @@ def heatmap_pipeline(webpages_path: str, zoom: int = 8) -> ray.data.Dataset:
     from ..pipeline.flagship import assign, geoparse, read_webpages
     ds = assign(geoparse(read_webpages(webpages_path)), zoom, with_cells=False)
     return vectorize_raster(rasterize_tiles(ds))
+
+
+def tile_neighborhood(webpages_path: str, zoom: int = 12,
+                      n_buckets: int = 1024) -> ray.data.Dataset:
+    """3x3 neighborhood aggregation over the tile grid (a distributed
+    spatial stencil / self-join): for every non-empty tile, its own
+    feature count plus the total over the 8 surrounding tiles.
+
+    Shape: per-batch partial counts per tile (np.unique — a batch
+    holds few distinct tiles), each partial REPLICATED to its <= 9
+    clipped neighbor targets carrying (n_hood_part, n_self_part), then
+    ONE bounded-bucket shuffle on splitmix(target) and a vectorized
+    sum-merge.  Replication commutes with summation, so partials
+    replicate BEFORE the shuffle and the merge is a plain groupby-sum
+    — no join, no second pass.  At the edges neighbors clip (no
+    wraparound), matching the oracle's BETWEEN self-join."""
+    from ..pipeline.flagship import assign, geoparse, read_webpages
+    from ..util import bucket_of
+
+    n = 1 << zoom
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = b["x"].to_numpy() * n + b["y"].to_numpy()
+        ku, cnt = np.unique(key, return_counts=True)
+        cx, cy = ku // n, ku % n
+        tx, ty, hood, own = [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                gx, gy = cx + dx, cy + dy
+                ok = (gx >= 0) & (gx < n) & (gy >= 0) & (gy < n)
+                tx.append(gx[ok])
+                ty.append(gy[ok])
+                hood.append(cnt[ok])
+                own.append(cnt[ok] if dx == 0 and dy == 0
+                           else np.zeros(int(ok.sum()), dtype=np.int64))
+        tx = np.concatenate(tx)
+        ty = np.concatenate(ty)
+        return pa.table({
+            "x": tx, "y": ty,
+            "n_hood": np.concatenate(hood).astype(np.int64),
+            "n_self": np.concatenate(own),
+            "bucket": bucket_of(tx * n + ty, n_buckets)})
+
+    def merge(g: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(g.select(["x", "y", "n_hood", "n_self"]),
+                            ["x", "y"]).aggregate(
+            [("n_hood", "sum"), ("n_self", "sum")])
+        t = t.rename_columns(["x", "y", "n_hood", "n_features"])
+        t = t.filter(pc.greater(t["n_features"], 0))  # only non-empty tiles
+        return pa.table({
+            "z": np.full(t.num_rows, zoom, dtype=np.int64),
+            "x": t["x"], "y": t["y"],
+            "n_features": pc.cast(t["n_features"], pa.int64()),
+            "n_hood": pc.cast(t["n_hood"], pa.int64())})
+
+    ds = assign(geoparse(read_webpages(webpages_path)), zoom, with_cells=False)
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")

@@ -559,3 +559,16 @@ SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS orderdate_us,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderstatus = 'O'
 GROUP BY 1, 2, 3"""
+
+
+def tile_neighborhood_sql(webpages_parquet: str, zoom: int = 12) -> str:
+    """Stencil twin: counts-per-tile self-joined on the 3x3 BETWEEN
+    box (edge tiles clip — no wraparound, same as the engine)."""
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs(zoom)}, "
+            "counts AS (SELECT x, y, count(*) AS n FROM localized GROUP BY x, y), "
+            "hood AS (SELECT a.x, a.y, sum(b.n) AS n_hood FROM counts a "
+            "JOIN counts b ON b.x BETWEEN a.x - 1 AND a.x + 1 "
+            "AND b.y BETWEEN a.y - 1 AND a.y + 1 GROUP BY a.x, a.y) "
+            f"SELECT {zoom} AS z, h.x, h.y, c.n AS n_features, "
+            "CAST(h.n_hood AS BIGINT) AS n_hood "
+            "FROM hood h JOIN counts c ON c.x = h.x AND c.y = h.y")

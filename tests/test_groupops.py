@@ -168,3 +168,22 @@ def test_approx_distinct_hll_accuracy_and_determinism():
     df2 = approx_distinct_users(SF_SMOKE).to_pandas().set_index("event_type")
     assert df["n_users_est"].sort_index().equals(
         df2["n_users_est"].sort_index())
+
+
+def test_tile_neighborhood_stencil():
+    from raytiles.ops.raster import tile_neighborhood
+    from raytiles.pipeline.flagship import (assign, geoparse,
+                                            read_webpages)
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    df = tile_neighborhood(wp, 12).to_pandas()
+    a = assign(geoparse(read_webpages(wp)), 12,
+               with_cells=False).to_pandas()
+    counts = a.groupby(["x", "y"]).size()
+    assert len(df) == len(counts)
+    cd = counts.to_dict()
+    for _, r in df.sample(min(50, len(df)), random_state=0).iterrows():
+        assert r["n_features"] == cd[(r["x"], r["y"])]
+        hood = sum(cd.get((r["x"] + dx, r["y"] + dy), 0)
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        assert r["n_hood"] == hood
