@@ -147,6 +147,12 @@ def _q_extract_text(sf_dir: str):
     return extract_text(webpages_path(sf_dir))
 
 
+def _q_redact_locations(sf_dir: str):
+    from raytiles.ops.extract import redact_locations
+    from raytiles.pipeline.synth import webpages_path
+    return redact_locations(webpages_path(sf_dir))
+
+
 def _q_trajectories(sf_dir: str):
     """Distributed LINESTRING encoding (generic codec path); rows-only
     — pytest decodes the output back against a pandas oracle."""
@@ -396,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "approx_distinct": _q_approx_distinct,
         "extract_text": _q_extract_text,
+        "redact_locations": _q_redact_locations,
         "morton_cells": _q_morton_cells,
         "tile_pyramid": _q_tile_pyramid,
         "raster_cells": _q_raster_cells,
@@ -452,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_bands": oracles.range_join_sql(),
         "distinct_users": oracles.DISTINCT_USERS_SQL,
         "extract_text": oracles.extract_text_sql(wp),
+        "redact_locations": oracles.redact_locations_sql(wp),
         "morton_cells": oracles.morton_cells_sql(wp),
         "tile_pyramid": oracles.tile_pyramid_sql(wp),
         "raster_cells": oracles.raster_cells_sql(wp),

@@ -49,3 +49,31 @@ def extract_text(webpages_path: str) -> ray.data.Dataset:
     the html binary column (columns pruned to url/html/text)."""
     ds = ray.data.read_parquet(webpages_path, columns=["url", "html", "text"])
     return ds.map_batches(extract_batch, batch_format="pandas", batch_size=2048)
+
+
+def redact_locations(webpages_path: str) -> ray.data.Dataset:
+    """Location-PII scrub: every coordinate mention (the geoparse
+    grammar, geo/parse.py MASTER_RE) is replaced with '[LOC]' — the
+    corpus-sanitization pass a training-data pipeline runs before
+    export. Deliberately broader than geoparse itself: anything that
+    LOOKS like a coordinate is scrubbed, including mentions geoparse
+    would drop as out-of-range (redaction errs conservative).
+
+    Stateless vectorized map: two RE2 kernels (count + replace) over
+    the zero-copy Arrow batch — the same engine DuckDB's regexp_replace
+    (flag 'g') and regexp_extract_all use, so the twin is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..geo.parse import MASTER_RE
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b["url"],
+            "clean_text": pc.replace_substring_regex(
+                b["text"], MASTER_RE, "[LOC]"),
+            "n_redacted": pc.cast(
+                pc.count_substring_regex(b["text"], MASTER_RE), pa.int64())})
+
+    ds = ray.data.read_parquet(webpages_path, columns=["url", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")

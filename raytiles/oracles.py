@@ -572,3 +572,12 @@ def tile_neighborhood_sql(webpages_parquet: str, zoom: int = 12) -> str:
             f"SELECT {zoom} AS z, h.x, h.y, c.n AS n_features, "
             "CAST(h.n_hood AS BIGINT) AS n_hood "
             "FROM hood h JOIN counts c ON c.x = h.x AND c.y = h.y")
+
+
+def redact_locations_sql(webpages_parquet: str) -> str:
+    """Redaction twin: same MASTER_RE, global regexp_replace."""
+    return f"""
+SELECT url,
+       regexp_replace(text, '{MASTER_RE}', '[LOC]', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{MASTER_RE}')) AS n_redacted
+FROM read_parquet('{webpages_parquet}/*.parquet')"""

@@ -187,3 +187,17 @@ def test_tile_neighborhood_stencil():
         hood = sum(cd.get((r["x"] + dx, r["y"] + dy), 0)
                    for dx in (-1, 0, 1) for dy in (-1, 0, 1))
         assert r["n_hood"] == hood
+
+
+def test_redact_locations_removes_all_mentions():
+    import re
+    from raytiles.geo.parse import MASTER_RE
+    from raytiles.ops.extract import redact_locations
+    from raytiles.pipeline.synth import webpages_path
+    df = redact_locations(webpages_path(SF_SMOKE)).to_pandas()
+    rx = re.compile(MASTER_RE)
+    hit = df[df["n_redacted"] > 0]
+    assert len(hit) > 0
+    for _, r in hit.sample(min(20, len(hit)), random_state=0).iterrows():
+        assert rx.search(r["clean_text"]) is None
+        assert r["clean_text"].count("[LOC]") == r["n_redacted"]
