@@ -298,6 +298,11 @@ def _q_doc_top_terms(sf_dir: str):
     return doc_top_terms(sf_dir)
 
 
+def _q_user_features(sf_dir: str):
+    from raytiles.ops.relational import user_features
+    return user_features(sf_dir)
+
+
 def _q_order_revenue(sf_dir: str):
     from raytiles.ops.relational import order_revenue
     return order_revenue(sf_dir)
@@ -395,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_asof": _q_events_asof,
         "order_revenue": _q_order_revenue,
+        "user_features": _q_user_features,
         "top_orders": _q_top_orders,
         "stratified_sample": _q_stratified_sample,
         "group_quantiles": _q_group_quantiles,
@@ -453,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": oracles.EVENTS_SESSIONS_SQL,
         "events_asof": oracles.events_asof_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
+        "user_features": oracles.USER_FEATURES_SQL,
         "top_orders": oracles.top_orders_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
         "group_quantiles": oracles.group_quantiles_sql(),

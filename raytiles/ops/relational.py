@@ -401,3 +401,49 @@ def order_revenue(sf_dir: str, status: str = "O",
             "n_items": b["n_items"].astype(np.int64)})
 
     return j.map_batches(finalize, batch_format="pandas")
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_features(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Per-user feature vector (pivot / one-hot aggregation — the
+    feature-engineering step before model training): one row per user
+    with a count column per event type plus the value sum.
+
+    Per-batch partial: ONE Arrow hash-aggregate per batch keyed by
+    user with a pre-pivoted count column per type (boolean masks cast
+    to int — no per-type pass over the batch), so the shuffle moves
+    one 7-column row per (user, batch). Final: bounded-bucket groupby
+    on splitmix(user_id), vectorized sum-merge per user."""
+    from ..util import bucket_of
+    import pyarrow.compute as pc
+
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = {"user_id": b["user_id"], "value": b["value"]}
+        for name in EVENT_TYPES:
+            t[f"n_{name}"] = pc.cast(
+                pc.equal(b["event_type"], name), pa.int64())
+        g = pa.TableGroupBy(pa.table(t), "user_id").aggregate(
+            [(c, "sum") for c in cols] + [("value", "sum")])
+        g = g.rename_columns(["user_id"] + cols + ["sum_value"])
+        return g.append_column(
+            "bucket", pa.array(bucket_of(g["user_id"].to_numpy(), n_buckets)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(
+            g.select(["user_id"] + cols + ["sum_value"]), "user_id") \
+            .aggregate([(c, "sum") for c in cols] + [("sum_value", "sum")])
+        t = t.rename_columns(["user_id"] + cols + ["sum_value"])
+        out = {"user_id": t["user_id"]}
+        for c in cols:
+            out[c] = pc.cast(t[c], pa.int64())
+        out["sum_value"] = pa.array(_fq(t["sum_value"].to_numpy(), 6))
+        return pa.table(out)
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["user_id", "event_type", "value"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")

@@ -581,3 +581,14 @@ SELECT url,
        regexp_replace(text, '{MASTER_RE}', '[LOC]', 'g') AS clean_text,
        len(regexp_extract_all(text, '{MASTER_RE}')) AS n_redacted
 FROM read_parquet('{webpages_parquet}/*.parquet')"""
+
+
+USER_FEATURES_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY user_id"""

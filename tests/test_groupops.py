@@ -201,3 +201,20 @@ def test_redact_locations_removes_all_mentions():
     for _, r in hit.sample(min(20, len(hit)), random_state=0).iterrows():
         assert rx.search(r["clean_text"]) is None
         assert r["clean_text"].count("[LOC]") == r["n_redacted"]
+
+
+def test_user_features_pivot():
+    from raytiles.ops.relational import user_features
+    df = user_features(SF_SMOKE).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    piv = ev.pivot_table(index="user_id", columns="event_type",
+                         values="event_id", aggfunc="size",
+                         fill_value=0)
+    assert len(df) == len(piv)
+    for et in piv.columns:
+        got = df[f"n_{et}"].sort_index()
+        assert np.array_equal(got.to_numpy(),
+                              piv[et].sort_index().to_numpy())
+    sums = ev.groupby("user_id")["value"].sum()
+    assert np.allclose(df["sum_value"].sort_index(),
+                       sums.sort_index().round(6), atol=1e-5)
