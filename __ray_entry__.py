@@ -329,6 +329,27 @@ def _q_minhash_overflow(sf_dir: str):
     return df[cols]
 
 
+def _q_host_stats(sf_dir: str):
+    from raytiles.ops.webcorpus import host_stats
+    from raytiles.pipeline.synth import webpages_path
+    return host_stats(webpages_path(sf_dir))
+
+
+def _q_cust_anti_join(sf_dir: str):
+    from raytiles.ops.webcorpus import customers_without_big_orders
+    return customers_without_big_orders(sf_dir)
+
+
+def _q_decontaminate(sf_dir: str):
+    from raytiles.ops.webcorpus import decontaminate
+    return decontaminate(sf_dir)
+
+
+def _q_doc_repetition(sf_dir: str):
+    from raytiles.ops.webcorpus import doc_repetition
+    return doc_repetition(sf_dir)
+
+
 def _q_simhash(sf_dir: str):
     from raytiles.ops.dedup import simhash
     return simhash(sf_dir)
@@ -415,6 +436,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_neighborhood": _q_tile_neighborhood,
         "heatmap_mvt": _q_heatmap_mvt,
         "trajectories_mvt": _q_trajectories,
+        # web-corpus curation
+        "host_stats": _q_host_stats,
+        "cust_anti_join": _q_cust_anti_join,
+        "decontaminate": _q_decontaminate,
+        "doc_repetition": _q_doc_repetition,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -471,6 +497,10 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": oracles.tile_pyramid_sql(wp),
         "raster_cells": oracles.raster_cells_sql(wp),
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),
+        "host_stats": oracles.host_stats_sql(wp),
+        "cust_anti_join": oracles.customers_without_big_orders_sql(),
+        "decontaminate": oracles.decontaminate_sql(),
+        "doc_repetition": oracles.DOC_REPETITION_SQL,
         "token_counts": oracles.TOKEN_COUNTS_SQL,
         "quality_scores": oracles.QUALITY_SCORES_SQL,
         "lang_id": oracles.LANG_ID_SQL,

@@ -1,0 +1,252 @@
+"""Web-corpus curation operators: per-host statistics, anti-join
+(rows with no match on the other side), benchmark decontamination
+(n-gram overlap against a broadcast test set), and repetition-ratio
+quality scoring.
+
+These are the corpus-hygiene passes of a Common-Crawl-style training-
+data pipeline (the build brief's "operations a large-scale training-
+data pipeline would need"); the reference engine
+(fosskers/vectortiles) has no text surface, so there is no reference
+file to cite — semantics are pinned by the DuckDB twins in
+raytiles/oracles.py and by pytest.
+
+Shuffle discipline (CLAUDE.md): per-batch vectorized partials collapse
+each batch before the ONE bounded splitmix-bucket groupby; the
+decontamination scan has NO shuffle at all — the benchmark gram set is
+`ray.put` once and every task reads the same object-store copy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..util import bucket_of
+from .text import NON_TOKEN_RE, _tokens_table
+
+HOST_RE = r"^https?://(?P<host>[^/]+)/"
+
+
+def _md5_u64(strings) -> np.ndarray:
+    """First 8 bytes of md5 as uint64 (big-endian) per string — the
+    repo's md5-derived-hash parity rule: DuckDB reproduces it with
+    ('0x' || substr(md5(s), 1, 16))::UBIGINT."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+         for s in strings),
+        dtype=np.uint64, count=len(strings))
+
+
+# ---------------------------------------------------------------------------
+# per-host aggregation over the webpages table
+# ---------------------------------------------------------------------------
+
+def host_stats(webpages_path: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Per-host corpus stats: (host, n_docs, total_chars, n_en).
+
+    Partial: one RE2 extract + one Arrow hash-aggregate per batch, so
+    the shuffle moves <= hosts_in_batch rows per batch; md5-hashed
+    hosts land in a bounded bucket key (hosts are unbounded at crawl
+    scale — never the raw groupby key). Final: sum-merge per bucket."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
+        t = pa.table({
+            "host": host,
+            "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            "is_en": pc.cast(pc.equal(b["lang"], "en"), pa.int64()),
+        })
+        g = pa.TableGroupBy(t, "host").aggregate(
+            [("host", "count"), ("n_chars", "sum"), ("is_en", "sum")])
+        g = g.rename_columns(["host", "n_docs", "total_chars", "n_en"])
+        h = _md5_u64(g["host"].to_pylist())
+        return g.append_column("bucket", pa.array(bucket_of(h, n_buckets)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.select(["host", "n_docs", "total_chars", "n_en"]),
+                            "host").aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum"), ("n_en", "sum")])
+        m = m.rename_columns(["host", "n_docs", "total_chars", "n_en"])
+        return pa.table({"host": m["host"],
+                         "n_docs": pc.cast(m["n_docs"], pa.int64()),
+                         "total_chars": pc.cast(m["total_chars"], pa.int64()),
+                         "n_en": pc.cast(m["n_en"], pa.int64())})
+
+    ds = ray.data.read_parquet(webpages_path, columns=["url", "text", "lang"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed anti-join
+# ---------------------------------------------------------------------------
+
+def customers_without_big_orders(sf_dir: str, threshold: float = 300000.0,
+                                 n_buckets: int = 256) -> ray.data.Dataset:
+    """Anti-join: customers with NO order above ``threshold`` (TPC-H
+    Q22 shape), both sides big. The probe side prunes at the read
+    (row filter pushed to the parquet scan) and collapses each batch
+    to its DISTINCT o_custkey values (np.unique) before the shuffle;
+    both sides land in the same bounded splitmix(custkey) bucket, so
+    the per-bucket finalizer sees every order key that could match its
+    customers and one vectorized np.isin emits the non-matches.
+    Shuffle payload: distinct keys per batch, never the order rows."""
+
+    def cust_tag(b: pa.Table) -> pa.Table:
+        key = b["c_custkey"].to_numpy()
+        return pa.table({
+            "custkey": key.astype(np.int64),
+            "c_acctbal": b["c_acctbal"],
+            "side": np.zeros(len(key), np.int8),
+            "bucket": bucket_of(key, n_buckets)})
+
+    def orders_partial(b: pa.Table) -> pa.Table:
+        key = np.unique(b["o_custkey"].to_numpy()).astype(np.int64)
+        return pa.table({
+            "custkey": key,
+            "c_acctbal": np.full(len(key), np.nan),
+            "side": np.ones(len(key), np.int8),
+            "bucket": bucket_of(key, n_buckets)})
+
+    def anti(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        key = g["custkey"].to_numpy()
+        li = side == 0
+        miss = li & ~np.isin(key, key[~li])
+        return pa.table({
+            "c_custkey": key[miss],
+            "c_acctbal": g["c_acctbal"].to_numpy(zero_copy_only=False)[miss]})
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(cust_tag, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_totalprice") > threshold) \
+        .map_batches(orders_partial, batch_format="pyarrow")
+    return cust.union(orders).groupby("bucket") \
+        .map_groups(anti, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (test-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+NGRAM = 5
+BENCH_MOD = 35  # deterministic stand-in benchmark: doc_id % 35 == 0
+
+
+def _doc_gram_hashes(texts: pa.Array):
+    """Distinct (doc_row, gram_hash) pairs for a combined-chunk string
+    array: one RE2 split pass, fixed-width np.char window concat
+    (token-for-token identical to the oracle's
+    array_to_string(t[i:i+n-1], ' ')), md5-u64 per DISTINCT gram only.
+    Returns (doc_row_idx int64, gh uint64)."""
+    toks = pc.split_pattern_regex(texts, NON_TOKEN_RE)
+    flat = np.asarray(pc.list_flatten(toks))
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    # split never yields internal empties — only at string boundaries
+    keep = flat != ""
+    flat, parent = flat[keep], parent[keep]
+    m = len(flat) - (NGRAM - 1)
+    if m <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    ok = parent[:m] == parent[NGRAM - 1:]
+    u = flat.astype("U")
+    g = u[:m]
+    for k in range(1, NGRAM):
+        g = np.char.add(np.char.add(g, " "), u[k:k + m])
+    g, doc = g[ok], parent[:m][ok].astype(np.int64)
+    if len(g) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    ug, inv = np.unique(g, return_inverse=True)
+    gh = _md5_u64(ug)[inv]
+    order = np.lexsort((gh, doc))
+    doc, gh = doc[order], gh[order]
+    first = np.empty(len(doc), dtype=bool)
+    first[0] = True
+    first[1:] = (doc[1:] != doc[:-1]) | (gh[1:] != gh[:-1])
+    return doc[first], gh[first]
+
+
+def decontaminate(sf_dir: str, mod: int = BENCH_MOD) -> ray.data.Dataset:
+    """Training-set decontamination: for every non-benchmark document,
+    the number of DISTINCT word 5-grams it shares with the benchmark
+    set (docs with doc_id % mod == 0 stand in for an external test
+    set); only contaminated docs (n_hits >= 1) are emitted.
+
+    Scale shape: the benchmark gram set (small by definition — test
+    sets are KB-MB) is built by a parallel pass whose per-batch output
+    is already-distinct gram hashes, unioned once on the driver and
+    broadcast via ray.put; the corpus scan is then embarrassingly
+    parallel — one sorted-array membership np.isin per batch, NO
+    shuffle. At 10^12 docs the scan streams; only the benchmark set is
+    ever materialized."""
+    path = f"{sf_dir}/documents.parquet"
+
+    def bench_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        sel = ids % mod == 0
+        if not sel.any():
+            return pa.table({"gh": pa.array([], pa.uint64())})
+        texts = b["text"].combine_chunks().filter(pa.array(sel))
+        _, gh = _doc_gram_hashes(texts)
+        return pa.table({"gh": np.unique(gh)})
+
+    bench_parts = ray.data.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(bench_partial, batch_format="pyarrow").take_all()
+    bench = np.unique(np.asarray([r["gh"] for r in bench_parts],
+                                 dtype=np.uint64))
+    bench_ref = ray.put(bench)  # broadcast once; read per task, zero-copy
+
+    def scan(b: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ids = b["doc_id"].to_numpy()
+        doc, gh = _doc_gram_hashes(b["text"].combine_chunks())
+        hit = np.isin(gh, bset)  # bset sorted unique -> binary search
+        n_hits = np.bincount(doc[hit], minlength=len(ids))
+        out = (n_hits > 0) & (ids % mod != 0)
+        return pa.table({"doc_id": ids[out].astype(np.int64),
+                         "n_hits": n_hits[out].astype(np.int64)})
+
+    return ray.data.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repetition-ratio quality scoring
+# ---------------------------------------------------------------------------
+
+def doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc token-repetition quality signal (the Gopher-style
+    duplicate-fraction filter): (doc_id, n_tokens, n_distinct,
+    dup_ratio) with dup_ratio = floor-quantized 1 - distinct/total.
+    Embarrassingly parallel — docs never split across batches, one
+    Arrow hash-aggregate per batch, no shuffle."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows == 0:
+            return pa.table({"doc_id": np.empty(0, np.int64),
+                             "n_tokens": np.empty(0, np.int64),
+                             "n_distinct": np.empty(0, np.int64),
+                             "dup_ratio": np.empty(0, np.float64)})
+        g = pa.TableGroupBy(t, "doc_id").aggregate(
+            [("token", "count"), ("token", "count_distinct")])
+        g = g.rename_columns(["doc_id", "n_tokens", "n_distinct"])
+        nt = g["n_tokens"].to_numpy().astype(np.float64)
+        nd = g["n_distinct"].to_numpy().astype(np.float64)
+        dup = np.floor((1.0 - nd / nt) * 1e6) / 1e6  # q6: DuckDB-exact
+        return pa.table({"doc_id": pc.cast(g["doc_id"], pa.int64()),
+                         "n_tokens": pc.cast(g["n_tokens"], pa.int64()),
+                         "n_distinct": pc.cast(g["n_distinct"], pa.int64()),
+                         "dup_ratio": pa.array(dup, pa.float64())})
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow")

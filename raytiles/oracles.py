@@ -592,3 +592,61 @@ SELECT user_id,
        CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY user_id"""
+
+
+def host_stats_sql(webpages_parquet: str) -> str:
+    """Per-host stats twin: same host regex (RE2 both sides)."""
+    return f"""
+SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM read_parquet('{webpages_parquet}/*.parquet')
+GROUP BY 1"""
+
+
+def customers_without_big_orders_sql(threshold: float = 300000.0) -> str:
+    """Anti-join twin: NOT EXISTS over the thresholded probe side."""
+    return f"""
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {threshold})"""
+
+
+def decontaminate_sql(mod: int = 35, n: int = 5) -> str:
+    """Decontamination twin: word n-grams via list slicing over the
+    same token grammar; the join key is the SAME md5-u64 the engine
+    uses (md5-derived-hash parity rule), so engine and oracle are
+    exact twins by construction."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^0-9A-Za-z_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         substr(md5(array_to_string(t[i:i+{n - 1}], ' ')), 1, 16) AS gh
+  FROM toks, unnest(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n}
+), bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {mod} = 0)
+SELECT d.doc_id, count(*) AS n_hits
+FROM grams d JOIN bench USING (gh)
+WHERE d.doc_id % {mod} <> 0
+GROUP BY 1"""
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{SQL_TOKEN_RE}') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       floor((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * 1000000) / 1000000 AS dup_ratio
+FROM c"""

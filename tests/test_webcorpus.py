@@ -1,0 +1,95 @@
+"""Web-corpus curation ops: single-process pandas/regex oracles at
+sf0.001 (the SQL twins get full value verification from
+scripts/check_correctness.py + the driver gate at sf0.01)."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs():
+    return pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+
+
+def test_host_stats_matches_pandas():
+    from raytiles.ops.webcorpus import host_stats
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    df = host_stats(wp).to_pandas().sort_values("host").reset_index(drop=True)
+    pages = pq.read_table(wp).to_pandas()
+    pages["host"] = pages["url"].str.extract(r"^https?://([^/]+)/")[0]
+    want = pages.groupby("host").agg(
+        n_docs=("url", "size"),
+        total_chars=("text", lambda s: s.str.len().sum()),
+        n_en=("lang", lambda s: int((s == "en").sum()))).reset_index() \
+        .sort_values("host").reset_index(drop=True)
+    assert np.array_equal(df["host"].to_numpy(), want["host"].to_numpy())
+    for c in ("n_docs", "total_chars", "n_en"):
+        assert np.array_equal(df[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_anti_join_matches_pandas():
+    from raytiles.ops.webcorpus import customers_without_big_orders
+    thr = 300000.0  # default: 3 live rows and 147 exclusions at sf0.001
+    df = customers_without_big_orders(SF_SMOKE, threshold=thr).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    cust = pq.read_table(f"{SF_SMOKE}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+    big = set(orders.loc[orders["o_totalprice"] > thr, "o_custkey"])
+    want = cust[~cust["c_custkey"].isin(big)].sort_values("c_custkey")
+    assert 0 < len(want) < len(cust)  # live rows AND live exclusions
+    assert np.array_equal(df["c_custkey"].to_numpy(),
+                          want["c_custkey"].to_numpy())
+    assert np.allclose(df["c_acctbal"].to_numpy(),
+                       want["c_acctbal"].to_numpy())
+
+
+def test_decontaminate_matches_pure_python():
+    from raytiles.ops.text import TOKEN_RE
+    from raytiles.ops.webcorpus import NGRAM, decontaminate
+    mod = 7  # denser benchmark at 50-doc scale
+    df = decontaminate(SF_SMOKE, mod=mod).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = _docs()
+    tok = re.compile(TOKEN_RE)
+
+    def grams(text):
+        t = tok.findall(text)
+        return {" ".join(t[i:i + NGRAM]) for i in range(len(t) - NGRAM + 1)}
+
+    bench = set()
+    for _, r in docs[docs["doc_id"] % mod == 0].iterrows():
+        bench |= grams(r["text"])
+    want = {}
+    for _, r in docs[docs["doc_id"] % mod != 0].iterrows():
+        n = len(grams(r["text"]) & bench)
+        if n:
+            want[r["doc_id"]] = n
+    assert dict(zip(df["doc_id"], df["n_hits"])) == want
+    assert len(want) > 0  # the oracle sees live contamination
+
+
+def test_doc_repetition_matches_pure_python():
+    from raytiles.ops.text import TOKEN_RE
+    from raytiles.ops.webcorpus import doc_repetition
+    df = doc_repetition(SF_SMOKE).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = _docs().sort_values("doc_id").reset_index(drop=True)
+    tok = re.compile(TOKEN_RE)
+    toks = [tok.findall(t) for t in docs["text"]]
+    nt = np.array([len(t) for t in toks], dtype=np.int64)
+    nd = np.array([len(set(t)) for t in toks], dtype=np.int64)
+    keep = nt > 0
+    assert np.array_equal(df["doc_id"].to_numpy(),
+                          docs["doc_id"].to_numpy()[keep])
+    assert np.array_equal(df["n_tokens"].to_numpy(), nt[keep])
+    assert np.array_equal(df["n_distinct"].to_numpy(), nd[keep])
+    want = np.floor((1.0 - nd[keep] / nt[keep]) * 1e6) / 1e6
+    assert np.array_equal(df["dup_ratio"].to_numpy(), want)
