@@ -329,6 +329,30 @@ def _q_minhash_overflow(sf_dir: str):
     return df[cols]
 
 
+def _q_geofence_join(sf_dir: str):
+    from raytiles.ops.spatial import geofence_join
+    from raytiles.pipeline.synth import webpages_path
+    return geofence_join(webpages_path(sf_dir))
+
+
+def _q_nearest_city(sf_dir: str):
+    from raytiles.ops.spatial import nearest_city
+    from raytiles.pipeline.synth import webpages_path
+    return nearest_city(webpages_path(sf_dir))
+
+
+def _q_host_bbox(sf_dir: str):
+    from raytiles.ops.spatial import host_bbox
+    from raytiles.pipeline.synth import webpages_path
+    return host_bbox(webpages_path(sf_dir))
+
+
+def _q_host_tile_cover(sf_dir: str):
+    from raytiles.ops.spatial import host_tile_cover
+    from raytiles.pipeline.synth import webpages_path
+    return host_tile_cover(webpages_path(sf_dir))
+
+
 def _q_host_stats(sf_dir: str):
     from raytiles.ops.webcorpus import host_stats
     from raytiles.pipeline.synth import webpages_path
@@ -436,6 +460,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_neighborhood": _q_tile_neighborhood,
         "heatmap_mvt": _q_heatmap_mvt,
         "trajectories_mvt": _q_trajectories,
+        # spatial joins
+        "geofence_join": _q_geofence_join,
+        "nearest_city": _q_nearest_city,
+        "host_bbox": _q_host_bbox,
+        "host_tile_cover": _q_host_tile_cover,
         # web-corpus curation
         "host_stats": _q_host_stats,
         "cust_anti_join": _q_cust_anti_join,
@@ -497,6 +526,10 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": oracles.tile_pyramid_sql(wp),
         "raster_cells": oracles.raster_cells_sql(wp),
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),
+        "geofence_join": oracles.geofence_join_sql(wp),
+        "nearest_city": oracles.nearest_city_sql(wp),
+        "host_bbox": oracles.host_bbox_sql(wp),
+        "host_tile_cover": oracles.host_tile_cover_sql(wp),
         "host_stats": oracles.host_stats_sql(wp),
         "cust_anti_join": oracles.customers_without_big_orders_sql(),
         "decontaminate": oracles.decontaminate_sql(),

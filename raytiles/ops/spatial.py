@@ -1,0 +1,172 @@
+"""Spatial-join operators over geoparsed mentions: radius (geofence)
+join, nearest-neighbour join, per-host bounding boxes, and bbox tile
+cover — the spatial-join surface of the north rule ("spatial-join +
+tiling engine ... point-in-polygon, kNN") beyond the tile/cell
+assignment the flagship already does.
+
+Distance semantics: squared coordinate-space distance
+d2 = (lat-a)^2 + (lon-b)^2 — pure IEEE multiply/add, so the engine
+(numpy float64) and the DuckDB twin are bit-identical with no trig
+parity risk; a production haversine drops in without changing the
+join shape. The fence/city table is tiny and ships inside the pickled
+closure — a large fence set would broadcast via ray.put exactly like
+the flagship's R-tree (pipeline/stages.py).
+
+Scale shape: the radius and nearest joins are shuffle-free broadcast
+joins (one (batch × fences) numpy matrix per batch); host_bbox follows
+the repo's partial -> bounded-md5-bucket -> merge discipline; the tile
+cover bounds its fan-out by the cover zoom (<= 4^z tiles per host —
+pick z so 4^z is a sane per-row cap, documented per the
+custom-operator ladder).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..geo.tilemath import lonlat_to_tile
+from ..pipeline.flagship import geoparse, read_webpages
+from ..pipeline.synth import CITIES
+from ..util import bucket_of
+from .webcorpus import HOST_RE, _md5_u64
+
+FENCE_RADIUS_DEG = 2.0  # squared-degree geofence radius
+
+
+def _mentions(webpages_path: str) -> ray.data.Dataset:
+    return geoparse(read_webpages(webpages_path))
+
+
+def _d2_matrix(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """(n_mentions, n_cities) squared coordinate distance — explicit
+    x*x form, matching the oracle's multiplication exactly."""
+    dlat = lat[:, None] - CITIES[:, 0][None, :]
+    dlon = lon[:, None] - CITIES[:, 1][None, :]
+    return dlat * dlat + dlon * dlon
+
+
+def geofence_join(webpages_path: str,
+                  radius: float = FENCE_RADIUS_DEG) -> ray.data.Dataset:
+    """Radius join: every (mention, fence) pair with d2 <= radius^2.
+    A mention near two cities emits two rows (a genuine join, not an
+    assignment)."""
+    r2 = radius * radius
+
+    def fn(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        d2 = _d2_matrix(lon, lat)
+        i, j = np.nonzero(d2 <= r2)
+        return pa.table({
+            "url": pc.take(b["url"], pa.array(i)),
+            "mention_idx": pc.take(pc.cast(b["mention_idx"], pa.int64()),
+                                   pa.array(i)),
+            "fence_id": j.astype(np.int64),
+            "d2": d2[i, j]})
+
+    return _mentions(webpages_path).map_batches(fn, batch_format="pyarrow")
+
+
+def nearest_city(webpages_path: str) -> ray.data.Dataset:
+    """Nearest-neighbour join: each mention's closest city (ties break
+    to the lowest city_id — argmin and the oracle's row_number agree
+    by construction)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        d2 = _d2_matrix(lon, lat)
+        j = np.argmin(d2, axis=1)
+        return pa.table({
+            "url": b["url"],
+            "mention_idx": pc.cast(b["mention_idx"], pa.int64()),
+            "city_id": j.astype(np.int64),
+            "d2": d2[np.arange(len(j)), j]})
+
+    return _mentions(webpages_path).map_batches(fn, batch_format="pyarrow")
+
+
+def host_bbox(webpages_path: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Per-host mention bounding box + centroid: (host, n_mentions,
+    min/max lon/lat, cen_lon, cen_lat). min/max are exact; centroids
+    sum EXACT integers (coords are 4-decimal, so round(c*10^4) is the
+    same int64 on both engine and oracle, and integer sums are
+    order-free — no float-sum merge-order parity risk), then one
+    deterministic IEEE division, floor-quantized to 1e-6."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        t = pa.table({"host": host, "lon": b["lon"], "lat": b["lat"],
+                      "lon_i4": np.round(lon * 1e4).astype(np.int64),
+                      "lat_i4": np.round(lat * 1e4).astype(np.int64)})
+        g = pa.TableGroupBy(t, "host").aggregate(
+            [("host", "count"), ("lon", "min"), ("lon", "max"),
+             ("lat", "min"), ("lat", "max"),
+             ("lon_i4", "sum"), ("lat_i4", "sum")])
+        g = g.rename_columns(["host", "n_mentions", "min_lon", "max_lon",
+                              "min_lat", "max_lat", "sum_lon", "sum_lat"])
+        h = _md5_u64(g["host"].to_pylist())
+        return g.append_column("bucket", pa.array(bucket_of(h, n_buckets)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.drop_columns(["bucket"]), "host").aggregate(
+            [("n_mentions", "sum"), ("min_lon", "min"), ("max_lon", "max"),
+             ("min_lat", "min"), ("max_lat", "max"),
+             ("sum_lon", "sum"), ("sum_lat", "sum")])
+        m = m.rename_columns(["host", "n_mentions", "min_lon", "max_lon",
+                              "min_lat", "max_lat", "sum_lon", "sum_lat"])
+        n = m["n_mentions"].to_numpy().astype(np.float64)
+
+        def cen(sum_i4):  # exact int64 sum -> one IEEE div, q6 floor
+            return np.floor(sum_i4.to_numpy() * 100.0 / n) / 1e6
+
+        return pa.table({
+            "host": m["host"],
+            "n_mentions": pc.cast(m["n_mentions"], pa.int64()),
+            "min_lon": m["min_lon"], "max_lon": m["max_lon"],
+            "min_lat": m["min_lat"], "max_lat": m["max_lat"],
+            "cen_lon": pa.array(cen(m["sum_lon"])),
+            "cen_lat": pa.array(cen(m["sum_lat"]))})
+
+    return _mentions(webpages_path) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def host_tile_cover(webpages_path: str, zoom: int = 4) -> ray.data.Dataset:
+    """Tile cover: every XYZ tile at ``zoom`` intersecting each host's
+    mention bbox — the tilebelt-style cover operator, distributed.
+    Fan-out bound: <= 4^zoom tiles per host (zoom=4 -> 256); callers
+    pick the zoom so rows-per-host stays a sane block size (the
+    documented partitioning assumption)."""
+    bbox = host_bbox(webpages_path)
+
+    def cover(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "z": np.empty(0, np.int64),
+                             "x": np.empty(0, np.int64),
+                             "y": np.empty(0, np.int64)})
+        x0, y1 = lonlat_to_tile(b["min_lon"].to_numpy(),
+                                b["min_lat"].to_numpy(), zoom)
+        x1, y0 = lonlat_to_tile(b["max_lon"].to_numpy(),
+                                b["max_lat"].to_numpy(), zoom)
+        nx = (x1 - x0 + 1).astype(np.int64)
+        ny = (y1 - y0 + 1).astype(np.int64)
+        reps = nx * ny
+        row = np.repeat(np.arange(len(reps)), reps)
+        off = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps,
+                                                     reps)
+        return pa.table({
+            "host": pc.take(b["host"], pa.array(row)),
+            "z": np.full(len(row), zoom, np.int64),
+            "x": x0[row] + off // ny[row],
+            "y": y0[row] + off % ny[row]})
+
+    return bbox.map_batches(cover, batch_format="pyarrow")

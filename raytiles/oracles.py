@@ -650,3 +650,86 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        floor((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
              * 1000000) / 1000000 AS dup_ratio
 FROM c"""
+
+
+# ---------------------------------------------------------------------------
+# spatial joins (ops/spatial.py) — squared coordinate distance is pure
+# IEEE multiply/add, so engine and twin are bit-identical
+# ---------------------------------------------------------------------------
+
+def _fences_cte() -> str:
+    from .pipeline.synth import CITIES
+    rows = ", ".join(f"({i}, {float(lat)!r}, {float(lon)!r})"
+                     for i, (lat, lon) in enumerate(CITIES))
+    return f"fences(fence_id, flat, flon) AS (VALUES {rows})"
+
+
+_D2 = ("(m.lat - f.flat) * (m.lat - f.flat) + "
+       "(m.lon - f.flon) * (m.lon - f.flon)")
+
+
+def geofence_join_sql(webpages_parquet: str, radius: float = 2.0) -> str:
+    return f"""
+WITH {mentions_cte(webpages_parquet)}, {_fences_cte()}
+SELECT m.url, m.mention_idx, f.fence_id, {_D2} AS d2
+FROM mentions m CROSS JOIN fences f
+WHERE {_D2} <= {radius * radius!r}"""
+
+
+def nearest_city_sql(webpages_parquet: str) -> str:
+    return f"""
+WITH {mentions_cte(webpages_parquet)}, {_fences_cte()}
+SELECT url, mention_idx, city_id, d2 FROM (
+  SELECT m.url, m.mention_idx, f.fence_id AS city_id, {_D2} AS d2,
+         row_number() OVER (PARTITION BY m.url, m.mention_idx
+                            ORDER BY {_D2}, f.fence_id) AS rn
+  FROM mentions m CROSS JOIN fences f)
+WHERE rn = 1"""
+
+
+_HOST_BBOX_CTE = """
+hosted AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, lon, lat
+  FROM mentions
+),
+bbox AS (
+  SELECT host, count(*) AS n_mentions,
+         min(lon) AS min_lon, max(lon) AS max_lon,
+         min(lat) AS min_lat, max(lat) AS max_lat,
+         floor((sum(CAST(round(lon * 10000) AS BIGINT)) * 100.0)
+               / count(*)) / 1000000 AS cen_lon,
+         floor((sum(CAST(round(lat * 10000) AS BIGINT)) * 100.0)
+               / count(*)) / 1000000 AS cen_lat
+  FROM hosted GROUP BY host
+)"""
+
+
+def host_bbox_sql(webpages_parquet: str) -> str:
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_HOST_BBOX_CTE} "
+            "SELECT host, n_mentions, min_lon, max_lon, min_lat, max_lat, "
+            "cen_lon, cen_lat FROM bbox")
+
+
+def host_tile_cover_sql(webpages_parquet: str, zoom: int = 4) -> str:
+    n = float(1 << zoom)
+
+    def xe(c):
+        return (f"CAST(least(greatest(floor(({c} + 180.0) / 360.0 * {n}), 0),"
+                f" {n} - 1) AS BIGINT)")
+
+    def ye(c):
+        return (f"CAST(least(greatest(floor((1.0 - ln(tan(radians({c})) + "
+                f"1.0/cos(radians({c}))) / pi()) / 2.0 * {n}), 0), {n} - 1) "
+                "AS BIGINT)")
+
+    return f"""
+WITH {mentions_cte(webpages_parquet)}, {_HOST_BBOX_CTE},
+corners AS (
+  SELECT host, {xe('min_lon')} AS x0, {xe('max_lon')} AS x1,
+         {ye('max_lat')} AS y0, {ye('min_lat')} AS y1
+  FROM bbox
+)
+SELECT host, {zoom} AS z, ux.x, uy.y
+FROM corners,
+     unnest(generate_series(x0, x1)) AS ux(x),
+     unnest(generate_series(y0, y1)) AS uy(y)"""

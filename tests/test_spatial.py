@@ -1,0 +1,81 @@
+"""Spatial-join ops: single-process numpy oracles at sf0.001 (SQL
+twins get full value verification from the driver gate at sf0.01)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _mentions_df():
+    import ray
+
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.synth import webpages_path
+    return geoparse(read_webpages(webpages_path(SF_SMOKE))).to_pandas()
+
+
+def test_geofence_join_matches_numpy():
+    from raytiles.ops.spatial import FENCE_RADIUS_DEG, geofence_join
+    from raytiles.pipeline.synth import CITIES
+    df = geofence_join(
+        __import__("raytiles.pipeline.synth", fromlist=["webpages_path"])
+        .webpages_path(SF_SMOKE)).to_pandas()
+    m = _mentions_df()
+    dlat = m["lat"].to_numpy()[:, None] - CITIES[:, 0][None, :]
+    dlon = m["lon"].to_numpy()[:, None] - CITIES[:, 1][None, :]
+    d2 = dlat * dlat + dlon * dlon
+    i, j = np.nonzero(d2 <= FENCE_RADIUS_DEG ** 2)
+    assert len(df) == len(i) > 0
+    got = set(zip(df["url"], df["mention_idx"], df["fence_id"]))
+    want = set(zip(m["url"].to_numpy()[i], m["mention_idx"].to_numpy()[i], j))
+    assert got == want
+
+
+def test_nearest_city_every_mention_once():
+    from raytiles.ops.spatial import nearest_city
+    from raytiles.pipeline.synth import CITIES, webpages_path
+    df = nearest_city(webpages_path(SF_SMOKE)).to_pandas()
+    m = _mentions_df()
+    assert len(df) == len(m)
+    dlat = m["lat"].to_numpy()[:, None] - CITIES[:, 0][None, :]
+    dlon = m["lon"].to_numpy()[:, None] - CITIES[:, 1][None, :]
+    want = np.argmin(dlat * dlat + dlon * dlon, axis=1)
+    key = dict(zip(zip(m["url"], m["mention_idx"]), want))
+    for u, mi, c in zip(df["url"], df["mention_idx"], df["city_id"]):
+        assert key[(u, mi)] == c
+
+
+def test_host_bbox_contains_and_covers():
+    from raytiles.geo.tilemath import lonlat_to_tile
+    from raytiles.ops.spatial import host_bbox, host_tile_cover
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    bb = host_bbox(wp).to_pandas()
+    m = _mentions_df()
+    m["host"] = m["url"].str.extract(r"^https?://([^/]+)/")[0]
+    g = m.groupby("host")
+    want_n = g.size()
+    for _, r in bb.iterrows():
+        assert want_n[r["host"]] == r["n_mentions"]
+        assert r["min_lon"] <= r["cen_lon"] + 1e-6
+        assert r["cen_lat"] <= r["max_lat"] + 1e-6
+    lo = g["lon"].min()
+    hi = g["lon"].max()
+    assert np.allclose(bb.set_index("host")["min_lon"], lo[bb["host"]].to_numpy())
+    assert np.allclose(bb.set_index("host")["max_lon"], hi[bb["host"]].to_numpy())
+
+    cover = host_tile_cover(wp, zoom=4).to_pandas()
+    # every mention's tile at z=4 appears in its host's cover
+    tx, ty = lonlat_to_tile(m["lon"].to_numpy(), m["lat"].to_numpy(), 4)
+    have = set(zip(cover["host"], cover["x"], cover["y"]))
+    for h, x, y in zip(m["host"], tx, ty):
+        assert (h, x, y) in have
+    # cover is exactly the bbox rectangle per host
+    per_host = cover.groupby("host").size()
+    for _, r in bb.iterrows():
+        x0, y1 = lonlat_to_tile(np.array([r["min_lon"]]), np.array([r["min_lat"]]), 4)
+        x1, y0 = lonlat_to_tile(np.array([r["max_lon"]]), np.array([r["max_lat"]]), 4)
+        assert per_host[r["host"]] == (x1[0] - x0[0] + 1) * (y1[0] - y0[0] + 1)
