@@ -298,6 +298,16 @@ def _q_doc_top_terms(sf_dir: str):
     return doc_top_terms(sf_dir)
 
 
+def _q_median_filter(sf_dir: str):
+    from raytiles.ops.text import median_length_filter
+    return median_length_filter(sf_dir)
+
+
+def _q_doc_tfidf(sf_dir: str):
+    from raytiles.ops.text import doc_tfidf_top
+    return doc_tfidf_top(sf_dir)
+
+
 def _q_user_features(sf_dir: str):
     from raytiles.ops.relational import user_features
     return user_features(sf_dir)
@@ -477,6 +487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_md5": _q_doc_md5,
         "vocab_topk": _q_vocab_topk,
         "doc_top_terms": _q_doc_top_terms,
+        "median_filter": _q_median_filter,
+        "doc_tfidf": _q_doc_tfidf,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
@@ -540,6 +552,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_md5": oracles.DOC_MD5_SQL,
         "vocab_topk": oracles.vocab_topk_sql(),
         "doc_top_terms": oracles.doc_top_terms_sql(),
+        "median_filter": oracles.MEDIAN_LENGTH_FILTER_SQL,
+        "doc_tfidf": oracles.doc_tfidf_sql(),
         "exact_dedup": oracles.EXACT_DEDUP_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),

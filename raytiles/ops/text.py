@@ -265,3 +265,96 @@ def doc_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus-median length filter + tf-idf scoring against a broadcast
+# vocabulary (the two-pass broadcast-scalar / broadcast-table shapes)
+# ---------------------------------------------------------------------------
+
+def median_length_filter(sf_dir: str) -> ray.data.Dataset:
+    """Docs at or above the corpus-median token count — the two-pass
+    quantile-threshold corpus filter.  Pass 1 collapses to a bounded
+    (n_tokens, count) histogram (distinct doc lengths, a tiny domain
+    at any corpus size) merged on the driver; the median rule is the
+    repo's exact-quantile contract: min v with cumulative count >=
+    ceil(0.5 * n).  Pass 2 is a shuffle-free filter scan with the
+    scalar threshold in the closure."""
+    def hist(b: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(b["text"], TOKEN_RE)
+        t = pa.table({"v": pc.cast(n_tok, pa.int64())})
+        g = pa.TableGroupBy(t, "v").aggregate([("v", "count")])
+        return g.rename_columns(["v", "c"])
+
+    parts = _docs(sf_dir, ["text"]).map_batches(
+        hist, batch_format="pyarrow").take_all()
+    v = np.array([r["v"] for r in parts], dtype=np.int64)
+    c = np.array([r["c"] for r in parts], dtype=np.int64)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    uv, starts = np.unique(v, return_index=True)
+    cc = np.add.reduceat(c, starts)
+    cum = np.cumsum(cc)
+    med = int(uv[np.searchsorted(cum, np.ceil(0.5 * cum[-1]))])
+
+    def keep(b: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.count_substring_regex(b["text"], TOKEN_RE),
+                        pa.int64())
+        t = pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                      "n_tokens": n_tok})
+        return t.filter(pc.greater_equal(t["n_tokens"], med))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
+def doc_tfidf_top(sf_dir: str, vocab_k: int = 100) -> ray.data.Dataset:
+    """Each doc's top tf-idf term against the corpus top-``vocab_k``
+    vocabulary (score = tf * ln(N/df); ties break token-ascending).
+    The vocabulary (vocab_topk output, k rows) and N are broadcast in
+    the closure — the classic broadcast-table join, no shuffle in the
+    scoring pass."""
+    vocab = vocab_topk(sf_dir, k=vocab_k).to_pandas()  # k rows: driver-safe
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    vtok = vocab["token"].to_numpy()
+    vdf = vocab["df"].to_numpy().astype(np.float64)
+    vorder = np.argsort(vtok)
+    vtok_sorted = vtok[vorder]
+    idf_sorted = np.log(n_docs / vdf)[vorder]
+
+    _EMPTY = pa.schema([("doc_id", pa.int64()), ("token", pa.string()),
+                        ("tf", pa.int64()), ("tfidf", pa.float64())])
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows == 0:
+            return _EMPTY.empty_table()
+        tok = np.asarray(t["token"])
+        pos = np.searchsorted(vtok_sorted, tok)
+        pos[pos >= len(vtok_sorted)] = 0
+        inv = vtok_sorted[pos] == tok
+        if not inv.any():
+            return _EMPTY.empty_table()
+        doc = t["doc_id"].to_numpy()[inv]
+        pos = pos[inv]
+        # tf per (doc, vocab-token)
+        key = doc * np.int64(len(vtok_sorted)) + pos
+        uk, tf = np.unique(key, return_counts=True)
+        d = uk // len(vtok_sorted)
+        p = (uk % len(vtok_sorted)).astype(np.int64)
+        score = tf.astype(np.float64) * idf_sorted[p]
+        # top-1 per doc: (score DESC, token ASC); lexsort is stable
+        order = np.lexsort((vtok_sorted[p], -score, d))
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = d[order][1:] != d[order][:-1]
+        sel = order[first]
+        return pa.table({
+            "doc_id": d[sel].astype(np.int64),
+            "token": pa.array(vtok_sorted[p[sel]].tolist(), pa.string()),
+            "tf": tf[sel].astype(np.int64),
+            "tfidf": np.floor(score[sel] * 1e6) / 1e6})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

@@ -733,3 +733,40 @@ SELECT host, {zoom} AS z, ux.x, uy.y
 FROM corners,
      unnest(generate_series(x0, x1)) AS ux(x),
      unnest(generate_series(y0, y1)) AS uy(y)"""
+
+
+MEDIAN_LENGTH_FILTER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{SQL_TOKEN_RE}')) AS n_tokens
+  FROM documents
+),
+h AS (SELECT n_tokens AS v, count(*) AS c FROM t GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cumc, sum(c) OVER () AS tot FROM h),
+m AS (SELECT min(v) AS med FROM cum WHERE cumc >= ceil(0.5 * tot))
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM t, m WHERE n_tokens >= med"""
+
+
+def doc_tfidf_sql(vocab_k: int = 100) -> str:
+    """tf-idf twin: same top-k vocabulary formulation as
+    vocab_topk_sql, same ln(N/df) double arithmetic, raw-score
+    ordering with token tie-break, q6-floored output."""
+    return f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dt AS (SELECT token, doc_id FROM toks GROUP BY token, doc_id),
+vocab AS (
+  SELECT token, count(*) AS df FROM dt GROUP BY token
+  ORDER BY df DESC, token LIMIT {vocab_k}),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS s,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+                    tf.token) AS rn
+  FROM tf JOIN vocab USING (token), nd)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+       floor(s * 1000000) / 1000000 AS tfidf
+FROM scored WHERE rn = 1"""

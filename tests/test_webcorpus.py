@@ -93,3 +93,40 @@ def test_doc_repetition_matches_pure_python():
     assert np.array_equal(df["n_distinct"].to_numpy(), nd[keep])
     want = np.floor((1.0 - nd[keep] / nt[keep]) * 1e6) / 1e6
     assert np.array_equal(df["dup_ratio"].to_numpy(), want)
+
+
+def test_median_filter_threshold_rule():
+    from raytiles.ops.text import TOKEN_RE, median_length_filter
+    df = median_length_filter(SF_SMOKE).to_pandas()
+    docs = _docs()
+    nt = docs["text"].str.count(TOKEN_RE).to_numpy()
+    cnt = np.sort(nt)
+    med = cnt[int(np.ceil(0.5 * len(cnt))) - 1]  # min v with cum >= ceil(n/2)
+    want = docs.loc[nt >= med, "doc_id"]
+    assert set(df["doc_id"]) == set(want)
+    assert 0 < len(df) < len(docs)
+
+
+def test_doc_tfidf_single_process_oracle():
+    import re
+
+    from raytiles.ops.text import TOKEN_RE, doc_tfidf_top, vocab_topk
+    df = doc_tfidf_top(SF_SMOKE, vocab_k=20).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = _docs()
+    vocab = vocab_topk(SF_SMOKE, k=20).to_pandas()
+    idf = {t: np.log(len(docs) / d)
+           for t, d in zip(vocab["token"], vocab["df"])}
+    tok = re.compile(TOKEN_RE)
+    for i in np.random.default_rng(1).integers(0, len(docs), 15):
+        toks = tok.findall(docs["text"].iloc[i])
+        scores = {}
+        for t in toks:
+            if t in idf:
+                scores[t] = scores.get(t, 0) + 1
+        if not scores:
+            continue
+        best = min(((-n * idf[t], t) for t, n in scores.items()))
+        row = df[df.doc_id == docs["doc_id"].iloc[i]].iloc[0]
+        assert row["token"] == best[1]
+        assert row["tfidf"] == np.floor(-best[0] * 1e6) / 1e6
