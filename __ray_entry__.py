@@ -308,6 +308,16 @@ def _q_doc_tfidf(sf_dir: str):
     return doc_tfidf_top(sf_dir)
 
 
+def _q_inverted_index(sf_dir: str):
+    from raytiles.ops.text import inverted_index
+    return inverted_index(sf_dir)
+
+
+def _q_funnel(sf_dir: str):
+    from raytiles.ops.relational import funnel_conversion
+    return funnel_conversion(sf_dir)
+
+
 def _q_user_features(sf_dir: str):
     from raytiles.ops.relational import user_features
     return user_features(sf_dir)
@@ -456,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "order_revenue": _q_order_revenue,
         "user_features": _q_user_features,
+        "funnel_conversion": _q_funnel,
         "top_orders": _q_top_orders,
         "stratified_sample": _q_stratified_sample,
         "group_quantiles": _q_group_quantiles,
@@ -489,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _q_doc_top_terms,
         "median_filter": _q_median_filter,
         "doc_tfidf": _q_doc_tfidf,
+        "inverted_index": _q_inverted_index,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
@@ -527,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": oracles.events_asof_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "user_features": oracles.USER_FEATURES_SQL,
+        "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,
         "top_orders": oracles.top_orders_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
         "group_quantiles": oracles.group_quantiles_sql(),
@@ -554,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": oracles.doc_top_terms_sql(),
         "median_filter": oracles.MEDIAN_LENGTH_FILTER_SQL,
         "doc_tfidf": oracles.doc_tfidf_sql(),
+        "inverted_index": oracles.inverted_index_sql(),
         "exact_dedup": oracles.EXACT_DEDUP_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),

@@ -447,3 +447,65 @@ def user_features(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
                                columns=["user_id", "event_type", "value"])
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def funnel_conversion(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Funnel / sequence-match: for every user with a signup, the
+    first purchase STRICTLY after their first signup (user_id,
+    signup_us, conv_us [-1 if none], converted) — the ordered-event
+    conversion operator windows can't express without a join.
+
+    Read prunes to the two funnel event types (row filter pushed to
+    the parquet scan); rows shuffle once on a bounded splitmix(user)
+    bucket; the per-bucket finalizer is one lexsort + segment
+    minimum.reduceat over masked timestamps — no per-user loop."""
+    import pyarrow.compute as pc
+
+    from ..util import bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "is_purchase": pc.equal(b["event_type"], "purchase"),
+            "bucket": pa.array(bucket_of(b["user_id"].to_numpy(), n_buckets))})
+
+    _EMPTY = pa.schema([("user_id", pa.int64()), ("signup_us", pa.int64()),
+                        ("conv_us", pa.int64()), ("converted", pa.bool_())])
+
+    def final(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        isp = g["is_purchase"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts, isp = uid[order], ts[order], isp[order]
+        n = len(uid)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        big = np.iinfo(np.int64).max
+        # first signup ts per user (inf-masked purchases)
+        s_ts = np.where(isp, big, ts)
+        signup = np.minimum.reduceat(s_ts, starts)
+        has_signup = signup != big
+        # first purchase strictly after the user's first signup
+        p_ts = np.where(isp & (ts > signup[seg]), ts, big)
+        conv = np.minimum.reduceat(p_ts, starts)
+        keep = has_signup
+        if not keep.any():
+            return _EMPTY.empty_table()
+        converted = conv[keep] != big
+        return pa.table({
+            "user_id": uid[starts][keep],
+            "signup_us": signup[keep],
+            "conv_us": np.where(converted, conv[keep], -1),
+            "converted": converted})
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_type"],
+        filter=(pa.compute.field("event_type") == "signup")
+        | (pa.compute.field("event_type") == "purchase"))
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(final, batch_format="pyarrow")

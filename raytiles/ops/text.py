@@ -358,3 +358,90 @@ def doc_tfidf_top(sf_dir: str, vocab_k: int = 100) -> ray.data.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def inverted_index(sf_dir: str, k: int = 16,
+                   n_buckets: int = 64) -> ray.data.Dataset:
+    """Capped inverted index: per token, document frequency + the
+    first min(k, df) doc_ids ascending as a comma-joined posting
+    string — the index-build pass of a retrieval pipeline, with the
+    posting cap making the per-token payload bounded (the no-fat-rows
+    shuffle rule; df still counts ALL docs).
+
+    Partial: distinct (token, doc_id) per batch (exact globally: docs
+    never split across batches), keep the k smallest ids per token,
+    carry (token, partial_df, id list) into a bounded md5(token)
+    bucket.  Merge: sum df, k smallest of the union of partial lists
+    (each <= k ids, so merge work per token is O(parts * k))."""
+    import hashlib
+
+    from ..util import bucket_of
+
+    _EMPTY = pa.schema([("token", pa.string()), ("df", pa.int64()),
+                        ("ids", pa.list_(pa.int64())),
+                        ("bucket", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows == 0:
+            return _EMPTY.empty_table()
+        dt = pa.TableGroupBy(t, ["token", "doc_id"]).aggregate([])
+        dt = dt.sort_by([("token", "ascending"), ("doc_id", "ascending")])
+        tok = np.asarray(dt["token"])
+        ids = dt["doc_id"].to_numpy()
+        n = len(tok)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg]
+        df = np.diff(np.append(starts, n))
+        keep = rank < k
+        kept_seg = seg[keep]
+        offs = np.append(0, np.cumsum(np.bincount(kept_seg,
+                                                  minlength=len(starts))))
+        utok = tok[starts]
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+             for s in utok), dtype=np.uint64, count=len(utok))
+        return pa.table({
+            "token": pa.array(utok.tolist(), pa.string()),
+            "df": df.astype(np.int64),
+            "ids": pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()),
+                pa.array(ids[keep], pa.int64())),
+            "bucket": pa.array(bucket_of(h, n_buckets))})
+
+    def merge(g: pa.Table) -> pa.Table:
+        tok = np.asarray(g["token"])
+        flat = pc.list_flatten(g["ids"]).to_numpy()
+        parent = pc.list_parent_indices(
+            g["ids"].combine_chunks()).to_numpy(zero_copy_only=False)
+        dfs = g["df"].to_numpy()
+        # per-token df sum over partials
+        ut, inv = np.unique(tok, return_inverse=True)
+        df = np.bincount(inv, weights=dfs, minlength=len(ut)).astype(np.int64)
+        # k smallest ids per token across partials (each partial <= k)
+        tcode = inv[parent]
+        order = np.lexsort((flat, tcode))
+        tc, fv = tcode[order], flat[order]
+        n = len(tc)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = tc[1:] != tc[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(n, dtype=np.int64) - starts[np.cumsum(new) - 1]
+        keep = rank < k
+        s = pd.Series(fv[keep].astype(str))
+        postings = s.groupby(tc[keep]).agg(",".join)
+        out_tok = ut[postings.index.to_numpy()]
+        return pa.table({
+            "token": pa.array(out_tok.tolist(), pa.string()),
+            "df": df[postings.index.to_numpy()],
+            "postings": pa.array(postings.to_numpy().tolist(), pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")

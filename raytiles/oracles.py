@@ -770,3 +770,34 @@ scored AS (
 SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
        floor(s * 1000000) / 1000000 AS tfidf
 FROM scored WHERE rn = 1"""
+
+
+def inverted_index_sql(k: int = 16) -> str:
+    """Inverted-index twin: capped ordered posting string via
+    row_number + string_agg(ORDER BY doc_id)."""
+    return f"""
+WITH {_TOKS_CTE},
+dt AS (SELECT DISTINCT token, doc_id FROM toks),
+ranked AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY token) AS df
+  FROM dt)
+SELECT token, CAST(max(df) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM ranked WHERE rn <= {k} GROUP BY token"""
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT s.user_id, min(e.ts) AS conv_ts
+  FROM s JOIN events e ON e.user_id = s.user_id
+   AND e.event_type = 'purchase' AND e.ts > s.signup_ts
+  GROUP BY 1)
+SELECT s.user_id, epoch_us(s.signup_ts) AS signup_us,
+       COALESCE(epoch_us(p.conv_ts), -1) AS conv_us,
+       p.conv_ts IS NOT NULL AS converted
+FROM s LEFT JOIN p USING (user_id)"""

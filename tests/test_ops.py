@@ -371,3 +371,24 @@ def test_events_asof_matches_pandas():
         assert r.prior_event_id == prior.event_id
         assert r.gap_us == (r.ts_us - prior.ts.value // 1000
                             if hasattr(prior.ts, "value") else r.gap_us)
+
+
+def test_funnel_conversion_pandas_oracle():
+    from raytiles.ops.relational import funnel_conversion
+    df = funnel_conversion(SF_SMOKE).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    s = ev[ev.event_type == "signup"].groupby("user_id")["ts"].min()
+    assert np.array_equal(df["user_id"].to_numpy(), s.index.to_numpy())
+    n_conv = 0
+    for _, r in df.iterrows():
+        su = s[r["user_id"]]
+        assert r["signup_us"] == su.value // 1000
+        p = ev[(ev.user_id == r["user_id"]) & (ev.event_type == "purchase")
+               & (ev.ts > su)]["ts"]
+        if len(p):
+            n_conv += 1
+            assert r["converted"] and r["conv_us"] == p.min().value // 1000
+        else:
+            assert not r["converted"] and r["conv_us"] == -1
+    assert 0 < n_conv  # live conversions at sf0.001

@@ -130,3 +130,22 @@ def test_doc_tfidf_single_process_oracle():
         row = df[df.doc_id == docs["doc_id"].iloc[i]].iloc[0]
         assert row["token"] == best[1]
         assert row["tfidf"] == np.floor(-best[0] * 1e6) / 1e6
+
+
+def test_inverted_index_single_process_oracle():
+    import re
+
+    from raytiles.ops.text import TOKEN_RE, inverted_index
+    k = 4  # small cap so truncation is exercised at sf0.001
+    df = inverted_index(SF_SMOKE, k=k).to_pandas()
+    docs = _docs()
+    tok = re.compile(TOKEN_RE)
+    post = {}
+    for _, r in docs.iterrows():
+        for t in set(tok.findall(r["text"])):
+            post.setdefault(t, []).append(r["doc_id"])
+    want = {t: (len(ids), ",".join(map(str, sorted(ids)[:k])))
+            for t, ids in post.items()}
+    got = {t: (d, p) for t, d, p in zip(df["token"], df["df"], df["postings"])}
+    assert got == want
+    assert any(d > k for d, _ in want.values())  # cap actually bites
