@@ -318,6 +318,16 @@ def _q_funnel(sf_dir: str):
     return funnel_conversion(sf_dir)
 
 
+def _q_urgent_revenue(sf_dir: str):
+    from raytiles.ops.relational import urgent_revenue
+    return urgent_revenue(sf_dir)
+
+
+def _q_running_revenue(sf_dir: str):
+    from raytiles.ops.relational import running_revenue
+    return running_revenue(sf_dir)
+
+
 def _q_user_features(sf_dir: str):
     from raytiles.ops.relational import user_features
     return user_features(sf_dir)
@@ -467,6 +477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue": _q_order_revenue,
         "user_features": _q_user_features,
         "funnel_conversion": _q_funnel,
+        "urgent_revenue": _q_urgent_revenue,
+        "running_revenue": _q_running_revenue,
         "top_orders": _q_top_orders,
         "stratified_sample": _q_stratified_sample,
         "group_quantiles": _q_group_quantiles,
@@ -540,6 +552,8 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "user_features": oracles.USER_FEATURES_SQL,
         "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,
+        "urgent_revenue": oracles.URGENT_REVENUE_SQL,
+        "running_revenue": oracles.RUNNING_REVENUE_SQL,
         "top_orders": oracles.top_orders_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
         "group_quantiles": oracles.group_quantiles_sql(),

@@ -509,3 +509,181 @@ def funnel_conversion(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
         | (pa.compute.field("event_type") == "purchase"))
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("bucket").map_groups(final, batch_format="pyarrow")
+
+
+def urgent_revenue(sf_dir: str, priority: str = "1-URGENT",
+                   n_bits: int = 1 << 20, n_hashes: int = 4,
+                   n_buckets: int = 256) -> ray.data.Dataset:
+    """Bloom-prefiltered semi-join: lineitem revenue restricted to
+    orders of the given priority, grouped by l_returnflag —
+    (l_returnflag, n_items, revenue).
+
+    The 100 TB shuffle-reduction pattern: when the build-side key set
+    is too big to broadcast exactly but its BLOOM FILTER is not, probe
+    rows that cannot match are dropped BEFORE the exchange, so the
+    shuffle moves ~|semi-join| rows instead of |lineitem|. Exactness
+    never depends on the bloom: survivors are verified against the
+    true key set in a bounded-bucket join, so false positives are
+    removed and the DuckDB twin (plain IN-subquery) matches exactly.
+
+    Stages: (1) build — read-pruned urgent orders stream per-batch
+    DISTINCT bloom bit positions (splitmix64 double hashing, k probes)
+    which the driver ORs into the fixed-size bitmap (n_bits/8 bytes —
+    the one driver-side materialization, bounded by the filter size by
+    construction) and `ray.put`s once; (2) probe — each lineitem batch
+    tests membership vectorized (k gather+mask passes), then collapses
+    survivors to per-(orderkey, returnflag) partial sums; (3) verify —
+    build keys and probe partials meet in a bounded splitmix(orderkey)
+    bucket, one np.isin drops bloom false positives, partials collapse
+    per returnflag; (4) a final 3-row groupby sums the buckets."""
+    from ..util import bucket_of, splitmix64
+
+    mask = np.uint64(n_bits - 1)
+    seeds = np.arange(1, n_hashes + 1, dtype=np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15)
+
+    def _positions(keys: np.ndarray) -> np.ndarray:
+        """(n_hashes, n) bloom bit positions via double hashing."""
+        k = keys.astype(np.uint64)
+        h1 = splitmix64(k)
+        h2 = splitmix64(k ^ np.uint64(0xD6E8FEB86659FD93)) | np.uint64(1)
+        return (h1[None, :] + seeds[:, None] * h2[None, :]) & mask
+
+    def build_partial(b: pa.Table) -> pa.Table:
+        pos = np.unique(_positions(b["o_orderkey"].to_numpy()))
+        return pa.table({"pos": pos.astype(np.int64)})
+
+    build = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey"],
+        filter=pa.compute.field("o_orderpriority") == priority)
+    bits = np.zeros(n_bits >> 3, np.uint8)
+    for nb in build.map_batches(
+            build_partial, batch_format="pyarrow").iter_batches(
+            batch_format="numpy"):
+        p = nb["pos"].astype(np.uint64)
+        np.bitwise_or.at(bits, p >> np.uint64(3),
+                         (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)))
+    bloom_ref = ray.put(bits)
+
+    _SCHEMA = pa.schema([
+        ("orderkey", pa.int64()), ("l_returnflag", pa.string()),
+        ("s_price", pa.float64()), ("n", pa.int64()),
+        ("side", pa.int8()), ("bucket", pa.int64())])
+
+    def build_rows(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "orderkey": key,
+            "l_returnflag": np.full(len(key), "", dtype=object),
+            "s_price": np.zeros(len(key)),
+            "n": np.zeros(len(key), np.int64),
+            "side": np.zeros(len(key), np.int8),
+            "bucket": bucket_of(key, n_buckets)}, schema=_SCHEMA)
+
+    def probe(b: pa.Table) -> pa.Table:
+        blm = ray.get(bloom_ref)
+        key = b["l_orderkey"].to_numpy()
+        pos = _positions(key)
+        member = np.ones(len(key), bool)
+        for i in range(n_hashes):
+            p = pos[i]
+            member &= (blm[p >> np.uint64(3)]
+                       >> (p & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        if not member.any():
+            return _SCHEMA.empty_table()
+        t = pa.table({
+            "orderkey": pa.array(key[member].astype(np.int64)),
+            "l_returnflag": b["l_returnflag"].filter(pa.array(member)),
+            "s_price": b["l_extendedprice"].filter(pa.array(member))})
+        g = pa.TableGroupBy(t, ["orderkey", "l_returnflag"]).aggregate(
+            [("s_price", "sum"), ("s_price", "count")])
+        g = g.rename_columns(["orderkey", "l_returnflag", "s_price", "n"])
+        return pa.table({
+            "orderkey": g["orderkey"], "l_returnflag": g["l_returnflag"],
+            "s_price": g["s_price"],
+            "n": pa.compute.cast(g["n"], pa.int64()),
+            "side": pa.array(np.ones(g.num_rows, np.int8)),
+            "bucket": pa.array(bucket_of(g["orderkey"].to_numpy(),
+                                         n_buckets))}, schema=_SCHEMA)
+
+    def verify(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        key = g["orderkey"].to_numpy()
+        keep = (side == 1) & np.isin(key, key[side == 0])
+        if not keep.any():
+            return pa.schema([("l_returnflag", pa.string()),
+                              ("s_price", pa.float64()),
+                              ("n", pa.int64())]).empty_table()
+        t = g.filter(pa.array(keep)).select(["l_returnflag", "s_price", "n"])
+        m = pa.TableGroupBy(t, "l_returnflag").aggregate(
+            [("s_price", "sum"), ("n", "sum")])
+        return m.rename_columns(["l_returnflag", "s_price", "n"])
+
+    probe_ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+    parts = build.map_batches(build_rows, batch_format="pyarrow") \
+        .union(probe_ds.map_batches(probe, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    agg = parts.groupby("l_returnflag").aggregate(
+        Sum("s_price", alias_name="s"), Sum("n", alias_name="n_items"))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "n_items": b["n_items"].astype(np.int64),
+            "revenue": _fq(b["s"], 2)})
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def running_revenue(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Cumulative window: per customer, orders by (o_orderdate,
+    o_orderkey) with the running revenue total — (o_custkey,
+    o_orderkey, order_us, cum_revenue). The ordered-prefix aggregate
+    (SUM OVER PARTITION BY ... ORDER BY ...) the tumbling/sliding/
+    session windows don't cover.
+
+    One bounded splitmix(custkey) bucket shuffle; per bucket a single
+    lexsort + whole-bucket cumsum with a per-segment offset subtract —
+    no per-customer loop. Prices are exact 2-decimal values, so the
+    engine accumulates in INTEGER cents (exact; no float addition-order
+    hazard); the oracle's windowed double sum rounded to 2 decimals
+    equals the cents value while accumulated fp error < half a cent,
+    i.e. for any realistic per-customer prefix."""
+    from ..util import bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        cust = b["o_custkey"].to_numpy()
+        return pa.table({
+            "o_custkey": cust.astype(np.int64),
+            "o_orderkey": pa.compute.cast(b["o_orderkey"], pa.int64()),
+            "order_us": pa.compute.cast(b["o_orderdate"], pa.int64()),
+            "price": b["o_totalprice"],
+            "bucket": bucket_of(cust, n_buckets)})
+
+    def final(g: pa.Table) -> pa.Table:
+        cust = g["o_custkey"].to_numpy()
+        okey = g["o_orderkey"].to_numpy()
+        ts = g["order_us"].to_numpy()
+        price = g["price"].to_numpy()
+        order = np.lexsort((okey, ts, cust))
+        cust, okey, ts, price = (cust[order], okey[order], ts[order],
+                                 price[order])
+        cents = np.rint(price * 100.0).astype(np.int64)
+        n = len(cust)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = cust[1:] != cust[:-1]
+        cs = np.cumsum(cents)
+        prefix = np.where(new, cs - cents, 0)
+        cum = cs - np.maximum.accumulate(prefix)
+        return pa.table({
+            "o_custkey": cust, "o_orderkey": okey, "order_us": ts,
+            "cum_revenue": cum.astype(np.float64) / 100.0})
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(final, batch_format="pyarrow")

@@ -801,3 +801,20 @@ SELECT s.user_id, epoch_us(s.signup_ts) AS signup_us,
        COALESCE(epoch_us(p.conv_ts), -1) AS conv_us,
        p.conv_ts IS NOT NULL AS converted
 FROM s LEFT JOIN p USING (user_id)"""
+
+
+URGENT_REVENUE_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag"""
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey), 2) AS cum_revenue
+FROM orders"""

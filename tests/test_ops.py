@@ -392,3 +392,47 @@ def test_funnel_conversion_pandas_oracle():
         else:
             assert not r["converted"] and r["conv_us"] == -1
     assert 0 < n_conv  # live conversions at sf0.001
+
+
+def test_urgent_revenue_pandas_oracle():
+    from raytiles.ops.relational import urgent_revenue
+    df = urgent_revenue(SF_SMOKE).to_pandas() \
+        .sort_values("l_returnflag").reset_index(drop=True)
+    o = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    urgent = set(o[o.o_orderpriority == "1-URGENT"].o_orderkey)
+    sel = li[li.l_orderkey.isin(urgent)]
+    assert len(sel) < len(li)  # the semi-join actually filters
+    want = sel.groupby("l_returnflag")["l_extendedprice"] \
+        .agg(["count", "sum"]).sort_index()
+    assert list(df["l_returnflag"]) == list(want.index)
+    assert np.array_equal(df["n_items"].to_numpy(),
+                          want["count"].to_numpy())
+    assert np.allclose(df["revenue"], want["sum"].round(2), atol=0.011)
+
+
+def test_urgent_revenue_bloom_prunes_nonmembers():
+    # a tiny bloom forces false positives; exact verify must still win
+    from raytiles.ops.relational import urgent_revenue
+    small = urgent_revenue(SF_SMOKE, n_bits=1 << 8).to_pandas() \
+        .sort_values("l_returnflag").reset_index(drop=True)
+    big = urgent_revenue(SF_SMOKE).to_pandas() \
+        .sort_values("l_returnflag").reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, big)
+
+
+def test_running_revenue_pandas_oracle():
+    from raytiles.ops.relational import running_revenue
+    df = running_revenue(SF_SMOKE).to_pandas() \
+        .sort_values(["o_custkey", "order_us", "o_orderkey"]) \
+        .reset_index(drop=True)
+    o = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas() \
+        .sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .reset_index(drop=True)
+    assert len(df) == len(o)
+    cum = o.groupby("o_custkey")["o_totalprice"].cumsum().round(2)
+    assert np.array_equal(df["o_orderkey"].to_numpy(),
+                          o["o_orderkey"].to_numpy())
+    assert np.allclose(df["cum_revenue"].to_numpy(), cum.to_numpy(),
+                       atol=0.011)
+    assert df["order_us"].to_numpy()[0] == o["o_orderdate"].iloc[0].value // 1000
