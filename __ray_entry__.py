@@ -308,6 +308,11 @@ def _q_doc_tfidf(sf_dir: str):
     return doc_tfidf_top(sf_dir)
 
 
+def _q_bpe_tokens(sf_dir: str):
+    from raytiles.ops.text import bpe_token_counts
+    return bpe_token_counts(sf_dir)
+
+
 def _q_inverted_index(sf_dir: str):
     from raytiles.ops.text import inverted_index
     return inverted_index(sf_dir)
@@ -513,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_filter": _q_median_filter,
         "doc_tfidf": _q_doc_tfidf,
         "inverted_index": _q_inverted_index,
+        "bpe_tokens": _q_bpe_tokens,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
@@ -582,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "median_filter": oracles.MEDIAN_LENGTH_FILTER_SQL,
         "doc_tfidf": oracles.doc_tfidf_sql(),
         "inverted_index": oracles.inverted_index_sql(),
+        "bpe_tokens": oracles.bpe_token_counts_sql(),
         "exact_dedup": oracles.EXACT_DEDUP_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),

@@ -43,6 +43,33 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer, RE2-compatible (no lookahead): English
+# contraction suffixes, space-prefixed letter / digit / punctuation
+# runs, whitespace runs. The count approximates BPE token count the
+# way pretraining-cost estimators do (pre-tokens, before merges).
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+WS_RE = r"\S+"
+
+
+def bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """doc_id, n_ws_tokens (whitespace split), n_bpe_tokens (BPE-ish
+    pre-tokenizer matches) — the two token-count flavors a training-
+    data pipeline budgets with. Arrow-native: two RE2 count kernels
+    over the zero-copy batch; the DuckDB twin runs the identical
+    patterns through its own RE2 (parity verified match-for-match)."""
+    def fn(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_ws_tokens": pc.cast(
+                pc.count_substring_regex(text, WS_RE), pa.int64()),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(text, BPE_RE), pa.int64()),
+        })
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
 def quality_scores(sf_dir: str) -> ray.data.Dataset:
     """doc_id, n_tokens, stop_ratio, avg_token_len, score — simple
     deterministic quality heuristics (length / stopword-density /

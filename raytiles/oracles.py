@@ -818,3 +818,15 @@ SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
            PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey), 2) AS cum_revenue
 FROM orders"""
+
+
+def bpe_token_counts_sql() -> str:
+    """Twin of ops.text.bpe_token_counts — same RE2 patterns, quote
+    doubled for SQL."""
+    from raytiles.ops.text import BPE_RE, WS_RE
+    bpe = BPE_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{WS_RE.replace("'", "''")}')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""

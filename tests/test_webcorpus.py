@@ -149,3 +149,24 @@ def test_inverted_index_single_process_oracle():
     got = {t: (d, p) for t, d, p in zip(df["token"], df["df"], df["postings"])}
     assert got == want
     assert any(d > k for d, _ in want.values())  # cap actually bites
+
+
+def test_bpe_token_counts_python_re_oracle():
+    import re
+
+    from raytiles.ops.text import BPE_RE, bpe_token_counts
+    df = bpe_token_counts(SF_SMOKE).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = _docs().sort_values("doc_id").reset_index(drop=True)
+    # Python re lacks \p{..}; spot-check with the ASCII equivalent on
+    # texts that are pure ASCII (the synth corpus is)
+    pat = re.compile(BPE_RE.replace(r"\p{L}", "a-zA-Z")
+                     .replace(r"\p{N}", "0-9")
+                     .replace(r"[\p{L}]", "[a-zA-Z]")
+                     .replace(r"[\p{N}]", "[0-9]")
+                     .replace(r"[^\s\p{L}\p{N}]", "[^\\sa-zA-Z0-9]"))
+    for i in range(0, len(docs), 97):
+        t = docs["text"].iloc[i]
+        assert t.isascii()
+        assert df["n_bpe_tokens"].iloc[i] == len(pat.findall(t))
+        assert df["n_ws_tokens"].iloc[i] == len(t.split())
