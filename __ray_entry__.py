@@ -104,6 +104,24 @@ def _q_mvt_files(sf_dir: str):
     return write_mvt_files(tiles_pipeline(webpages_path(sf_dir), 12), root)
 
 
+def _q_mvt_ingest(sf_dir: str):
+    """File-per-tile .mvt SOURCE: write the flagship tileset in XYZ
+    layout, then read it back with read_mvt_dir — every row decodes
+    (ok), coordinates come from the path. Rows-only; inventory parity
+    with the sink is pytest-verified."""
+    import shutil
+
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.sinks import write_mvt_files
+    from raytiles.pipeline.sources import read_mvt_dir
+    from raytiles.pipeline.synth import webpages_path
+    root = "/tmp/raytiles_gate_mvt_src"
+    shutil.rmtree(root, ignore_errors=True)
+    write_mvt_files(tiles_pipeline(webpages_path(sf_dir), 12),
+                    root).materialize()
+    return read_mvt_dir(root)
+
+
 def _q_mvt_roundtrip(sf_dir: str):
     """Reference fixtures + synthetic tiles through decode->encode->
     decode; every row must have ok=True (the 100% fixture pass-rate
@@ -470,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_counts": _q_cell_counts,
         "tiles_mvt": _q_tiles_mvt,
         "mvt_files": _q_mvt_files,
+        "mvt_ingest": _q_mvt_ingest,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "tile_features": _q_tile_features,
         # relational operators

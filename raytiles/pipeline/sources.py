@@ -1,0 +1,64 @@
+"""Sources beyond Parquet.
+
+``read_mvt_dir``: the inverse of sinks.write_mvt_files — ingest a
+standard XYZ tile-server directory (``<root>/<z>/<x>/<y>.mvt``) as a
+Dataset, decoding and validating every tile. This is the reference's
+native input shape (it only ever consumes raw ``.mvt`` bytes read from
+files, test/Test.hs:24-28), lifted to a distributed source:
+``ray.data.read_binary_files`` shards the file listing across tasks,
+so a planet-scale tileset (hundreds of millions of files) streams
+without any driver-side listing bottleneck beyond the metadata fetch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..codec.decode import decode_tile_safe
+
+
+def read_mvt_dir(root: str) -> ray.data.Dataset:
+    """Read every ``<root>/<z>/<x>/<y>.mvt`` into rows (z, x, y,
+    n_bytes, n_layers, n_features, ok). Tiles that fail to decode
+    yield ok=False with zeroed counts instead of poisoning the batch
+    (row-level error containment, same contract as arrowio)."""
+    ds = ray.data.read_binary_files(root, include_paths=True,
+                                    file_extensions=["mvt"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        paths = b["path"].to_pylist()
+        blobs = b["bytes"]
+        n = len(paths)
+        z = np.zeros(n, np.int64)
+        x = np.zeros(n, np.int64)
+        y = np.zeros(n, np.int64)
+        n_bytes = np.zeros(n, np.int64)
+        n_layers = np.zeros(n, np.int64)
+        n_feats = np.zeros(n, np.int64)
+        ok = np.zeros(n, bool)
+        for i, p in enumerate(paths):
+            parts = p.split("/")
+            try:
+                y[i] = int(parts[-1].rsplit(".", 1)[0])
+                x[i] = int(parts[-2])
+                z[i] = int(parts[-3])
+            except (ValueError, IndexError):
+                y[i] = x[i] = z[i] = -1
+            data = blobs[i].as_py()
+            n_bytes[i] = len(data)
+            tile, err = decode_tile_safe(data)
+            if tile is not None:
+                ok[i] = True
+                n_layers[i] = len(tile.layers)
+                n_feats[i] = sum(
+                    len(l.points) + len(l.linestrings) + len(l.polygons)
+                    for l in tile.layers.values())
+        return pa.table({
+            "z": z, "x": x, "y": y, "n_bytes": n_bytes,
+            "n_layers": n_layers, "n_features": n_feats,
+            "ok": pa.array(ok)})
+
+    return ds.map_batches(parse, batch_format="pyarrow")

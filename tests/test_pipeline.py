@@ -313,3 +313,27 @@ def test_mvt_file_sink(ray_session, tmp_path):
         assert b"mentions" in tile.layers
     n_files = sum(len(files) for _, _, files in os.walk(root))
     assert n_files == len(inv)
+
+
+def test_read_mvt_dir_roundtrips_sink(tmp_path):
+    """Source/sink duality: write fixtures in XYZ layout, read back,
+    every tile decodes with path-derived coordinates intact."""
+    import shutil
+
+    from raytiles.pipeline.sources import read_mvt_dir
+    fixtures = ["onepoint", "linestring", "polygon", "roads", "clearlake"]
+    for i, name in enumerate(fixtures):
+        d = tmp_path / str(12) / str(100 + i)
+        d.mkdir(parents=True)
+        shutil.copyfile(f"/root/reference/test/{name}.mvt",
+                        d / f"{200 + i}.mvt")
+    df = read_mvt_dir(str(tmp_path)).to_pandas() \
+        .sort_values("x").reset_index(drop=True)
+    assert len(df) == 5
+    assert bool(df["ok"].all())
+    assert list(df["z"]) == [12] * 5
+    assert list(df["x"]) == [100, 101, 102, 103, 104]
+    assert list(df["y"]) == [200, 201, 202, 203, 204]
+    assert (df["n_features"] > 0).all()
+    # roads.mvt has 15 layers (reference test suite's own count)
+    assert int(df[df["x"] == 103]["n_layers"].iloc[0]) == 15
