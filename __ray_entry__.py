@@ -467,6 +467,15 @@ def _q_media_features(sf_dir: str):
     return media_features(webpages_path(sf_dir))
 
 
+def _q_media_frames(sf_dir: str):
+    """Video-style frame sampling (row expansion) over the binary
+    column via the actor-pool stub. Rows-only: the sampling
+    arithmetic and schema are pytest-verified."""
+    from raytiles.ops.media import media_frames
+    from raytiles.pipeline.synth import webpages_path
+    return media_frames(webpages_path(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -555,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
     }
 
 

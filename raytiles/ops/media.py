@@ -75,3 +75,65 @@ def media_features(webpages_path: str, *, concurrency=(1, 4)) -> ray.data.Datase
     ds = ray.data.read_parquet(webpages_path, columns=["url", "html"])
     return ds.map_batches(DecodeStub, batch_format="pyarrow",
                           batch_size=512, concurrency=concurrency)
+
+
+class FrameSampleStub:
+    """STUB video frame-sampler: treats the binary payload as a fake
+    'video' of fixed-size frames and flat-maps each input row into
+    min(n_frames, max_frames) frame rows with per-frame features —
+    uniform temporal sampling, the standard video-pretraining pass.
+    The sampling arithmetic, row expansion, fixed output schema and
+    actor lifecycle are real; only the pixel decode is fake (byte
+    histogram per frame chunk). Swap ``frame_features`` for a real
+    ffmpeg-backed sampler on a cluster with the libs installed."""
+
+    FRAME_BYTES = 256  # fake frame stride
+    N_BINS = 8
+
+    def __init__(self, max_frames: int = 4) -> None:
+        self.max_frames = max_frames
+        self.edges = np.linspace(0, 256, self.N_BINS + 1)
+
+    def frame_features(self, payload: bytes, idx: np.ndarray) -> np.ndarray:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        out = np.empty((idx.size, self.N_BINS), np.float32)
+        for j, f in enumerate(idx):
+            chunk = arr[f * self.FRAME_BYTES:(f + 1) * self.FRAME_BYTES]
+            hist, _ = np.histogram(chunk, bins=self.edges)
+            out[j] = hist / max(1, chunk.size)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, frame_idx, n_frames, feats = [], [], [], []
+        for i in range(batch.num_rows):
+            payload = batch["html"][i].as_py()
+            total = max(1, len(payload) // self.FRAME_BYTES)
+            # uniform temporal sample: evenly spaced, first frame pinned
+            k = min(total, self.max_frames)
+            idx = np.unique((np.arange(k) * total) // k)
+            f = self.frame_features(payload, idx)
+            urls.extend([batch["url"][i].as_py()] * idx.size)
+            frame_idx.extend(idx.tolist())
+            n_frames.extend([total] * idx.size)
+            feats.append(f)
+        flat = (np.concatenate(feats) if feats
+                else np.empty((0, self.N_BINS), np.float32))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "frame_idx": pa.array(frame_idx, pa.int64()),
+            "n_frames": pa.array(n_frames, pa.int64()),
+            "features": pa.array(flat.tolist(),
+                                 pa.list_(pa.float32(), self.N_BINS)),
+        })
+
+
+def media_frames(webpages_path: str, *, max_frames: int = 4,
+                 concurrency=(1, 4)) -> ray.data.Dataset:
+    """Row-expanding frame-sample stage: each binary payload ->
+    min(n_frames, max_frames) frame rows. Small batches (fat binary
+    rows x expansion factor must fit the worker heap); actor pool so
+    a real decoder's model load happens once per actor."""
+    ds = ray.data.read_parquet(webpages_path, columns=["url", "html"])
+    return ds.map_batches(FrameSampleStub, batch_format="pyarrow",
+                          batch_size=256, concurrency=concurrency,
+                          fn_constructor_kwargs={"max_frames": max_frames})

@@ -436,3 +436,26 @@ def test_running_revenue_pandas_oracle():
     assert np.allclose(df["cum_revenue"].to_numpy(), cum.to_numpy(),
                        atol=0.011)
     assert df["order_us"].to_numpy()[0] == o["o_orderdate"].iloc[0].value // 1000
+
+
+def test_media_frames_sampling_arithmetic():
+    from raytiles.ops.media import FrameSampleStub, media_frames
+    from raytiles.pipeline.synth import webpages_path
+    df = media_frames(webpages_path(SF_SMOKE), max_frames=4).to_pandas()
+    docs = pq.read_table(webpages_path(SF_SMOKE),
+                         columns=["url", "html"]).to_pandas()
+    assert df["url"].nunique() == len(docs)  # every payload sampled
+    per = df.groupby("url").size()
+    assert (per <= 4).all() and (per >= 1).all()
+    # spot-check one payload against the stub's own arithmetic
+    stub = FrameSampleStub(max_frames=4)
+    row = docs.iloc[0]
+    total = max(1, len(row["html"]) // FrameSampleStub.FRAME_BYTES)
+    k = min(total, 4)
+    idx = np.unique((np.arange(k) * total) // k)
+    sub = df[df.url == row["url"]].sort_values("frame_idx")
+    assert sub["frame_idx"].tolist() == idx.tolist()
+    assert (sub["n_frames"] == total).all()
+    want = stub.frame_features(row["html"], idx)
+    got = np.stack([np.asarray(f, np.float32) for f in sub["features"]])
+    assert np.array_equal(got, want)
