@@ -472,3 +472,54 @@ def inverted_index(sf_dir: str, k: int = 16,
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def doc_rank(sf_dir: str) -> ray.data.Dataset:
+    """Global ranking without a global sort: (doc_id, n_chars, rank)
+    with rank = row_number() ORDER BY (n_chars DESC, doc_id ASC).
+
+    The zipWithIndex problem — a streaming engine can't know a block's
+    global offset — solved with the two-pass histogram pattern:
+    pass 1 streams per-batch length histograms and the driver folds
+    them into prefix offsets per distinct length (bounded domain:
+    distinct doc lengths, broadcast via ray.put); pass 2 groups rows
+    by length (already-bounded key, no salt needed), ranks each group
+    locally by doc_id, and adds the broadcast offset. No stage ever
+    holds more than one length-group; nothing global is sorted."""
+    path = f"{sf_dir}/documents.parquet"
+
+    def hist(b: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
+        u, c = np.unique(ln, return_counts=True)
+        return pa.table({"n_chars": u, "cnt": c.astype(np.int64)})
+
+    parts = ray.data.read_parquet(path, columns=["text"]) \
+        .map_batches(hist, batch_format="pyarrow")
+    agg: dict[int, int] = {}
+    for nb in parts.iter_batches(batch_format="numpy"):
+        for ln, c in zip(nb["n_chars"], nb["cnt"]):
+            agg[int(ln)] = agg.get(int(ln), 0) + int(c)
+    lens = np.array(sorted(agg, reverse=True), dtype=np.int64)
+    counts = np.array([agg[int(l)] for l in lens], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    off_ref = ray.put((lens[::-1].copy(), offsets[::-1].copy()))
+    # (stored ascending so searchsorted works directly)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64())})
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        lens_asc, offs_asc = ray.get(off_ref)
+        ids = np.sort(g["doc_id"].to_numpy())
+        base = offs_asc[np.searchsorted(lens_asc, g["n_chars"][0].as_py())]
+        return pa.table({
+            "doc_id": ids,
+            "n_chars": pa.array(
+                np.full(len(ids), g["n_chars"][0].as_py(), np.int64)),
+            "rank": np.arange(1, len(ids) + 1, dtype=np.int64) + base})
+
+    return ray.data.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("n_chars").map_groups(rank_group, batch_format="pyarrow")

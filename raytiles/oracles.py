@@ -830,3 +830,9 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{WS_RE.replace("'", "''")}')) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens
 FROM documents"""
+
+
+DOC_RANK_SQL = """
+SELECT doc_id, length(text) AS n_chars,
+       row_number() OVER (ORDER BY length(text) DESC, doc_id) AS rank
+FROM documents"""

@@ -170,3 +170,17 @@ def test_bpe_token_counts_python_re_oracle():
         assert t.isascii()
         assert df["n_bpe_tokens"].iloc[i] == len(pat.findall(t))
         assert df["n_ws_tokens"].iloc[i] == len(t.split())
+
+
+def test_doc_rank_is_global_row_number():
+    from raytiles.ops.text import doc_rank
+    df = doc_rank(SF_SMOKE).to_pandas().sort_values("rank") \
+        .reset_index(drop=True)
+    docs = _docs()
+    want = docs.assign(n_chars=docs["text"].str.len()) \
+        .sort_values(["n_chars", "doc_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    assert len(df) == len(want)
+    assert df["rank"].tolist() == list(range(1, len(want) + 1))
+    assert df["doc_id"].tolist() == want["doc_id"].tolist()
+    assert df["n_chars"].tolist() == want["n_chars"].tolist()
