@@ -346,6 +346,11 @@ def _q_funnel(sf_dir: str):
     return funnel_conversion(sf_dir)
 
 
+def _q_cohort_retention(sf_dir: str):
+    from raytiles.ops.relational import cohort_retention
+    return cohort_retention(sf_dir)
+
+
 def _q_urgent_revenue(sf_dir: str):
     from raytiles.ops.relational import urgent_revenue
     return urgent_revenue(sf_dir)
@@ -516,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_features": _q_user_features,
         "funnel_conversion": _q_funnel,
         "urgent_revenue": _q_urgent_revenue,
+        "cohort_retention": _q_cohort_retention,
         "running_revenue": _q_running_revenue,
         "top_orders": _q_top_orders,
         "stratified_sample": _q_stratified_sample,
@@ -594,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         "user_features": oracles.USER_FEATURES_SQL,
         "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,
         "urgent_revenue": oracles.URGENT_REVENUE_SQL,
+        "cohort_retention": oracles.COHORT_RETENTION_SQL,
         "running_revenue": oracles.RUNNING_REVENUE_SQL,
         "top_orders": oracles.top_orders_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),

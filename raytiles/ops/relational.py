@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
@@ -687,3 +688,91 @@ def running_revenue(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("bucket").map_groups(final, batch_format="pyarrow")
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+def _week_start_us(ts_us: np.ndarray) -> np.ndarray:
+    """Monday-start week truncation in epoch-microseconds — exact
+    integer twin of DuckDB date_trunc('week', ts) (1970-01-01 was a
+    Thursday; verified boundary-for-boundary)."""
+    d = ts_us // 86_400_000_000
+    return (d - ((d + 3) % 7)) * 86_400_000_000
+
+
+def cohort_retention(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Weekly cohort retention triangle: users cohorted by their
+    first-signup week; n_active = distinct cohort users active (any
+    event) in cohort_week + week_offset — (cohort_us, week_offset,
+    n_active), offsets >= 0. The week-0 row is the cohort size (the
+    signup event itself is activity).
+
+    One bounded splitmix(user) bucket shuffle co-locates each user's
+    events; the per-bucket finalizer is lexsort + segment minimum for
+    the cohort week, np.unique for distinct (user, week), and a
+    unique-count partial per (cohort, offset); the final groupby key
+    domain is (weeks x offsets) — tens of rows, never user-sized."""
+    from ..util import bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        user = b["user_id"].to_numpy()
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy()
+        return pa.table({
+            "user_id": user.astype(np.int64),
+            "week_us": _week_start_us(ts),
+            "is_signup": pc.equal(b["event_type"], "signup"),
+            "bucket": bucket_of(user, n_buckets)})
+
+    _EMPTY = pa.schema([("cohort_us", pa.int64()),
+                        ("week_offset", pa.int64()),
+                        ("n", pa.int64())])
+
+    def final(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        wk = g["week_us"].to_numpy()
+        iss = g["is_signup"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, uid))
+        uid, wk, iss = uid[order], wk[order], iss[order]
+        n = len(uid)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        big = np.iinfo(np.int64).max
+        cohort = np.minimum.reduceat(np.where(iss, wk, big), starts)
+        has = cohort != big
+        keep = has[seg]
+        if not keep.any():
+            return _EMPTY.empty_table()
+        # distinct (user, week) among cohorted users — rows are already
+        # lexsorted by (user, week), so distinct = adjacent difference
+        # (no packed key that could overflow at real user-id scale)
+        firstuw = np.empty(n, dtype=bool)
+        firstuw[0] = True
+        firstuw[1:] = (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])
+        sel = keep & firstuw
+        w_sel = wk[sel]
+        c_sel = cohort[seg][sel]
+        off = (w_sel - c_sel) // _WEEK_US
+        pos = off >= 0
+        pk, cnt = np.unique(
+            np.stack([c_sel[pos], off[pos]]), axis=1, return_counts=True)
+        return pa.table({"cohort_us": pk[0], "week_offset": pk[1],
+                         "n": cnt.astype(np.int64)})
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(final, batch_format="pyarrow")
+    agg = parts.groupby(["cohort_us", "week_offset"]).aggregate(
+        Sum("n", alias_name="n_active"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_us": b["cohort_us"],
+            "week_offset": b["week_offset"],
+            "n_active": pc.cast(b["n_active"], pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -836,3 +836,17 @@ DOC_RANK_SQL = """
 SELECT doc_id, length(text) AS n_chars,
        row_number() OVER (ORDER BY length(text) DESC, doc_id) AS rank
 FROM documents"""
+
+
+COHORT_RETENTION_SQL = """
+WITH s AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+a AS (
+  SELECT DISTINCT e.user_id, s.cw, date_trunc('week', e.ts) AS aw
+  FROM events e JOIN s USING (user_id)
+  WHERE date_trunc('week', e.ts) >= s.cw)
+SELECT epoch_us(cw) AS cohort_us,
+       CAST(date_diff('week', cw, aw) AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM a GROUP BY 1, 2"""

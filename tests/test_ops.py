@@ -459,3 +459,23 @@ def test_media_frames_sampling_arithmetic():
     want = stub.frame_features(row["html"], idx)
     got = np.stack([np.asarray(f, np.float32) for f in sub["features"]])
     assert np.array_equal(got, want)
+
+
+def test_cohort_retention_pandas_oracle():
+    from raytiles.ops.relational import cohort_retention
+    df = cohort_retention(SF_SMOKE).to_pandas() \
+        .sort_values(["cohort_us", "week_offset"]).reset_index(drop=True)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    wk = ev["ts"].dt.to_period("W-SUN").dt.start_time  # Monday start
+    ev = ev.assign(week=wk)
+    cw = ev[ev.event_type == "signup"].groupby("user_id")["week"].min()
+    act = ev[ev.user_id.isin(cw.index)][["user_id", "week"]].drop_duplicates()
+    act = act.assign(cohort=act["user_id"].map(cw))
+    act = act[act.week >= act.cohort]
+    act = act.assign(off=((act.week - act.cohort).dt.days // 7))
+    want = act.groupby([act.cohort.astype(np.int64) // 1000, "off"]) \
+        .size().reset_index(name="n")
+    got = {(r.cohort_us, r.week_offset): r.n_active for r in df.itertuples()}
+    exp = {(c, o): n for c, o, n in want.itertuples(index=False)}
+    assert got == exp
+    assert len(got) > 1  # live retention rows at sf0.001
