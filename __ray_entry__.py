@@ -326,6 +326,11 @@ def _q_doc_tfidf(sf_dir: str):
     return doc_tfidf_top(sf_dir)
 
 
+def _q_boilerplate(sf_dir: str):
+    from raytiles.ops.webcorpus import boilerplate_ngrams
+    return boilerplate_ngrams(sf_dir)
+
+
 def _q_doc_rank(sf_dir: str):
     from raytiles.ops.text import doc_rank
     return doc_rank(sf_dir)
@@ -559,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "bpe_tokens": _q_bpe_tokens,
         "doc_rank": _q_doc_rank,
+        "boilerplate": _q_boilerplate,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
@@ -632,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": oracles.inverted_index_sql(),
         "bpe_tokens": oracles.bpe_token_counts_sql(),
         "doc_rank": oracles.DOC_RANK_SQL,
+        "boilerplate": oracles.boilerplate_ngrams_sql(),
         "exact_dedup": oracles.EXACT_DEDUP_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),

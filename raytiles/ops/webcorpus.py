@@ -250,3 +250,66 @@ def doc_repetition(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"]) \
         .map_batches(fn, batch_format="pyarrow")
+
+
+def boilerplate_ngrams(sf_dir: str, min_docs: int = 2,
+                       n_buckets: int = 256) -> ray.data.Dataset:
+    """Cross-document repeated-n-gram (boilerplate) scoring: per doc,
+    how many of its DISTINCT word 5-grams occur in >= min_docs docs
+    corpus-wide — (doc_id, n_grams, n_boiler, boiler_ratio). The
+    exact-substring-flavored hygiene pass (repeated spans = templates,
+    navboxes, licenses) complementing decontaminate's external-set
+    scan.
+
+    Scale shape: pass 1 streams per-batch distinct (doc, gram) pairs
+    collapsed to per-gram partial doc-counts (exact: docs never split
+    across batches), one bounded splitmix(gh) bucket groupby sums and
+    thresholds; the heavy set (grams in >= min_docs docs) is unioned
+    on the driver and broadcast via ray.put — bounded by the
+    boilerplate assumption (repeated-content vocabulary << corpus;
+    same contract as decontaminate's benchmark set). Pass 2 is a
+    shuffle-free np.isin scan per batch."""
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        _, gh = _doc_gram_hashes(b["text"].combine_chunks())
+        u, c = np.unique(gh, return_counts=True)
+        return pa.table({
+            "gh": u.view(np.int64),
+            "n": c.astype(np.int64),
+            "bucket": pa.array(bucket_of(u, n_buckets))})
+
+    def heavy_in_bucket(g: pa.Table) -> pa.Table:
+        gh = g["gh"].to_numpy()
+        n = g["n"].to_numpy()
+        u, inv = np.unique(gh, return_inverse=True)
+        tot = np.bincount(inv, weights=n, minlength=len(u))
+        return pa.table({"gh": u[tot >= min_docs]})
+
+    parts = ray.data.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(heavy_in_bucket,
+                                      batch_format="pyarrow")
+    chunks = [nb["gh"] for nb in parts.iter_batches(batch_format="numpy")
+              if len(nb["gh"])]
+    heavy = (np.sort(np.concatenate(chunks).view(np.uint64))
+             if chunks else np.empty(0, np.uint64))
+    heavy_ref = ray.put(heavy)
+
+    def scan(b: pa.Table) -> pa.Table:
+        hv = ray.get(heavy_ref)
+        ids = b["doc_id"].to_numpy()
+        doc, gh = _doc_gram_hashes(b["text"].combine_chunks())
+        total = np.bincount(doc, minlength=len(ids))
+        boiler = np.bincount(doc[np.isin(gh, hv)], minlength=len(ids))
+        out = total > 0
+        ratio = np.floor(boiler[out] / total[out] * 1e6) / 1e6
+        return pa.table({
+            "doc_id": ids[out].astype(np.int64),
+            "n_grams": total[out].astype(np.int64),
+            "n_boiler": boiler[out].astype(np.int64),
+            "boiler_ratio": ratio})
+
+    return ray.data.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(scan, batch_format="pyarrow")

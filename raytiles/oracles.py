@@ -850,3 +850,29 @@ SELECT epoch_us(cw) AS cohort_us,
        CAST(date_diff('week', cw, aw) AS BIGINT) AS week_offset,
        CAST(count(*) AS BIGINT) AS n_active
 FROM a GROUP BY 1, 2"""
+
+
+def boilerplate_ngrams_sql(min_docs: int = 2, n: int = 5) -> str:
+    """Boilerplate twin: same token grammar / gram construction /
+    md5-derived hash as decontaminate_sql; heavy = grams in >=
+    min_docs distinct docs."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^0-9A-Za-z_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         substr(md5(array_to_string(t[i:i+{n - 1}], ' ')), 1, 16) AS gh
+  FROM toks, unnest(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n}
+), heavy AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) >= {min_docs})
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(h.gh) AS BIGINT) AS n_boiler,
+       floor(CAST(count(h.gh) AS DOUBLE) / count(*) * 1000000)
+           / 1000000 AS boiler_ratio
+FROM grams g LEFT JOIN heavy h USING (gh)
+GROUP BY 1"""

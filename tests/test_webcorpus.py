@@ -184,3 +184,31 @@ def test_doc_rank_is_global_row_number():
     assert df["rank"].tolist() == list(range(1, len(want) + 1))
     assert df["doc_id"].tolist() == want["doc_id"].tolist()
     assert df["n_chars"].tolist() == want["n_chars"].tolist()
+
+
+def test_boilerplate_ngrams_single_process_oracle():
+    import re
+
+    from raytiles.ops.webcorpus import NGRAM, boilerplate_ngrams
+    df = boilerplate_ngrams(SF_SMOKE).to_pandas().set_index("doc_id")
+    docs = _docs()
+    split = re.compile(r"[^0-9A-Za-z_]+")
+    gram_docs: dict[str, set] = {}
+    per_doc: dict[int, set] = {}
+    for _, r in docs.iterrows():
+        t = [x for x in split.split(r["text"]) if x]
+        gs = {" ".join(t[i:i + NGRAM]) for i in range(len(t) - NGRAM + 1)}
+        if gs:
+            per_doc[r["doc_id"]] = gs
+            for g in gs:
+                gram_docs.setdefault(g, set()).add(r["doc_id"])
+    assert set(df.index) == set(per_doc)
+    heavy = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    assert heavy  # the synth filler repeats across docs -> live signal
+    for did in list(per_doc)[::97]:
+        gs = per_doc[did]
+        nb = len(gs & heavy)
+        assert df.loc[did, "n_grams"] == len(gs)
+        assert df.loc[did, "n_boiler"] == nb
+        assert df.loc[did, "boiler_ratio"] == np.floor(
+            nb / len(gs) * 1e6) / 1e6
