@@ -326,6 +326,11 @@ def _q_doc_tfidf(sf_dir: str):
     return doc_tfidf_top(sf_dir)
 
 
+def _q_normalized_dedup(sf_dir: str):
+    from raytiles.ops.dedup import exact_dedup
+    return exact_dedup(sf_dir, normalize=True)
+
+
 def _q_boilerplate(sf_dir: str):
     from raytiles.ops.webcorpus import boilerplate_ngrams
     return boilerplate_ngrams(sf_dir)
@@ -567,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": _q_boilerplate,
         # dedup
         "exact_dedup": _q_exact_dedup,
+        "normalized_dedup": _q_normalized_dedup,
         "minhash_bands": _q_minhash_bands,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_overflow": _q_minhash_overflow,
@@ -640,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rank": oracles.DOC_RANK_SQL,
         "boilerplate": oracles.boilerplate_ngrams_sql(),
         "exact_dedup": oracles.EXACT_DEDUP_SQL,
+        "normalized_dedup": oracles.NORMALIZED_DEDUP_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),
         "minhash_overflow": oracles.minhash_overflow_sql(),

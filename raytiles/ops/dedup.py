@@ -90,8 +90,14 @@ def _docs(sf_dir: str, columns) -> ray.data.Dataset:
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+def exact_dedup(sf_dir: str, normalize: bool = False) -> ray.data.Dataset:
     """One surviving row per distinct text: (h, doc_id=min, n_dups).
+
+    With ``normalize=True`` the content key is taken over the
+    case-folded, whitespace-collapsed, trimmed text (the standard
+    near-exact dedup key — catches reflowed/re-cased copies exact md5
+    misses); the normalization is three vectorized Arrow kernels, so
+    the zero-copy md5-over-buffer path below is unchanged.
 
     Two-phase: the per-batch partial collapses duplicates within the
     batch (shuffle moves one 32-byte hex + 16 bytes per DISTINCT doc
@@ -103,6 +109,10 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
         # no Python str materializes, no .encode() copy (the md5 loop
         # itself is inherent; this keeps its input zero-copy)
         col = b["text"].combine_chunks()
+        if normalize:
+            # kernels on a plain Array return a plain Array (offset 0)
+            col = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+                pc.utf8_lower(col), r"\s+", " "))
         if pa.types.is_large_string(col.type):
             offs = np.frombuffer(col.buffers()[1], dtype=np.int64)
         else:

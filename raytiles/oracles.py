@@ -876,3 +876,10 @@ SELECT g.doc_id,
            / 1000000 AS boiler_ratio
 FROM grams g LEFT JOIN heavy h USING (gh)
 GROUP BY 1"""
+
+
+NORMALIZED_DEDUP_SQL = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+       min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY 1"""

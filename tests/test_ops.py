@@ -479,3 +479,18 @@ def test_cohort_retention_pandas_oracle():
     exp = {(c, o): n for c, o, n in want.itertuples(index=False)}
     assert got == exp
     assert len(got) > 1  # live retention rows at sf0.001
+
+
+def test_normalized_dedup_collapses_case_and_whitespace(tmp_path):
+    from raytiles.ops.dedup import exact_dedup
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["Hello  world", "hello world ", "HELLO\tWORLD",
+                          "different doc"], pa.string())})
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    plain = exact_dedup(str(tmp_path)).to_pandas()
+    norm = exact_dedup(str(tmp_path), normalize=True).to_pandas()
+    assert len(plain) == 4          # byte-exact: all distinct
+    assert len(norm) == 2           # normalized: three collapse into one
+    survivor = norm.sort_values("doc_id").iloc[0]
+    assert survivor["doc_id"] == 1 and survivor["n_dups"] == 3
