@@ -195,6 +195,22 @@ def _q_morton_cells(sf_dir: str):
     return ds.map_batches(add_morton, batch_format="pandas")
 
 
+def _q_quadkeys(sf_dir: str):
+    from raytiles.geo.tilemath import quadkey
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.synth import webpages_path
+
+    def add_qk(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": b["url"],
+            "mention_idx": b["mention_idx"].astype(np.int64),
+            "quadkey": quadkey(b["lon"].to_numpy(), b["lat"].to_numpy(), 12),
+        })
+
+    ds = geoparse(read_webpages(webpages_path(sf_dir)))
+    return ds.map_batches(add_qk, batch_format="pandas")
+
+
 def _q_tile_pyramid(sf_dir: str):
     from raytiles.ops.raster import tile_pyramid
     from raytiles.pipeline.flagship import assign, geoparse, read_webpages
@@ -542,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": _q_extract_text,
         "redact_locations": _q_redact_locations,
         "morton_cells": _q_morton_cells,
+        "quadkeys": _q_quadkeys,
         "tile_pyramid": _q_tile_pyramid,
         "raster_cells": _q_raster_cells,
         "tile_neighborhood": _q_tile_neighborhood,
@@ -622,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": oracles.extract_text_sql(wp),
         "redact_locations": oracles.redact_locations_sql(wp),
         "morton_cells": oracles.morton_cells_sql(wp),
+        "quadkeys": oracles.quadkeys_sql(wp),
         "tile_pyramid": oracles.tile_pyramid_sql(wp),
         "raster_cells": oracles.raster_cells_sql(wp),
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),

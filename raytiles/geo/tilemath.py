@@ -139,3 +139,19 @@ def cell_unpack(cid: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     ix = (cid >> np.int64(CELL_IX_BITS)) & np.int64((1 << (CELL_RES_BITS - CELL_IX_BITS)) - 1)
     iy = cid & np.int64((1 << CELL_IX_BITS) - 1)
     return res, ix, iy
+
+
+def quadkey(lon: np.ndarray, lat: np.ndarray, z: int = 12) -> np.ndarray:
+    """Bing-style quadkey string per point at zoom ``z`` (the
+    string-keyed spatial index used by XYZ tile CDNs; prefix match =
+    ancestor tile): digit i (most significant first) is
+    (x >> (z-1-i) & 1) + 2 * (y >> (z-1-i) & 1). Vectorized: one
+    (n, z) uint8 char-code matrix viewed as fixed-width bytes — no
+    per-point Python."""
+    x, y = lonlat_to_tile(lon, lat, z)
+    n = len(x)
+    codes = np.empty((n, z), dtype=np.uint8)
+    for i in range(z):
+        s = z - 1 - i
+        codes[:, i] = 48 + ((x >> s) & 1) + 2 * ((y >> s) & 1)
+    return codes.reshape(-1).view(f"S{z}").astype("U")

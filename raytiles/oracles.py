@@ -883,3 +883,22 @@ SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
        min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents
 GROUP BY 1"""
+
+
+def quadkeys_sql(webpages_parquet: str, z: int = 12) -> str:
+    """Quadkey twin: the same WebMercator tile exprs as morton, digits
+    concatenated most-significant-first via substr('0123', ...)."""
+    n = float(1 << z)
+    digits = " || ".join(
+        f"substr('0123', 1 + ((x >> {z - 1 - i}) & 1)"
+        f" + 2 * ((y >> {z - 1 - i}) & 1), 1)"
+        for i in range(z))
+    return f"""
+WITH {mentions_cte(webpages_parquet)}, xy AS (
+  SELECT url, mention_idx,
+    CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}), 0), {n} - 1) AS BIGINT) AS x,
+    CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n}), 0), {n} - 1) AS BIGINT) AS y
+  FROM mentions
+)
+SELECT url, mention_idx, {digits} AS quadkey FROM xy
+"""

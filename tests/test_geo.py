@@ -219,3 +219,22 @@ def test_points_in_polygon():
     x = np.array([2.0, 5.0, -1.0, 3.9])
     y = np.array([2.0, 2.0, 2.0, 3.9])
     assert points_in_polygon(x, y, ring).tolist() == [True, False, False, True]
+
+
+def test_quadkey_prefix_is_parent_tile():
+    from raytiles.geo.tilemath import lonlat_to_tile, quadkey
+    lon = np.array([-122.4194, 2.3522, 139.6503, 0.0])
+    lat = np.array([37.7749, 48.8566, 35.6762, 0.0])
+    qk12 = quadkey(lon, lat, 12)
+    qk6 = quadkey(lon, lat, 6)
+    # ancestor property: z6 key is the z12 key's 6-char prefix
+    assert all(a.startswith(b) for a, b in zip(qk12, qk6))
+    # digit reconstruction matches tile coords
+    x, y = lonlat_to_tile(lon, lat, 12)
+    for i, k in enumerate(qk12):
+        rx = ry = 0
+        for ch in k:
+            d = int(ch)
+            rx = (rx << 1) | (d & 1)
+            ry = (ry << 1) | (d >> 1)
+        assert rx == x[i] and ry == y[i]
