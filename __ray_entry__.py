@@ -195,6 +195,17 @@ def _q_morton_cells(sf_dir: str):
     return ds.map_batches(add_morton, batch_format="pandas")
 
 
+def _q_trajectories_simplified(sf_dir: str):
+    """Trajectory tiles with Douglas-Peucker simplification (tol=32
+    tile units of 4096) before encode. Rows-only: DP properties
+    (endpoint survival, deviation bound, point reduction) are
+    pytest-verified."""
+    from raytiles.pipeline.synth import webpages_path
+    from raytiles.pipeline.trajectories import trajectories_pipeline
+    return trajectories_pipeline(webpages_path(sf_dir), 6,
+                                 simplify_tolerance=32.0)
+
+
 def _q_quadkeys(sf_dir: str):
     from raytiles.geo.tilemath import quadkey
     from raytiles.pipeline.flagship import geoparse, read_webpages
@@ -564,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_neighborhood": _q_tile_neighborhood,
         "heatmap_mvt": _q_heatmap_mvt,
         "trajectories_mvt": _q_trajectories,
+        "trajectories_simplified": _q_trajectories_simplified,
         # spatial joins
         "geofence_join": _q_geofence_join,
         "nearest_city": _q_nearest_city,

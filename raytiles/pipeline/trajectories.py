@@ -22,16 +22,23 @@ import ray.data
 from ..codec.encode import encode_tile
 from ..codec.fastshape import encode_trajectory_tiles
 from ..codec.model import I64V, ST, Feature, Layer, VectorTile
+from ..geo.simplify import simplify_ragged
 from .flagship import aggregate_tiles, assign, geoparse, read_webpages
 
 LAYER = b"trajectories"
 
 
-def encode_trajectories(batch: pa.Table) -> pa.Table:
+def encode_trajectories(batch: pa.Table,
+                        simplify_tolerance: float = 0.0) -> pa.Table:
     """Packed tile rows -> trajectory MVTs via the WHOLE-BATCH columnar
     linestring encoder (codec.fastshape; byte-identical to the generic
     encoder, asserted in tests). Url runs are detected vectorized over
-    the flattened batch — no per-row Python scan."""
+    the flattened batch — no per-row Python scan.
+
+    ``simplify_tolerance`` > 0 applies Douglas-Peucker per run
+    (geo.simplify) before encoding — tolerance in tile-local units
+    (extent 4096); endpoints survive, so every run stays a valid
+    >=2-point linestring."""
     T = batch.num_rows
     if T == 0:
         return pa.table({"z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
@@ -59,8 +66,15 @@ def encode_trajectories(batch: pa.Table) -> pa.Table:
     np.cumsum(run_lens[keep], out=run_offsets[1:])
     urls_b = np.array([u.encode("utf-8") for u in urls_flat[run_starts[keep]]],
                       dtype=object)
+    px, py = lx[kept_pt], ly[kept_pt]
+    if simplify_tolerance > 0 and len(px):
+        keep2 = simplify_ragged(run_offsets, px, py, simplify_tolerance)
+        counts = np.add.reduceat(keep2.astype(np.int64), run_offsets[:-1])
+        run_offsets = np.concatenate(
+            [[0], np.cumsum(counts)]).astype(np.int64)
+        px, py = px[keep2], py[keep2]
     mvts = encode_trajectory_tiles(tile_feat_offsets, urls_b, run_offsets,
-                                   lx[kept_pt], ly[kept_pt])
+                                   px, py)
     n_lines = np.diff(tile_feat_offsets)
     nz = np.flatnonzero(n_lines > 0)  # tiles with no >=2-point run are skipped
     return pa.table({
@@ -113,12 +127,19 @@ def encode_trajectories_generic(batch: pa.Table) -> pa.Table:
     })
 
 
-def trajectories_pipeline(webpages_path: str, zoom: int = 6) -> ray.data.Dataset:
+def trajectories_pipeline(webpages_path: str, zoom: int = 6,
+                          simplify_tolerance: float = 0.0) -> ray.data.Dataset:
     """Low zoom (z=6 tile ~ 600 km) so multi-mention documents usually
-    land their mentions in one tile."""
+    land their mentions in one tile. ``simplify_tolerance`` > 0 runs
+    Douglas-Peucker per linestring before encoding."""
     ds = read_webpages(webpages_path)
     ds = geoparse(ds)
     ds = assign(ds, zoom, with_cells=False)
     merged = aggregate_tiles(ds)
+    if simplify_tolerance > 0:
+        def enc(b: pa.Table) -> pa.Table:
+            return encode_trajectories(b, simplify_tolerance)
+        return merged.map_batches(enc, batch_format="pyarrow",
+                                  batch_size=1024)
     return merged.map_batches(encode_trajectories, batch_format="pyarrow",
                               batch_size=1024)

@@ -238,3 +238,64 @@ def test_quadkey_prefix_is_parent_tile():
             rx = (rx << 1) | (d & 1)
             ry = (ry << 1) | (d >> 1)
         assert rx == x[i] and ry == y[i]
+
+
+def test_douglas_peucker_properties():
+    from raytiles.geo.simplify import dp_keep_mask, simplify_ragged
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(2, 60))
+        x = rng.integers(0, 4096, n)
+        y = rng.integers(0, 4096, n)
+        tol = float(rng.uniform(1, 200))
+        keep = dp_keep_mask(x, y, tol)
+        assert keep[0] and keep[-1]
+        # deviation bound: every dropped point is within tol of the
+        # simplified polyline (check distance to its bracketing kept
+        # segment — the DP invariant)
+        kept_idx = np.flatnonzero(keep)
+        for i in np.flatnonzero(~keep):
+            a = kept_idx[kept_idx < i].max()
+            b = kept_idx[kept_idx > i].min()
+            dx, dy = float(x[b] - x[a]), float(y[b] - y[a])
+            seg2 = dx * dx + dy * dy
+            if seg2 == 0:
+                d2 = float((x[i] - x[a]) ** 2 + (y[i] - y[a]) ** 2)
+            else:
+                cr = (x[i] - x[a]) * dy - (y[i] - y[a]) * dx
+                d2 = float(cr * cr) / seg2
+            assert d2 <= tol * tol + 1e-9
+        # idempotent
+        keep2 = dp_keep_mask(x[keep], y[keep], tol)
+        assert keep2.all()
+    # ragged wrapper: per-run endpoints survive
+    offs = np.array([0, 2, 7, 12])
+    x = rng.integers(0, 4096, 12); y = rng.integers(0, 4096, 12)
+    k = simplify_ragged(offs, x, y, 50.0)
+    for s, e in zip(offs[:-1], offs[1:]):
+        assert k[s] and k[e - 1]
+
+
+def test_trajectories_simplified_decodable_and_smaller(ray_session):
+    from raytiles.codec.decode import decode_tile
+    from raytiles.pipeline.synth import webpages_path
+    from raytiles.pipeline.trajectories import trajectories_pipeline
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    plain = trajectories_pipeline(wp, 6).to_pandas()
+    simp = trajectories_pipeline(wp, 6, simplify_tolerance=64.0).to_pandas()
+    assert len(simp) == len(plain)
+    assert simp["n_lines"].tolist() == plain["n_lines"].tolist()
+
+    def total_pts(df):
+        tot = 0
+        for mvt in df["mvt"]:
+            t = decode_tile(mvt)
+            for l in t.layers.values():
+                for f in l.linestrings:
+                    for part in f.geometry:
+                        assert len(part) >= 2
+                        tot += len(part)
+        return tot
+
+    assert total_pts(simp) <= total_pts(plain)
