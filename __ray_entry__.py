@@ -514,6 +514,17 @@ def _q_media_features(sf_dir: str):
     return media_features(webpages_path(sf_dir))
 
 
+def _q_line_tiles(sf_dir: str):
+    """Cross-tile line tiling: world-spanning mention polylines
+    replicated into every XYZ tile they cross, Liang-Barsky-clipped to
+    extent+buffer, assembled into multi-part linestring MVT layers.
+    Rows-only: binary codec output; exactness vs a single-process
+    brute-force clip is pinned by tests/test_pipeline.py."""
+    from raytiles.pipeline.linetiles import line_tiles_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    return line_tiles_pipeline(webpages_path(sf_dir))
+
+
 def _q_media_frames(sf_dir: str):
     """Video-style frame sampling (row expansion) over the binary
     column via the actor-pool stub. Rows-only: the sampling
@@ -576,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heatmap_mvt": _q_heatmap_mvt,
         "trajectories_mvt": _q_trajectories,
         "trajectories_simplified": _q_trajectories_simplified,
+        "line_tiles": _q_line_tiles,
         # spatial joins
         "geofence_join": _q_geofence_join,
         "nearest_city": _q_nearest_city,

@@ -337,3 +337,64 @@ def test_read_mvt_dir_roundtrips_sink(tmp_path):
     assert (df["n_features"] > 0).all()
     # roads.mvt has 15 layers (reference test suite's own count)
     assert int(df[df["x"] == 103]["n_layers"].iloc[0]) == 15
+
+
+def test_line_tiles_clip_bounds_and_exactness():
+    """Cross-tile line tiling: all coords within extent+buffer; the
+    per-tile segment set equals a single-process brute-force clip."""
+    import re
+
+    import numpy as np
+
+    from raytiles.codec.decode import decode_tile
+    from raytiles.geo.clip import clip_segments
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.linetiles import (EXTENT, _global_px,
+                                             line_tiles_pipeline)
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    zoom, buf = 5, 128
+    wp = webpages_path(SF_SMOKE)
+    df = line_tiles_pipeline(wp, zoom, buf).to_pandas()
+    assert len(df) > 0
+
+    # brute-force oracle from the geoparsed mentions
+    m = geoparse(read_webpages(wp)).to_pandas() \
+        .sort_values(["url", "mention_idx"]).reset_index(drop=True)
+    gx, gy = _global_px(m["lon"].to_numpy(), m["lat"].to_numpy(), zoom)
+    url = m["url"].to_numpy()
+    same = url[1:] == url[:-1]
+    x0, y0, x1, y1 = gx[:-1][same], gy[:-1][same], gx[1:][same], gy[1:][same]
+    surl = url[:-1][same]
+
+    def oracle_tile(tx, ty):
+        k, cx0, cy0, cx1, cy1 = clip_segments(
+            x0, y0, x1, y1,
+            np.full(len(x0), tx * EXTENT - buf),
+            np.full(len(x0), ty * EXTENT - buf),
+            np.full(len(x0), (tx + 1) * EXTENT + buf),
+            np.full(len(x0), (ty + 1) * EXTENT + buf))
+        lx0 = np.rint(cx0[k] - tx * EXTENT).astype(int)
+        ly0 = np.rint(cy0[k] - ty * EXTENT).astype(int)
+        lx1 = np.rint(cx1[k] - tx * EXTENT).astype(int)
+        ly1 = np.rint(cy1[k] - ty * EXTENT).astype(int)
+        live = (lx0 != lx1) | (ly0 != ly1)
+        return {(u, a, b, c, d) for u, a, b, c, d in zip(
+            surl[k][live], lx0[live], ly0[live], lx1[live], ly1[live])}
+
+    checked = 0
+    for _, row in df.sample(n=min(8, len(df)), random_state=0).iterrows():
+        t = decode_tile(row["mvt"])
+        layer = list(t.layers.values())[0]
+        got = set()
+        for f in layer.linestrings:
+            u = f.metadata[b"url"][1].decode()
+            for part in f.geometry:
+                pts = np.asarray(part)
+                assert (pts >= -buf).all() and (pts <= EXTENT + buf).all()
+                for i in range(len(pts) - 1):
+                    got.add((u, int(pts[i][0]), int(pts[i][1]),
+                             int(pts[i + 1][0]), int(pts[i + 1][1])))
+        assert got == oracle_tile(int(row["x"]), int(row["y"]))
+        checked += 1
+    assert checked > 0
