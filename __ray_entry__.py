@@ -525,6 +525,27 @@ def _q_line_tiles(sf_dir: str):
     return line_tiles_pipeline(webpages_path(sf_dir))
 
 
+def _q_polygon_tiles(sf_dir: str):
+    """Cross-tile polygon tiling: per-host convex hulls (distributed
+    partial-hull merge) replicated into every overlapped XYZ tile,
+    clipped with the batched Sutherland-Hodgman kernel, encoded as MVT
+    polygon layers. Rows-only: binary codec output; hull
+    characterization + brute-force clip parity pinned by
+    tests/test_pipeline.py."""
+    from raytiles.pipeline.polytiles import polygon_tiles_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    return polygon_tiles_pipeline(webpages_path(sf_dir))
+
+
+def _q_host_hulls(sf_dir: str):
+    """Per-host convex hull of mention positions (global pixel space,
+    z3): the distributed hull-combiner stage of polygon_tiles exposed
+    as its own query. Rows-only: packed-binary hull payload."""
+    from raytiles.pipeline.polytiles import host_hulls
+    from raytiles.pipeline.synth import webpages_path
+    return host_hulls(webpages_path(sf_dir))
+
+
 def _q_media_frames(sf_dir: str):
     """Video-style frame sampling (row expansion) over the binary
     column via the actor-pool stub. Rows-only: the sampling
@@ -588,6 +609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trajectories_mvt": _q_trajectories,
         "trajectories_simplified": _q_trajectories_simplified,
         "line_tiles": _q_line_tiles,
+        "polygon_tiles": _q_polygon_tiles,
+        "host_hulls": _q_host_hulls,
         # spatial joins
         "geofence_join": _q_geofence_join,
         "nearest_city": _q_nearest_city,

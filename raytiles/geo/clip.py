@@ -50,6 +50,70 @@ def clip_segments(x0, y0, x1, y1, xmin, ymin, xmax, ymax):
     return keep, cx0, cy0, cx1, cy1
 
 
+def clip_rings(x: np.ndarray, y: np.ndarray, offsets: np.ndarray,
+               xmin: np.ndarray, ymin: np.ndarray,
+               xmax: np.ndarray, ymax: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched Sutherland-Hodgman: clip R open rings at once, each to
+    its OWN axis-aligned rect. ``x``/``y`` are the concatenated ring
+    vertices (float64), ``offsets`` the int64 ring-start offsets with a
+    final sentinel (len R+1); the rect bounds are per-ring arrays of
+    len R. Returns (cx, cy, coffsets) in the same ragged layout —
+    rings may come back empty (zero-length span).
+
+    Same per-edge emission scheme as ``clip_ring`` (intersection in
+    slot 0, inside end-vertex in slot 1, stable sort by slot), but the
+    wraparound "next vertex" and the clip bound are resolved through a
+    per-vertex ring-id index, so ALL rings and rect edges of a pass are
+    one numpy expression — no per-pair Python loop. Cost O(total
+    vertices) per pass, 4 passes."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    offsets = np.asarray(offsets, np.int64)
+    nrings = len(offsets) - 1
+    bounds = (np.asarray(xmin, np.float64), np.asarray(xmax, np.float64),
+              np.asarray(ymin, np.float64), np.asarray(ymax, np.float64))
+    for axis, bsel, keep_ge in ((0, 0, True), (0, 1, False),
+                                (1, 2, True), (1, 3, False)):
+        n = len(x)
+        if n == 0:
+            break
+        counts = offsets[1:] - offsets[:-1]
+        rid = np.repeat(np.arange(nrings, dtype=np.int64), counts)
+        # wraparound next index within each ring
+        nxt = np.arange(1, n + 1, dtype=np.int64)
+        ends = offsets[1:] - 1
+        live = ends[counts > 0]
+        nxt[live] = offsets[:-1][counts > 0]
+        v = x if axis == 0 else y
+        bound_v = bounds[bsel][rid]
+        inside = v >= bound_v if keep_ge else v <= bound_v
+        cross = inside != inside[nxt]
+        ci = np.flatnonzero(cross)
+        if len(ci):
+            va, vb = v[ci], v[nxt[ci]]
+            t = (bounds[bsel][rid[ci]] - va) / (vb - va)
+            if axis == 0:
+                ix = bounds[bsel][rid[ci]]
+                iy = y[ci] + t * (y[nxt[ci]] - y[ci])
+            else:
+                ix = x[ci] + t * (x[nxt[ci]] - x[ci])
+                iy = bounds[bsel][rid[ci]]
+        else:
+            ix = iy = np.empty(0)
+        keep_v = inside[nxt]
+        ki = np.flatnonzero(keep_v)
+        pos = np.concatenate([ci * 2, ki * 2 + 1])
+        px = np.concatenate([ix, x[nxt[ki]]])
+        py = np.concatenate([iy, y[nxt[ki]]])
+        prid = np.concatenate([rid[ci], rid[ki]])
+        order = np.argsort(pos, kind="stable")  # pos is edge-major, so
+        x, y = px[order], py[order]             # ring grouping survives
+        new_counts = np.bincount(prid, minlength=nrings).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(new_counts)])
+    return x, y, offsets
+
+
 def clip_ring(x: np.ndarray, y: np.ndarray,
               xmin: float, ymin: float, xmax: float, ymax: float
               ) -> tuple[np.ndarray, np.ndarray]:

@@ -299,3 +299,116 @@ def test_trajectories_simplified_decodable_and_smaller(ray_session):
         return tot
 
     assert total_pts(simp) <= total_pts(plain)
+
+
+# ---------------------------------------------------------------------------
+# rectangle clipping kernels (geo/clip.py)
+# ---------------------------------------------------------------------------
+
+def _inside_convex(qx, qy, rx, ry):
+    """Point-in-convex-ring via cross products (ring open, CCW in
+    coordinate algebra); boundary counts as inside."""
+    n = len(rx)
+    ax, ay = rx, ry
+    bx, by = np.roll(rx, -1), np.roll(ry, -1)
+    cr = (bx - ax)[None, :] * (qy[:, None] - ay[None, :]) \
+        - (by - ay)[None, :] * (qx[:, None] - ax[None, :])
+    return (cr >= -1e-9).all(axis=1)
+
+
+def test_clip_segments_parametric_and_membership():
+    """Clipped endpoints lie ON the original segment, inside the rect;
+    rejected segments have no sampled point inside the rect."""
+    rng = np.random.default_rng(7)
+    n = 4000
+    x0, y0, x1, y1 = rng.uniform(-50, 50, (4, n))
+    xmin, ymin = rng.uniform(-60, 40, (2, n))
+    xmax = xmin + rng.uniform(1, 30, n)
+    ymax = ymin + rng.uniform(1, 30, n)
+    from raytiles.geo.clip import clip_segments
+    keep, cx0, cy0, cx1, cy1 = clip_segments(
+        x0, y0, x1, y1, xmin, ymin, xmax, ymax)
+    k = np.flatnonzero(keep)
+    eps = 1e-7
+    for cx, cy in ((cx0, cy0), (cx1, cy1)):
+        assert (cx[k] >= xmin[k] - eps).all() and (cx[k] <= xmax[k] + eps).all()
+        assert (cy[k] >= ymin[k] - eps).all() and (cy[k] <= ymax[k] + eps).all()
+        # collinearity with the original segment
+        cross = (x1[k] - x0[k]) * (cy[k] - y0[k]) \
+            - (y1[k] - y0[k]) * (cx[k] - x0[k])
+        seg_len = np.hypot(x1[k] - x0[k], y1[k] - y0[k])
+        assert (np.abs(cross) <= 1e-6 * np.maximum(seg_len, 1) ** 2).all()
+    # rejected segments: a dense parametric sample never enters the rect
+    r = np.flatnonzero(~keep)[:500]
+    t = np.linspace(0, 1, 33)
+    sx = x0[r, None] + t[None, :] * (x1[r] - x0[r])[:, None]
+    sy = y0[r, None] + t[None, :] * (y1[r] - y0[r])[:, None]
+    inside = ((sx >= xmin[r, None]) & (sx <= xmax[r, None])
+              & (sy >= ymin[r, None]) & (sy <= ymax[r, None]))
+    assert not inside.any()
+
+
+def test_clip_ring_montecarlo_membership():
+    """For convex rings: inside(clipped) == inside(original) AND
+    inside(rect), on a random probe grid."""
+    from raytiles.geo.clip import clip_ring
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        n = rng.integers(3, 10)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(2, 10)  # one radius per ring: vertices on a
+        cx0, cy0 = rng.uniform(-10, 10, 2)  # circle => convex
+        # CCW in coordinate algebra (positive shoelace)
+        rx = cx0 + rad * np.cos(ang)
+        ry = cy0 + rad * np.sin(ang)
+        xmin, ymin = rng.uniform(-15, 5, 2)
+        xmax, ymax = xmin + rng.uniform(2, 20), ymin + rng.uniform(2, 20)
+        ox, oy = clip_ring(rx, ry, xmin, ymin, xmax, ymax)
+        qx = rng.uniform(-25, 25, 400)
+        qy = rng.uniform(-25, 25, 400)
+        want = _inside_convex(qx, qy, rx, ry) \
+            & (qx >= xmin) & (qx <= xmax) & (qy >= ymin) & (qy <= ymax)
+        if len(ox) >= 3:
+            got = _inside_convex(qx, qy, ox, oy)
+        else:
+            got = np.zeros(len(qx), bool)
+        # exclude probes within eps of either boundary (open/closed
+        # disagreement at edges is not a correctness signal)
+        clearance = 1e-6
+        near_rect = (np.minimum(np.abs(qx - xmin), np.abs(qx - xmax))
+                     < clearance) | \
+                    (np.minimum(np.abs(qy - ymin), np.abs(qy - ymax))
+                     < clearance)
+        mask = ~near_rect
+        assert (got[mask] == want[mask]).all()
+
+
+def test_clip_rings_batched_equals_single():
+    """The batched multi-ring kernel is element-wise identical to the
+    single-ring kernel on random (ring, rect) pairs."""
+    from raytiles.geo.clip import clip_ring, clip_rings
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        nrings = rng.integers(1, 9)
+        xs, ys, offs, rects = [], [], [0], []
+        for _ in range(nrings):
+            n = rng.integers(3, 12)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            rad = rng.uniform(1, 10, n)
+            c = rng.uniform(-20, 20, 2)
+            xs.append(c[0] + rad * np.cos(ang))
+            ys.append(c[1] + rad * np.sin(ang))
+            offs.append(offs[-1] + n)
+            x0, y0 = rng.uniform(-25, 20, 2)
+            rects.append((x0, y0, x0 + rng.uniform(1, 20),
+                          y0 + rng.uniform(1, 20)))
+        rects = np.asarray(rects)
+        cx, cy, coffs = clip_rings(
+            np.concatenate(xs), np.concatenate(ys),
+            np.asarray(offs, np.int64),
+            rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3])
+        for r in range(nrings):
+            ex, ey = clip_ring(xs[r], ys[r], *rects[r])
+            gx, gy = cx[coffs[r]:coffs[r + 1]], cy[coffs[r]:coffs[r + 1]]
+            assert len(gx) == len(ex)
+            assert np.allclose(gx, ex) and np.allclose(gy, ey)

@@ -398,3 +398,113 @@ def test_line_tiles_clip_bounds_and_exactness():
         assert got == oracle_tile(int(row["x"]), int(row["y"]))
         checked += 1
     assert checked > 0
+
+
+def test_polygon_tiles_hulls_and_clip_exactness():
+    """Cross-tile polygon tiling, three independent checks:
+    1. distributed per-host hulls satisfy the hull characterization
+       (convex + every vertex is a mention point + every mention point
+       inside) — no shared code path with the engine's chain needed;
+    2. distributed partial/merge hull == single-process hull;
+    3. sampled decoded tiles carry exactly the brute-force clip_ring
+       result (same rounding/dedup/orientation post-processing)."""
+    import numpy as np
+
+    from raytiles.codec.decode import decode_tile
+    from raytiles.codec.geometry import surveyor
+    from raytiles.geo.clip import clip_ring
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.linetiles import _global_px
+    from raytiles.pipeline.polytiles import (EXTENT, _chain, host_hulls,
+                                             polygon_tiles_pipeline)
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    zoom, buf = 3, 128
+    wp = webpages_path(SF_SMOKE)
+
+    m = geoparse(read_webpages(wp)).to_pandas()
+    m["host"] = m["url"].str.extract(r"^https?://([^/]+)/")
+    gx, gy = _global_px(m["lon"].to_numpy(), m["lat"].to_numpy(), zoom)
+    m["gx"], m["gy"] = gx, gy
+
+    hulls = host_hulls(wp, zoom).to_pandas().set_index("host")
+    assert len(hulls) > 0
+
+    def oracle_hull(sub):
+        pts = np.unique(np.stack([sub["gx"], sub["gy"]], axis=1), axis=0)
+        h = _chain(pts[:, 0], pts[:, 1])
+        return pts[h] if len(h) >= 3 else None
+
+    rng = np.random.default_rng(0)
+    sample_hosts = rng.choice(hulls.index.to_numpy(), size=12, replace=False)
+    for hname in sample_hosts:
+        got = np.frombuffer(hulls.loc[hname, "pts"], np.float64).reshape(-1, 2)
+        sub = m[m["host"] == hname]
+        # (2) matches single-process hull (up to rotation)
+        want = oracle_hull(sub)
+        assert want is not None and len(got) == len(want)
+        roll = int(np.flatnonzero((want == got[0]).all(axis=1))[0])
+        assert np.allclose(np.roll(want, -roll, axis=0), got)
+        # (1) independent characterization
+        nx = np.roll(got, -1, axis=0)
+        for px, py in zip(sub["gx"], sub["gy"]):
+            cr = (nx[:, 0] - got[:, 0]) * (py - got[:, 1]) \
+                - (nx[:, 1] - got[:, 1]) * (px - got[:, 0])
+            assert (cr >= -1e-6).all()  # every mention inside/on hull
+        cr_hull = (nx[:, 0] - got[:, 0]) * (np.roll(got[:, 1], -2) - got[:, 1]) \
+            - (nx[:, 1] - got[:, 1]) * (np.roll(got[:, 0], -2) - got[:, 0])
+        assert (cr_hull > 0).all()  # strictly convex, CCW (pos shoelace)
+        pts_set = {(a, b) for a, b in zip(sub["gx"], sub["gy"])}
+        assert all((a, b) in pts_set for a, b in got)
+        assert int(hulls.loc[hname, "n_mentions"]) == len(sub)
+
+    df = polygon_tiles_pipeline(wp, zoom, buf).to_pandas()
+    assert len(df) > 0
+
+    def canon(ring):
+        """closed int ring -> rotation-normalized open tuple."""
+        r = [tuple(p) for p in np.asarray(ring)[:-1]]
+        k = r.index(min(r))
+        return tuple(r[k:] + r[:k])
+
+    def oracle_tile(tx, ty):
+        out = {}
+        for hname, hp in hulls["pts"].items():
+            hull = np.frombuffer(hp, np.float64).reshape(-1, 2)
+            ox, oy = clip_ring(hull[:, 0], hull[:, 1],
+                               tx * EXTENT - buf, ty * EXTENT - buf,
+                               (tx + 1) * EXTENT + buf,
+                               (ty + 1) * EXTENT + buf)
+            if len(ox) == 0:
+                continue
+            lx = np.rint(ox - tx * EXTENT).astype(np.int64)
+            ly = np.rint(oy - ty * EXTENT).astype(np.int64)
+            pts = np.stack([lx, ly], axis=1)
+            keep = np.ones(len(pts), bool)
+            keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+            pts = pts[keep]
+            if len(pts) > 1 and (pts[0] == pts[-1]).all():
+                pts = pts[1:]
+            if len(pts) < 3:
+                continue
+            closed = np.concatenate([pts, pts[:1]])
+            a = surveyor(closed)
+            if a == 0:
+                continue
+            if a < 0:
+                closed = closed[::-1]
+            out[hname] = canon(closed)
+        return out
+
+    for _, row in df.sample(n=min(6, len(df)), random_state=0).iterrows():
+        t = decode_tile(row["mvt"])
+        layer = list(t.layers.values())[0]
+        got = {}
+        for f in layer.polygons:
+            hname = f.metadata[b"host"][1].decode()
+            ring = f.geometry[0][0]
+            pts = np.asarray(ring)
+            assert (pts >= -buf).all() and (pts <= EXTENT + buf).all()
+            assert surveyor(pts) > 0
+            got[hname] = canon(pts)
+        assert got == oracle_tile(int(row["x"]), int(row["y"]))
