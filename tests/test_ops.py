@@ -494,3 +494,65 @@ def test_normalized_dedup_collapses_case_and_whitespace(tmp_path):
     assert len(norm) == 2           # normalized: three collapse into one
     survivor = norm.sort_values("doc_id").iloc[0]
     assert survivor["doc_id"] == 1 and survivor["n_dups"] == 3
+
+
+def test_kmeans_matches_single_process_lloyd():
+    """Distributed spherical k-means vs a single-process Lloyd run
+    with the same deterministic init. Centroid parity within float
+    tolerance; assignment parity asserted only where the best/second
+    margin is well separated (block summation order is the only
+    engine-side nondeterminism)."""
+    from raytiles.ops.cluster import kmeans
+    k, iters = 8, 4
+    df = kmeans(SF_SMOKE, k=k, iters=iters).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    emb = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    v = np.stack(emb["embedding"].to_numpy())
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cents = v[:k].copy()
+    for _ in range(iters):
+        a = np.argmax(v @ cents.T, axis=1)
+        for c in range(k):
+            s = v[a == c].sum(axis=0)
+            n = np.linalg.norm(s)
+            if n > 0:
+                cents[c] = s / n
+    sims = v @ cents.T
+    a = np.argmax(sims, axis=1)
+    top2 = np.partition(sims, -2, axis=1)
+    margin = top2[:, -1] - top2[:, -2]
+    clear = margin > 1e-9
+    assert clear.sum() > 0.9 * len(v)
+    got = df["cluster"].to_numpy()
+    assert np.array_equal(got[clear], a[clear])
+    # sim column parity on the clear rows
+    assert np.allclose(df["sim"].to_numpy()[clear],
+                       sims[np.arange(len(a)), a][clear], atol=1e-9)
+
+
+def test_semantic_dedup_planted_recall_and_stats_row():
+    from raytiles.ops.cluster import semantic_dedup
+    df = semantic_dedup(SF_SMOKE, k=8, iters=2, n_planted=8).to_pandas()
+    stats = df[df["id_a"] == -1]
+    live = df[df["id_a"] != -1]
+    assert len(stats) == 1 and float(stats["sim"].iloc[0]) == 0.0
+    planted = live[live["id_b"] - live["id_a"] == 1_000_000]
+    assert set(planted["id_a"]) == set(range(8))
+    assert (planted["sim"] > 0.99).all()
+
+
+def test_semantic_dedup_cap_is_counted_not_silent(monkeypatch):
+    """Force an oversized cluster (cap=8, threshold=-1 so every
+    within-cluster pair qualifies): the dropped-comparison counter
+    must be nonzero and the emitted pair count bounded below the
+    uncapped quadratic."""
+    import raytiles.ops.cluster as cl
+    monkeypatch.setattr(cl, "MAX_SEM_CLUSTER", 8)
+    df = cl.semantic_dedup(SF_SMOKE, k=1, iters=1, threshold=-1.0,
+                           n_planted=0).to_pandas()
+    stats = df[df["id_a"] == -1]
+    live = df[df["id_a"] != -1]
+    n = len(pq.read_table(f"{SF_SMOKE}/embeddings.parquet"))
+    assert float(stats["sim"].iloc[0]) > 0          # counted
+    assert len(live) < n * (n - 1) // 2             # genuinely capped
