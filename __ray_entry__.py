@@ -529,6 +529,32 @@ def _q_media_features(sf_dir: str):
     return media_features(webpages_path(sf_dir))
 
 
+def _q_mvt_overlay(sf_dir: str):
+    """Wire-level overlay of the flagship mention tiles with same-zoom
+    heat tiles (protobuf repeated-Layer concat — no decode/re-encode;
+    duplicate names keep the reference's last-wins rule). Rows-only:
+    binary output; concat == decode-merge-re-encode pinned by pytest."""
+    from raytiles.ops.raster import heatmap_pipeline
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_overlay
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    return mvt_overlay(tiles_pipeline(wp, 12), heatmap_pipeline(wp, 12))
+
+
+def _q_mvt_filter(sf_dir: str):
+    """Feature filtering inside encoded tiles: keep each document's
+    FIRST mention (mention_idx == 0), drop emptied layers/tiles.
+    Rows-only: binary output; the per-doc-first invariant is pinned by
+    pytest (sum(n_features) == distinct urls with mentions)."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_filter_features
+    from raytiles.pipeline.synth import webpages_path
+    return mvt_filter_features(
+        tiles_pipeline(webpages_path(sf_dir), 12), b"mention_idx",
+        lambda v: v == 0)
+
+
 def _q_line_tiles(sf_dir: str):
     """Cross-tile line tiling: world-spanning mention polylines
     replicated into every XYZ tile they cross, Liang-Barsky-clipped to
@@ -626,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_tiles": _q_line_tiles,
         "polygon_tiles": _q_polygon_tiles,
         "host_hulls": _q_host_hulls,
+        "mvt_overlay": _q_mvt_overlay,
+        "mvt_filter": _q_mvt_filter,
         # spatial joins
         "geofence_join": _q_geofence_join,
         "nearest_city": _q_nearest_city,

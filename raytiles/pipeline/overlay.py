@@ -1,0 +1,144 @@
+"""MVT tile-set transforms: overlay (merge two tile sets per tile
+coordinate) and feature filtering.
+
+``mvt_overlay`` exploits the protobuf wire format directly: a
+VectorTile message is nothing but repeated Layer submessages
+(vector_tile.proto; reference Protobuf/VectorTile.hs:37-39), and
+protobuf repeated fields CONCATENATE across a split message — so
+merging two tiles is byte-string concatenation, zero decode, zero
+re-encode. Duplicate layer names keep the reference's decode
+semantics automatically (last layer wins, Internal.hs fromProtobuf
+@VectorTile — the right operand's layer shadows the left's).
+tests pin concat == decode-merge-re-encode equality via tiles_equal.
+
+Distribution shape: tag each side, ONE bounded splitmix(tile)-bucket
+groupby co-locates the (at most two) rows per tile coordinate, the
+finalizer concatenates in (a, b) order. Tiles present on one side
+only pass through untouched.
+
+``mvt_filter_features`` is the decode path: per-batch
+decode -> predicate on feature metadata -> re-encode, embarrassingly
+parallel, no shuffle. Layers losing every feature are dropped (an
+empty layer is an encode error in the codec, matching the
+reference's "LayerError: empty layer" on decode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..codec.decode import decode_tile
+from ..codec.encode import encode_tile
+from ..codec.model import Layer, VectorTile
+from ..util import bucket_of
+
+_N_BUCKETS = 512
+
+
+def _tile_key(z: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    return ((z.astype(np.int64) << np.int64(58))
+            ^ (x.astype(np.int64) << np.int64(29)) ^ y.astype(np.int64))
+
+
+def mvt_overlay(a: ray.data.Dataset, b: ray.data.Dataset) -> ray.data.Dataset:
+    """Merge two {z, x, y, mvt, ...} tile sets: one output tile per
+    distinct (z, x, y), with both sides' layers when present (side b
+    shadows side a on duplicate layer names, per the reference's
+    last-wins decode rule). Wire-level concat — see module docstring."""
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            z = t["z"].to_numpy().astype(np.int64)
+            x = t["x"].to_numpy().astype(np.int64)
+            y = t["y"].to_numpy().astype(np.int64)
+            return pa.table({
+                "z": pa.array(z), "x": pa.array(x), "y": pa.array(y),
+                "side": pa.array(np.full(len(z), side, np.int8)),
+                "mvt": t["mvt"],
+                "bucket": pa.array(bucket_of(_tile_key(z, x, y),
+                                             _N_BUCKETS))})
+        return fn
+
+    tagged = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow"))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        z = g["z"].to_numpy()
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        side = g["side"].to_numpy()
+        mvt = g["mvt"].to_pylist()
+        order = np.lexsort((side, y, x, z))
+        oz, ox, oy, om = [], [], [], []
+        i, n = 0, len(order)
+        while i < n:
+            j = i
+            oi = order[i]
+            while (j < n and z[order[j]] == z[oi] and x[order[j]] == x[oi]
+                   and y[order[j]] == y[oi]):
+                j += 1
+            # wire-level merge: concatenation of Layer submessages,
+            # in ascending side order (b's layers shadow a's)
+            oz.append(int(z[oi]))
+            ox.append(int(x[oi]))
+            oy.append(int(y[oi]))
+            om.append(b"".join(mvt[order[t]] for t in range(i, j)))
+            i = j
+        return pa.table({
+            "z": pa.array(oz, pa.int64()), "x": pa.array(ox, pa.int64()),
+            "y": pa.array(oy, pa.int64()),
+            "mvt": pa.array(om, pa.binary())})
+
+    return tagged.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pyarrow")
+
+
+def mvt_filter_features(tiles: ray.data.Dataset, meta_key: bytes,
+                        predicate) -> ray.data.Dataset:
+    """Keep only features whose metadata value under ``meta_key``
+    satisfies ``predicate`` (a plain callable over the decoded Val
+    payload; features missing the key are dropped). Layers left empty
+    are removed; tiles left without layers are removed. Shuffle-free
+    per-batch decode -> filter -> re-encode."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        z = t["z"].to_numpy()
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        mvts = t["mvt"].to_pylist()
+        oz, ox, oy, om, on = [], [], [], [], []
+        for i, raw in enumerate(mvts):
+            tile = decode_tile(raw)
+            out_layers = {}
+            total = 0
+            for name, lay in tile.layers.items():
+                kept = {}
+                for attr in ("points", "linestrings", "polygons"):
+                    feats = [f for f in getattr(lay, attr)
+                             if meta_key in f.metadata
+                             and predicate(f.metadata[meta_key][1])]
+                    kept[attr] = feats
+                    total += len(feats)
+                if kept["points"] or kept["linestrings"] or kept["polygons"]:
+                    out_layers[name] = Layer(
+                        name=lay.name, version=lay.version,
+                        extent=lay.extent, points=kept["points"],
+                        linestrings=kept["linestrings"],
+                        polygons=kept["polygons"])
+            if out_layers:
+                oz.append(int(z[i]))
+                ox.append(int(x[i]))
+                oy.append(int(y[i]))
+                om.append(encode_tile(VectorTile(out_layers)))
+                on.append(total)
+        return pa.table({
+            "z": pa.array(oz, pa.int64()), "x": pa.array(ox, pa.int64()),
+            "y": pa.array(oy, pa.int64()),
+            "mvt": pa.array(om, pa.binary()),
+            "n_features": pa.array(on, pa.int64())})
+
+    return tiles.map_batches(fn, batch_format="pyarrow")

@@ -508,3 +508,99 @@ def test_polygon_tiles_hulls_and_clip_exactness():
             assert surveyor(pts) > 0
             got[hname] = canon(pts)
         assert got == oracle_tile(int(row["x"]), int(row["y"]))
+
+
+def test_mvt_overlay_wire_concat_semantics():
+    """Overlay: (1) every output tile decodes to exactly the UNION of
+    the two sides' layer dicts (b shadowing a on name collisions, the
+    reference's last-wins rule); (2) one-sided tiles pass through
+    byte-identical; (3) wire concat == decode-merge-re-encode."""
+    import numpy as np
+
+    from raytiles.codec.decode import decode_tile
+    from raytiles.codec.encode import encode_tile
+    from raytiles.codec.model import VectorTile, tiles_equal
+    from raytiles.ops.raster import heatmap_pipeline
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_overlay
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    a = tiles_pipeline(wp, 12).to_pandas()
+    b = heatmap_pipeline(wp, 12).to_pandas()
+    got = mvt_overlay(tiles_pipeline(wp, 12),
+                      heatmap_pipeline(wp, 12)).to_pandas()
+    akey = {(z, x, y): m for z, x, y, m in
+            zip(a["z"], a["x"], a["y"], a["mvt"])}
+    bkey = {(z, x, y): m for z, x, y, m in
+            zip(b["z"], b["x"], b["y"], b["mvt"])}
+    assert set(zip(got["z"], got["x"], got["y"])) \
+        == set(akey) | set(bkey)
+    rng = np.random.default_rng(0)
+    rows = got.sample(n=min(25, len(got)), random_state=0)
+    both = one_sided = 0
+    for _, r in rows.iterrows():
+        key = (r["z"], r["x"], r["y"])
+        if key in akey and key in bkey:
+            both += 1
+            t = decode_tile(r["mvt"])
+            merged_layers = dict(decode_tile(akey[key]).layers)
+            merged_layers.update(decode_tile(bkey[key]).layers)
+            assert tiles_equal(t, VectorTile(merged_layers))
+            # wire concat == decode-merge-re-encode (same tile value)
+            assert tiles_equal(
+                decode_tile(encode_tile(VectorTile(merged_layers))), t)
+        else:
+            one_sided += 1
+            src = akey.get(key, bkey.get(key))
+            assert r["mvt"] == src  # byte-identical passthrough
+    assert both > 0 and one_sided >= 0
+
+
+def test_mvt_overlay_same_name_last_wins():
+    """Name-colliding overlay keeps the RIGHT side's layer, exactly
+    like the reference's duplicate-layer decode rule."""
+    from raytiles.codec.decode import decode_tile
+    from raytiles.codec.model import tiles_equal
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_filter_features, mvt_overlay
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    full = tiles_pipeline(wp, 12)
+    filt = mvt_filter_features(tiles_pipeline(wp, 12), b"mention_idx",
+                               lambda v: v == 0)
+    fdf = filt.to_pandas()
+    got = mvt_overlay(full, filt).to_pandas()
+    fkey = {(z, x, y): m for z, x, y, m in
+            zip(fdf["z"], fdf["x"], fdf["y"], fdf["mvt"])}
+    checked = 0
+    for _, r in got.sample(n=min(10, len(got)), random_state=1).iterrows():
+        key = (r["z"], r["x"], r["y"])
+        if key in fkey:
+            assert tiles_equal(decode_tile(r["mvt"]),
+                               decode_tile(fkey[key]))
+            checked += 1
+    assert checked > 0
+
+
+def test_mvt_filter_first_mention_invariant():
+    """Filtered tiles hold exactly one feature per document (the
+    mention_idx == 0 one), totalled across tiles == distinct urls
+    with mentions."""
+    from raytiles.codec.decode import decode_tile
+    from raytiles.pipeline.flagship import (geoparse, read_webpages,
+                                            tiles_pipeline)
+    from raytiles.pipeline.overlay import mvt_filter_features
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    got = mvt_filter_features(tiles_pipeline(wp, 12), b"mention_idx",
+                              lambda v: v == 0).to_pandas()
+    m = geoparse(read_webpages(wp)).to_pandas()
+    assert got["n_features"].sum() == m["url"].nunique()
+    for _, r in got.sample(n=min(8, len(got)), random_state=0).iterrows():
+        t = decode_tile(r["mvt"])
+        for lay in t.layers.values():
+            for f in lay.points:
+                assert f.metadata[b"mention_idx"][1] == 0
