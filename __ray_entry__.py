@@ -497,6 +497,15 @@ def _q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(sf_dir, threshold=0.9, n_planted=16)
 
 
+def _q_pca(sf_dir: str):
+    """PCA projection of embeddings (one-pass covariance partials,
+    driver-side d x d eigh, broadcast projection). Rows-only:
+    iterative-free but non-SQL (eigendecomposition); numpy parity
+    pinned by tests/test_ops.py."""
+    from raytiles.ops.linalg import pca_project
+    return pca_project(sf_dir)
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed spherical k-means over the embeddings table.
     Rows-only: iterative (non-SQL-expressible); single-process Lloyd
@@ -692,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "lsh_neardup": _q_lsh_neardup,
         "kmeans_clusters": _q_kmeans,
+        "pca_project": _q_pca,
         "semantic_dedup": _q_semantic_dedup,
         # fingerprints / multimodal
         "winnow_fingerprints": _q_winnow,

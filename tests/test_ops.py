@@ -556,3 +556,39 @@ def test_semantic_dedup_cap_is_counted_not_silent(monkeypatch):
     n = len(pq.read_table(f"{SF_SMOKE}/embeddings.parquet"))
     assert float(stats["sim"].iloc[0]) > 0          # counted
     assert len(live) < n * (n - 1) // 2             # genuinely capped
+
+
+def test_pca_matches_single_process_numpy():
+    """Distributed covariance-partial PCA vs numpy over the whole
+    table: explained variances equal, projections equal up to the
+    shared sign canonicalization (non-degenerate spectrum assumed —
+    asserted on the gaps)."""
+    from raytiles.ops.linalg import pca_components, pca_project
+    k = 6
+    emb = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    v = np.stack(emb["embedding"].to_numpy())
+    mean_o = v.mean(axis=0)
+    cov_o = np.cov(v, rowvar=False, bias=True)
+    w, vec = np.linalg.eigh(cov_o)
+    order = np.argsort(w)[::-1][:k]
+    comps_o = vec[:, order].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps_o[i])))
+        if comps_o[i, j] < 0:
+            comps_o[i] = -comps_o[i]
+    gaps = np.diff(np.sort(w)[::-1][:k + 1])
+    assert (np.abs(gaps) > 1e-12).all()  # spectrum non-degenerate
+
+    mean, comps, ev = pca_components(SF_SMOKE, k)
+    assert np.allclose(mean, mean_o, atol=1e-10)
+    assert np.allclose(ev, np.sort(w)[::-1][:k], atol=1e-10)
+    assert np.allclose(comps, comps_o, atol=1e-8)
+
+    df = pca_project(SF_SMOKE, k).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    want = (v - mean_o) @ comps_o.T
+    got = df[[f"pc{i}" for i in range(k)]].to_numpy()
+    assert np.allclose(got, want, atol=1e-8)
+    # variance along pc0 == top eigenvalue (bias=True convention)
+    assert np.isclose(got[:, 0].var(), ev[0], atol=1e-8)
