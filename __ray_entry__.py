@@ -453,6 +453,16 @@ def _q_host_tile_cover(sf_dir: str):
     return host_tile_cover(webpages_path(sf_dir))
 
 
+def _q_zonal_stats(sf_dir: str):
+    """Zonal statistics: mention counts + area + density per host-hull
+    zone (broadcast R-tree + vectorized convex half-plane test,
+    partial counts, bounded bucket merge). Rows-only: brute-force
+    all-pairs parity pinned by tests/test_spatial.py."""
+    from raytiles.ops.spatial import zonal_stats
+    from raytiles.pipeline.synth import webpages_path
+    return zonal_stats(webpages_path(sf_dir))
+
+
 def _q_host_stats(sf_dir: str):
     from raytiles.ops.webcorpus import host_stats
     from raytiles.pipeline.synth import webpages_path
@@ -668,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_city": _q_nearest_city,
         "host_bbox": _q_host_bbox,
         "host_tile_cover": _q_host_tile_cover,
+        "zonal_stats": _q_zonal_stats,
         # web-corpus curation
         "host_stats": _q_host_stats,
         "cust_anti_join": _q_cust_anti_join,

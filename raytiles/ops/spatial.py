@@ -32,6 +32,7 @@ from ..geo.tilemath import lonlat_to_tile
 from ..pipeline.flagship import geoparse, read_webpages
 from ..pipeline.synth import CITIES
 from ..util import bucket_of
+from .similarity import _cached_stage
 from .webcorpus import HOST_RE, _md5_u64
 
 FENCE_RADIUS_DEG = 2.0  # squared-degree geofence radius
@@ -170,3 +171,130 @@ def host_tile_cover(webpages_path: str, zoom: int = 4) -> ray.data.Dataset:
             "y": y0[row] + off % ny[row]})
 
     return bbox.map_batches(cover, batch_format="pyarrow")
+
+
+def zonal_stats(webpages_path: str, zoom: int = 3, n_zones: int = 64,
+                n_buckets: int = 256) -> ray.data.Dataset:
+    """Zonal statistics over the per-host convex hulls: for every
+    host's hull polygon, how many mention points (from ANY host) fall
+    inside it, the hull's shoelace area (global-pixel^2 at ``zoom``)
+    and the point density — the classic polygon-zone aggregate,
+    distributed.
+
+    Shape: the hull table is the SMALL side (one row per host) — it
+    is computed once (pipeline/polytiles.host_hulls), collected, and
+    broadcast via ray.put as packed edge arrays + a PackedRTree over
+    hull bboxes. The mention pass is then shuffle-free: R-tree bbox
+    prefilter -> exact convex half-plane test, both fully vectorized
+    over the candidate (point, hull) pair list (ragged edge expansion
+    + logical reduceat — no per-pair Python). Per-batch partial
+    counts (<= n_hosts rows) merge through ONE bounded
+    splitmix(md5(host)) bucket groupby.
+
+    Boundary semantics: on-edge points (hull vertices are mention
+    points by construction) count INSIDE (cross >= 0 on every edge).
+    The pytest oracle brute-forces all (point, hull) pairs with the
+    same half-plane predicate but none of the engine's machinery.
+
+    Zone-count contract: the zone set is the first ``n_zones`` hosts
+    in lexicographic order — a BOUNDED broadcast side, like a curated
+    country/geofence polygon table in production. The synthetic hulls
+    span most of the world (20% of mentions are uniform-global), so
+    the bbox prefilter cannot prune them; candidate volume is
+    points x n_zones by construction and n_zones is the knob that
+    keeps it linear."""
+    from ..codec.geometry import surveyor_batch
+    from ..geo.rtree import PackedRTree
+    from ..pipeline.linetiles import _global_px
+    from ..pipeline.polytiles import host_hulls
+
+    hulls = host_hulls(webpages_path, zoom).to_pandas()  # small side
+    hulls = hulls.sort_values("host").head(n_zones).reset_index(drop=True)
+    hosts = hulls["host"].to_numpy()
+    pts = [np.frombuffer(b, np.float64).reshape(-1, 2)
+           for b in hulls["pts"]]
+    counts = np.array([len(p) for p in pts], np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    flat = (np.concatenate(pts) if pts
+            else np.empty((0, 2), np.float64))
+    # closed rings for the area computation
+    closed = np.concatenate([np.concatenate([p, p[:1]]) for p in pts]) \
+        if pts else np.empty((0, 2), np.float64)
+    closed_offs = np.concatenate(
+        [[0], np.cumsum(counts + 1)]).astype(np.int64)
+    areas = surveyor_batch(closed, closed_offs)
+    boxes = np.stack([
+        np.minimum.reduceat(flat[:, 0], offs[:-1]),
+        np.minimum.reduceat(flat[:, 1], offs[:-1]),
+        np.maximum.reduceat(flat[:, 0], offs[:-1]),
+        np.maximum.reduceat(flat[:, 1], offs[:-1])], axis=1) \
+        if len(flat) else np.empty((0, 4))
+    state_ref = ray.put((flat, offs, boxes, hosts, areas))
+
+    def partial_factory():
+        fl, of, bx, _, _ = ray.get(state_ref)
+        tree = PackedRTree(bx)
+
+        def fn(b: pa.Table) -> pa.Table:
+            gx, gy = _global_px(b["lon"].to_numpy(), b["lat"].to_numpy(),
+                                zoom)
+            pi, hi = tree.query_points(gx, gy)
+            if len(pi):
+                ecnt = (of[1:] - of[:-1])[hi]
+                eoffs = np.concatenate(
+                    [[0], np.cumsum(ecnt)]).astype(np.int64)
+                rep = np.repeat(np.arange(len(pi)), ecnt)
+                eidx = (np.arange(int(ecnt.sum()), dtype=np.int64)
+                        - eoffs[:-1].repeat(ecnt)
+                        + of[:-1][hi].repeat(ecnt))
+                # edge i -> next vertex (wraparound within hull)
+                nxt = eidx + 1
+                last = eoffs[1:] - 1
+                nxt[last] = of[:-1][hi]  # wrap: last edge ends at v0
+                x0, y0 = fl[eidx, 0], fl[eidx, 1]
+                x1, y1 = fl[nxt, 0], fl[nxt, 1]
+                px, py = gx[pi][rep], gy[pi][rep]
+                cr = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+                inside = np.logical_and.reduceat(cr >= 0, eoffs[:-1])
+                hit_h = hi[inside]
+            else:
+                hit_h = np.empty(0, np.int64)
+            n = np.bincount(hit_h, minlength=len(of) - 1).astype(np.int64)
+            live = np.flatnonzero(n > 0)
+            return pa.table({
+                "hull_idx": pa.array(live),
+                "n_inside": pa.array(n[live])})
+        return fn
+
+    mentions = geoparse(read_webpages(webpages_path))
+    partials = mentions.map_batches(
+        _cached_stage(("zonal_partial", state_ref.hex(), zoom),
+                      partial_factory),
+        batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(
+            bucket_of(t["hull_idx"].to_numpy().astype(np.uint64),
+                      n_buckets)))
+
+    def merge_factory():
+        _, _, _, hs, ar = ray.get(state_ref)
+
+        def fn(g: pa.Table) -> pa.Table:
+            out = pa.TableGroupBy(
+                g.select(["hull_idx", "n_inside"]),
+                ["hull_idx"]).aggregate([("n_inside", "sum")])
+            hidx = out["hull_idx"].to_numpy()
+            ntot = out.column(1).to_numpy().astype(np.int64)
+            order = np.argsort(hidx)
+            hidx, ntot = hidx[order], ntot[order]
+            return pa.table({
+                "host": pa.array(hs[hidx].tolist(), pa.string()),
+                "n_inside": pa.array(ntot),
+                "area": pa.array(ar[hidx]),
+                "density": pa.array(ntot / ar[hidx])})
+        return fn
+
+    merge = _cached_stage(("zonal_merge", state_ref.hex()), merge_factory)
+    return partials.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")

@@ -79,3 +79,46 @@ def test_host_bbox_contains_and_covers():
         x0, y1 = lonlat_to_tile(np.array([r["min_lon"]]), np.array([r["min_lat"]]), 4)
         x1, y0 = lonlat_to_tile(np.array([r["max_lon"]]), np.array([r["max_lat"]]), 4)
         assert per_host[r["host"]] == (x1[0] - x0[0] + 1) * (y1[0] - y0[0] + 1)
+
+
+def test_zonal_stats_bruteforce_oracle():
+    """Zonal counts vs an all-pairs half-plane brute force (no R-tree,
+    no partials, no bucket shuffle): exact integer equality per zone;
+    area equals the closed-ring shoelace."""
+    from raytiles.codec.geometry import surveyor
+    from raytiles.ops.spatial import zonal_stats
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.linetiles import _global_px
+    from raytiles.pipeline.polytiles import host_hulls
+    from raytiles.pipeline.synth import webpages_path
+
+    zoom, n_zones = 3, 24
+    wp = webpages_path(SF_SMOKE)
+    got = zonal_stats(wp, zoom, n_zones=n_zones).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+
+    hulls = host_hulls(wp, zoom).to_pandas() \
+        .sort_values("host").head(n_zones).reset_index(drop=True)
+    m = geoparse(read_webpages(wp)).to_pandas()
+    gx, gy = _global_px(m["lon"].to_numpy(), m["lat"].to_numpy(), zoom)
+
+    want = {}
+    for _, row in hulls.iterrows():
+        hull = np.frombuffer(row["pts"], np.float64).reshape(-1, 2)
+        nx = np.roll(hull, -1, axis=0)
+        inside = np.ones(len(gx), bool)
+        for (x0, y0), (x1, y1) in zip(hull, nx):
+            inside &= ((x1 - x0) * (gy - y0)
+                       - (y1 - y0) * (gx - x0)) >= 0
+        closed = np.concatenate([hull, hull[:1]])
+        want[row["host"]] = (int(inside.sum()), surveyor(closed))
+
+    assert set(got["host"]) <= set(want)
+    # zones with zero points inside are legitimately absent
+    for _, r in got.iterrows():
+        n, a = want[r["host"]]
+        assert int(r["n_inside"]) == n
+        assert np.isclose(r["area"], a)
+        assert np.isclose(r["density"], n / a)
+    covered = {h for h, (n, _) in want.items() if n > 0}
+    assert set(got["host"]) == covered
