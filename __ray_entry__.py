@@ -531,6 +531,13 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(sf_dir)
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Fixed-size document chunking (flat_map row expansion on the raw
+    Arrow UTF-8 buffer)."""
+    from raytiles.ops.text import chunk_documents
+    return chunk_documents(sf_dir)
+
+
 def _q_winnow(sf_dir: str):
     from raytiles.ops.text import winnow_fingerprints
     return winnow_fingerprints(sf_dir)
@@ -697,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": _q_bpe_tokens,
         "doc_rank": _q_doc_rank,
         "boilerplate": _q_boilerplate,
+        "chunk_documents": _q_chunk_documents,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "normalized_dedup": _q_normalized_dedup,
@@ -776,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": oracles.bpe_token_counts_sql(),
         "doc_rank": oracles.DOC_RANK_SQL,
         "boilerplate": oracles.boilerplate_ngrams_sql(),
+        "chunk_documents": oracles.chunk_documents_sql(),
         "exact_dedup": oracles.EXACT_DEDUP_SQL,
         "normalized_dedup": oracles.NORMALIZED_DEDUP_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),

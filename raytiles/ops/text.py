@@ -523,3 +523,76 @@ def doc_rank(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(path, columns=["doc_id", "text"]) \
         .map_batches(tag, batch_format="pyarrow") \
         .groupby("n_chars").map_groups(rank_group, batch_format="pyarrow")
+
+
+def chunk_documents(sf_dir: str, chunk_words: int = 32) -> ray.data.Dataset:
+    """Fixed-size document chunking (the training-data flat_map):
+    every doc splits into ceil(n_words / chunk_words) chunks of
+    consecutive space-separated words; output (doc_id, chunk_idx,
+    chunk_text, n_words).
+
+    Shuffle-free row expansion, computed entirely on the raw Arrow
+    UTF-8 buffer: one np.flatnonzero finds every space byte (0x20
+    never occurs inside a UTF-8 multibyte sequence), searchsorted
+    buckets them per doc, and each chunk is a CONTIGUOUS byte slice
+    [space_{kW-1}+1, space_{(k+1)W-1}) of the original text — the
+    output string column is built by one ragged gather into a fresh
+    values buffer + from_buffers (no per-chunk Python).
+
+    SQL twin: string_split(text, ' ') + 1-based inclusive list slices
+    words[kW+1 : (k+1)W] joined with ' ' — byte-identical by
+    construction, including empty-token edge cases (split on single
+    space keeps empties, and rejoining them reproduces the original
+    byte run)."""
+    W = chunk_words
+
+    def fn(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if pa.types.is_large_string(col.type):
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+                col.offset:col.offset + n + 1]
+        else:
+            if not pa.types.is_string(col.type):
+                col = col.cast(pa.string())
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset:col.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        spaces = np.flatnonzero(data[offs[0]:offs[-1]] == 0x20) + offs[0]
+        sbase = np.searchsorted(spaces, offs)
+        words = (sbase[1:] - sbase[:-1]) + 1
+        chunks = -(-words // W)
+        total = int(chunks.sum())
+        cid = np.repeat(np.arange(n), chunks)
+        cstarts = np.concatenate([[0], np.cumsum(chunks)[:-1]])
+        k = np.arange(total, dtype=np.int64) - cstarts[cid]
+        first = k == 0
+        last = (k + 1) * W >= words[cid]
+        # np.where evaluates both branches: clamp the space indices so
+        # they stay in-bounds where the branch is unused (k=0 / last
+        # chunk / a batch with no spaces at all)
+        sp = spaces if len(spaces) else np.zeros(1, np.int64)
+        lo_i = np.clip(sbase[:-1][cid] + k * W - 1, 0, len(sp) - 1)
+        hi_i = np.clip(sbase[:-1][cid] + (k + 1) * W - 1, 0, len(sp) - 1)
+        byte_lo = np.where(first, offs[:-1][cid], sp[lo_i] + 1)
+        byte_hi = np.where(last, offs[1:][cid], sp[hi_i])
+        lens = byte_hi - byte_lo
+        out_offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        idx = (np.arange(int(out_offs[-1]), dtype=np.int64)
+               - out_offs[:-1].repeat(lens) + byte_lo.repeat(lens))
+        buf = data[idx]
+        text_col = pa.Array.from_buffers(
+            pa.utf8(), total,
+            [None, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+             pa.py_buffer(buf.tobytes())])
+        return pa.table({
+            "doc_id": pa.array(doc_id[cid]),
+            "chunk_idx": pa.array(k),
+            "chunk_text": text_col,
+            "n_words": pa.array(np.minimum((k + 1) * W, words[cid]) - k * W)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

@@ -902,3 +902,19 @@ WITH {mentions_cte(webpages_parquet)}, xy AS (
 )
 SELECT url, mention_idx, {digits} AS quadkey FROM xy
 """
+
+
+def chunk_documents_sql(chunk_words: int = 32) -> str:
+    """Fixed-size chunking twin: 1-based inclusive list slices over
+    string_split(text, ' '), rejoined with ' ' — byte-identical to the
+    engine's contiguous-byte-slice construction by definition of the
+    single-space delimiter."""
+    w = chunk_words
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       i AS chunk_idx,
+       array_to_string(words[i*{w} + 1 : (i+1)*{w}], ' ') AS chunk_text,
+       len(words[i*{w} + 1 : (i+1)*{w}]) AS n_words
+FROM w, unnest(range(0, CAST(ceil(len(words)/{w}.0) AS BIGINT))) AS t(i)
+"""

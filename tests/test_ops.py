@@ -592,3 +592,22 @@ def test_pca_matches_single_process_numpy():
     assert np.allclose(got, want, atol=1e-8)
     # variance along pc0 == top eigenvalue (bias=True convention)
     assert np.isclose(got[:, 0].var(), ev[0], atol=1e-8)
+
+
+def test_chunk_documents_reassembles_to_original():
+    """Rejoining every doc's chunks with a single space reproduces the
+    original text byte-exactly (chunks are contiguous word runs), and
+    word counts sum to the split length."""
+    from raytiles.ops.text import chunk_documents
+    df = chunk_documents(SF_SMOKE).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id")["text"]
+    joined = df.groupby("doc_id")["chunk_text"].agg(" ".join)
+    assert len(joined) == len(docs)
+    for did, text in docs.items():
+        assert joined.loc[did] == text
+    words = df.groupby("doc_id")["n_words"].sum()
+    for did, text in docs.items():
+        assert words.loc[did] == len(text.split(" "))
