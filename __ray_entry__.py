@@ -531,6 +531,20 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(sf_dir)
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """Unigram-LM perplexity-proxy scoring (broadcast vocab, integer
+    micro-nat sums for order-free SQL parity)."""
+    from raytiles.ops.text import unigram_logprob
+    return unigram_logprob(sf_dir)
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Deterministic domain-mixture sampling (md5-threshold per-source
+    rates)."""
+    from raytiles.ops.webcorpus import mixture_sample
+    return mixture_sample(sf_dir)
+
+
 def _q_chunk_documents(sf_dir: str):
     """Fixed-size document chunking (flat_map row expansion on the raw
     Arrow UTF-8 buffer)."""
@@ -705,6 +719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank": _q_doc_rank,
         "boilerplate": _q_boilerplate,
         "chunk_documents": _q_chunk_documents,
+        "unigram_logprob": _q_unigram_logprob,
+        "mixture_sample": _q_mixture_sample,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "normalized_dedup": _q_normalized_dedup,
@@ -785,6 +801,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_rank": oracles.DOC_RANK_SQL,
         "boilerplate": oracles.boilerplate_ngrams_sql(),
         "chunk_documents": oracles.chunk_documents_sql(),
+        "unigram_logprob": oracles.unigram_logprob_sql(),
+        "mixture_sample": oracles.MIXTURE_SAMPLE_SQL,
         "exact_dedup": oracles.EXACT_DEDUP_SQL,
         "normalized_dedup": oracles.NORMALIZED_DEDUP_SQL,
         "minhash_bands": oracles.minhash_bands_sql(),

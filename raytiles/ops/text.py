@@ -596,3 +596,54 @@ def chunk_documents(sf_dir: str, chunk_words: int = 32) -> ray.data.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def unigram_logprob(sf_dir: str, vocab_k: int = 256) -> ray.data.Dataset:
+    """Unigram-LM document scoring (the perplexity-proxy quality
+    filter): score_micro = sum over tokens of floor(ln(p(token)) *
+    1e6) as INT64, with p = tf/total for the corpus top-``vocab_k``
+    vocabulary and 1/total for OOV. The per-token log-probs are
+    pre-quantized to integer micro-nats, so the per-doc SUM is
+    order-free and bit-exact against the SQL twin (the repo's
+    floor-quantize parity rule — float SUM order would not be).
+
+    Broadcast-vocab scoring pass, no shuffle; total token count comes
+    from one Sum aggregate, vocabulary from vocab_topk (k rows)."""
+    from ray.data.aggregate import Sum
+    vocab = vocab_topk(sf_dir, k=vocab_k).to_pandas()  # k rows
+    total = float(token_counts(sf_dir).aggregate(Sum("n_tokens"))
+                  ["sum(n_tokens)"])
+    vtok = vocab["token"].to_numpy()
+    vtf = vocab["tf"].to_numpy().astype(np.float64)
+    vorder = np.argsort(vtok)
+    vtok_sorted = vtok[vorder]
+    lp_sorted = np.floor(np.log(vtf[vorder] / total) * 1e6).astype(np.int64)
+    lp_oov = np.int64(np.floor(np.log(1.0 / total) * 1e6))
+
+    _EMPTY = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                        ("logprob_micro", pa.int64())])
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows == 0:
+            return _EMPTY.empty_table()
+        tok = np.asarray(t["token"])
+        doc = t["doc_id"].to_numpy()
+        pos = np.searchsorted(vtok_sorted, tok)
+        pos[pos >= len(vtok_sorted)] = 0
+        hit = vtok_sorted[pos] == tok
+        lp = np.where(hit, lp_sorted[pos], lp_oov)
+        # docs never split across batches: per-doc sums are exact
+        order = np.argsort(doc, kind="stable")
+        doc, lp = doc[order], lp[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], doc[1:] != doc[:-1]]))
+        return pa.table({
+            "doc_id": pa.array(doc[starts]),
+            "n_tokens": pa.array(np.diff(
+                np.concatenate([starts, [len(doc)]])).astype(np.int64)),
+            "logprob_micro": pa.array(
+                np.add.reduceat(lp, starts).astype(np.int64))})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

@@ -313,3 +313,33 @@ def boilerplate_ngrams(sf_dir: str, min_docs: int = 2,
 
     return ray.data.read_parquet(path, columns=["doc_id", "text"]) \
         .map_batches(scan, batch_format="pyarrow")
+
+
+def mixture_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic domain-mixture sampling (the dataset-mixing step
+    of a training-data pipeline): each document is kept iff
+    md5_u64(doc_id) / 2^64 < rate(source), with the per-source rate
+    derived from the source id — rate = (1 + src_num % 4) / 4, i.e.
+    the four mixing weights 0.25 / 0.5 / 0.75 / 1.0. Shuffle-free
+    pruned-read filter pass; md5-derived hashing is the repo's
+    SQL-parity rule (DuckDB reproduces it exactly), and the hash is
+    compared in float64 on BOTH sides so rate 1.0 needs no uint64
+    overflow special-case."""
+    import ray.data
+
+    def fn(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy()
+        h = _md5_u64([str(i) for i in doc_id])
+        src = np.asarray(b["source"])
+        num = np.array([int(s[3:]) for s in src], np.int64)
+        rate = (1 + num % 4) / 4.0
+        keep = (h.astype(np.float64) / 18446744073709551616.0) < rate
+        return pa.table({
+            "doc_id": pa.array(doc_id[keep].astype(np.int64)),
+            "source": pa.array(src[keep].tolist(), pa.string()),
+            "rate": pa.array(rate[keep])})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow")

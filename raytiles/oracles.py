@@ -918,3 +918,38 @@ SELECT doc_id,
        len(words[i*{w} + 1 : (i+1)*{w}]) AS n_words
 FROM w, unnest(range(0, CAST(ceil(len(words)/{w}.0) AS BIGINT))) AS t(i)
 """
+
+
+def unigram_logprob_sql(vocab_k: int = 256) -> str:
+    """Unigram-LM scoring twin: per-token log-probs pre-quantized to
+    INTEGER micro-nats (floor(ln(p)*1e6)), so the per-doc SUM is
+    order-free and bit-exact vs the engine (float-sum order parity
+    would not hold)."""
+    return f"""
+WITH {_TOKS_CTE},
+dt AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY token, doc_id),
+vocab AS (
+  SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf
+  FROM dt GROUP BY token
+  ORDER BY df DESC, token LIMIT {vocab_k}),
+tot AS (SELECT count(*) AS n FROM toks),
+lp AS (SELECT v.token,
+              CAST(floor(ln(v.tf / t.n) * 1e6) AS BIGINT) AS lp
+       FROM vocab v, tot t)
+SELECT toks.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(COALESCE(lp.lp,
+            (SELECT CAST(floor(ln(1.0 / n) * 1e6) AS BIGINT) FROM tot)))
+            AS BIGINT) AS logprob_micro
+FROM toks LEFT JOIN lp ON toks.token = lp.token
+GROUP BY toks.doc_id"""
+
+
+MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, source,
+       (1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4) / 4.0 AS rate
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS DOUBLE)
+        / 18446744073709551616.0
+      < (1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4) / 4.0
+"""
