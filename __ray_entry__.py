@@ -388,6 +388,13 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(sf_dir)
 
 
+def _q_events_watermark(sf_dir: str):
+    """Streaming watermark / late-data flagging via a distributed
+    prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
+    from raytiles.ops.relational import events_watermark
+    return events_watermark(sf_dir)
+
+
 def _q_urgent_revenue(sf_dir: str):
     from raytiles.ops.relational import urgent_revenue
     return urgent_revenue(sf_dir)
@@ -667,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_asof": _q_events_asof,
+        "events_watermark": _q_events_watermark,
         "order_revenue": _q_order_revenue,
         "user_features": _q_user_features,
         "funnel_conversion": _q_funnel,
@@ -762,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": oracles.EVENTS_SLIDING_SQL,
         "events_sessions": oracles.EVENTS_SESSIONS_SQL,
         "events_asof": oracles.events_asof_sql(),
+        "events_watermark": oracles.events_watermark_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "user_features": oracles.USER_FEATURES_SQL,
         "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,

@@ -776,3 +776,95 @@ def cohort_retention(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
             "n_active": pc.cast(b["n_active"], pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def events_watermark(sf_dir: str, lateness_s: int = 300,
+                     ids_per_bucket: int = 65536,
+                     n_shuffle: int = 512) -> ray.data.Dataset:
+    """Streaming-watermark / late-data flagging — a DISTRIBUTED PREFIX
+    SCAN: for every event (arrival order = event_id), the exclusive
+    running max of event time seen so far (the watermark) and whether
+    the event arrived more than ``lateness_s`` behind it.
+
+    Scan shape (a streaming engine can't know a block's global
+    prefix): (1) one cheap max(event_id) aggregate sizes the id
+    buckets; (2) a streamed pass folds per-bucket max-ts partials on
+    the driver (<= ~max_id/ids_per_bucket tiny rows — ids_per_bucket
+    is the documented scale knob) into an EXCLUSIVE cross-bucket
+    prefix-max, broadcast via ray.put; (3) rows shuffle once on
+    splitmix(bucket) so each bucket's events co-locate, the finalizer
+    sorts within bucket, takes the local exclusive cummax, and ORs in
+    the broadcast carry. Output watermark for the globally first event
+    is -1 (SQL twin: COALESCE over the empty frame).
+
+    SQL twin: max(epoch_us(ts)) OVER (ORDER BY event_id ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)."""
+    from ..util import bucket_of
+    late_us = np.int64(lateness_s * 1_000_000)
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["event_id", "ts"])
+    max_id = int(ds.max("event_id"))
+    B = ids_per_bucket
+    n_bkt = max_id // B + 1
+
+    def bucket_max(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy()
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bkt = eid // B
+        order = np.argsort(bkt, kind="stable")
+        sb = bkt[order]
+        starts = np.flatnonzero(np.concatenate([[True], sb[1:] != sb[:-1]]))
+        return pa.table({
+            "bkt": pa.array(sb[starts]),
+            "mx": pa.array(np.maximum.reduceat(ts[order], starts))})
+
+    folded = np.full(n_bkt, np.iinfo(np.int64).min, np.int64)
+    for nb in ds.map_batches(bucket_max, batch_format="pyarrow") \
+            .iter_batches(batch_format="numpy"):
+        np.maximum.at(folded, nb["bkt"], nb["mx"])
+    # exclusive prefix max across buckets; min() sentinel = "no prior"
+    carry = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(folded)[:-1]])
+    carry_ref = ray.put(carry)
+
+    def tag(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy().astype(np.int64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bkt = eid // B
+        return pa.table({
+            "event_id": pa.array(eid), "ts_us": pa.array(ts),
+            "bkt": pa.array(bkt),
+            "shard": pa.array(bucket_of(bkt.astype(np.uint64), n_shuffle))})
+
+    def scan(g: pa.Table) -> pa.Table:
+        cr = ray.get(carry_ref)
+        eid = g["event_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        bkt = g["bkt"].to_numpy()
+        order = np.lexsort((eid, bkt))
+        eid, ts, bkt = eid[order], ts[order], bkt[order]
+        # local exclusive cummax per bucket
+        inc = np.maximum.accumulate(ts)
+        starts = np.flatnonzero(
+            np.concatenate([[True], bkt[1:] != bkt[:-1]]))
+        # reset the accumulate at bucket starts: redo per bucket span
+        wm = np.empty_like(ts)
+        lo = np.iinfo(np.int64).min
+        for s, e in zip(starts, np.concatenate([starts[1:], [len(ts)]])):
+            seg = ts[s:e]
+            excl = np.concatenate(
+                [[lo], np.maximum.accumulate(seg)[:-1]])
+            wm[s:e] = np.maximum(excl, cr[bkt[s]])
+        del inc
+        first = wm == lo
+        return pa.table({
+            "event_id": pa.array(eid),
+            "ts_us": pa.array(ts),
+            "wm_us": pa.array(np.where(first, np.int64(-1), wm)),
+            "is_late": pa.array(
+                np.where(first, np.int64(0),
+                         (ts < wm - late_us).astype(np.int64)))})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("shard").map_groups(scan, batch_format="pyarrow")

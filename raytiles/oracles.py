@@ -953,3 +953,18 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS DOU
         / 18446744073709551616.0
       < (1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4) / 4.0
 """
+
+
+def events_watermark_sql(lateness_s: int = 300) -> str:
+    """Watermark twin: exclusive running max over arrival order
+    (event_id is the unique arrival sequence, so the ROWS frame is
+    deterministic)."""
+    late_us = lateness_s * 1_000_000
+    return f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events)
+SELECT event_id, ts_us,
+  COALESCE(max(ts_us) OVER w, -1) AS wm_us,
+  CASE WHEN max(ts_us) OVER w IS NULL THEN 0
+       ELSE CAST(ts_us < max(ts_us) OVER w - {late_us} AS BIGINT) END AS is_late
+FROM e
+WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""

@@ -611,3 +611,61 @@ def test_chunk_documents_reassembles_to_original():
     words = df.groupby("doc_id")["n_words"].sum()
     for did, text in docs.items():
         assert words.loc[did] == len(text.split(" "))
+
+
+def test_events_watermark_multibucket_carry():
+    """Force many id-buckets (ids_per_bucket=256) so the cross-bucket
+    broadcast carry path actually runs, and compare against a
+    single-process exclusive cummax in arrival order."""
+    from raytiles.ops.relational import events_watermark
+    got = events_watermark(SF_SMOKE, ids_per_bucket=256,
+                           n_shuffle=16).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["event_id", "ts"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ts = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    wm = np.concatenate([[np.iinfo(np.int64).min],
+                         np.maximum.accumulate(ts)[:-1]])
+    late = np.where(wm == np.iinfo(np.int64).min, 0,
+                    (ts < wm - 300_000_000).astype(np.int64))
+    wm_out = np.where(wm == np.iinfo(np.int64).min, -1, wm)
+    assert len(got) == len(ev)
+    assert np.array_equal(got["event_id"].to_numpy(),
+                          ev["event_id"].to_numpy())
+    assert np.array_equal(got["ts_us"].to_numpy(), ts)
+    assert np.array_equal(got["wm_us"].to_numpy(), wm_out)
+    assert np.array_equal(got["is_late"].to_numpy(), late)
+    # testdata event times are monotone in arrival order, so is_late
+    # never fires here; the synthetic case below exercises the flag
+    assert got["is_late"].sum() == 0
+
+
+def test_events_watermark_late_flag_fires(tmp_path):
+    """Synthetic out-of-order arrivals: planted stragglers (ts far
+    behind the running max) must flag late; carry crosses buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    from raytiles.ops.relational import events_watermark
+    rng = np.random.default_rng(5)
+    n = 2000
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + np.arange(n, dtype=np.int64) * 1_000_000  # 1s spacing
+    stragglers = rng.choice(np.arange(100, n), size=50, replace=False)
+    ts[stragglers] -= 600_000_000  # 10 min behind schedule
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us"))})
+    _pq.write_table(tab, tmp_path / "events.parquet")
+    got = events_watermark(str(tmp_path), lateness_s=300,
+                           ids_per_bucket=128, n_shuffle=8).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    wm = np.concatenate([[np.iinfo(np.int64).min],
+                         np.maximum.accumulate(ts)[:-1]])
+    late = np.where(wm == np.iinfo(np.int64).min, 0,
+                    (ts < wm - 300_000_000).astype(np.int64))
+    assert np.array_equal(got["is_late"].to_numpy(), late)
+    assert got["is_late"].sum() == 50
+    assert np.array_equal(
+        got["wm_us"].to_numpy(),
+        np.where(wm == np.iinfo(np.int64).min, -1, wm))
