@@ -634,6 +634,15 @@ def _q_host_hulls(sf_dir: str):
     return host_hulls(webpages_path(sf_dir))
 
 
+def _q_media_resize(sf_dir: str):
+    """Actor-pool image-resize stage (area pooling stub; real
+    schema/batching/actor lifecycle). Rows-only: dims/payload
+    invariants + single-process parity pinned by pytest."""
+    from raytiles.ops.media import media_resize
+    from raytiles.pipeline.synth import webpages_path
+    return media_resize(webpages_path(sf_dir))
+
+
 def _q_media_frames(sf_dir: str):
     """Video-style frame sampling (row expansion) over the binary
     column via the actor-pool stub. Rows-only: the sampling
@@ -751,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
     }
 
 

@@ -137,3 +137,60 @@ def media_frames(webpages_path: str, *, max_frames: int = 4,
     return ds.map_batches(FrameSampleStub, batch_format="pyarrow",
                           batch_size=256, concurrency=concurrency,
                           fn_constructor_kwargs={"max_frames": max_frames})
+
+
+class ResizeStub:
+    """STUB image resize: reinterprets the binary payload as a fake
+    (h, w) uint8 'image' (dimensions derived from the payload length,
+    media_meta's convention) and area-downsamples it to fit a
+    (target x target) box preserving aspect ratio — integer
+    block-mean pooling, fully vectorized per image. Output is the
+    resized payload as binary plus the old/new dims, i.e. a
+    REAL resize pipeline's schema and memory profile (output rows
+    shrink to <= target^2 bytes). Swap ``resize_one`` for a
+    PIL/opencv kernel on a cluster with the libs installed."""
+
+    def __init__(self, target: int = 64) -> None:
+        self.target = target  # per-actor setup stand-in
+
+    def resize_one(self, payload: bytes) -> tuple:
+        n = len(payload)
+        w = max(1, n % FAKE_W_MOD)
+        h = max(1, min(n // max(w, 1), FAKE_H_MOD))
+        img = np.frombuffer(payload, np.uint8)[:h * w]
+        if img.size < h * w:  # pad the fake image to shape
+            img = np.concatenate(
+                [img, np.zeros(h * w - img.size, np.uint8)])
+        img = img.reshape(h, w)
+        # integer pooling factors that land both dims <= target
+        fy = -(-h // self.target)
+        fx = -(-w // self.target)
+        ny, nx = -(-h // fy), -(-w // fx)
+        py, px = ny * fy - h, nx * fx - w
+        if py or px:
+            img = np.pad(img, ((0, py), (0, px)), mode="edge")
+        out = img.reshape(ny, fy, nx, fx).mean(axis=(1, 3))
+        return w, h, nx, ny, out.astype(np.uint8).tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self.resize_one(m.as_py()) for m in batch["html"]]
+        return pa.table({
+            "url": batch["url"],
+            "width": pa.array([r[0] for r in rows], pa.int64()),
+            "height": pa.array([r[1] for r in rows], pa.int64()),
+            "new_width": pa.array([r[2] for r in rows], pa.int64()),
+            "new_height": pa.array([r[3] for r in rows], pa.int64()),
+            "pixels": pa.array([r[4] for r in rows], pa.binary()),
+        })
+
+
+def media_resize(webpages_path: str, *, target: int = 64,
+                 concurrency=(2, 8)) -> ray.data.Dataset:
+    """Actor-pool image-resize stage over the binary column: the
+    third leg of the multimodal plumbing (decode -> features,
+    frame-sample, resize). Small batches (fat rows in AND out);
+    deterministic fake kernel, real schema/batching/actor lifecycle."""
+    ds = ray.data.read_parquet(webpages_path, columns=["url", "html"])
+    return ds.map_batches(ResizeStub, batch_format="pyarrow",
+                          batch_size=256, concurrency=concurrency,
+                          fn_constructor_kwargs={"target": target})

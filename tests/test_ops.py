@@ -669,3 +669,25 @@ def test_events_watermark_late_flag_fires(tmp_path):
     assert np.array_equal(
         got["wm_us"].to_numpy(),
         np.where(wm == np.iinfo(np.int64).min, -1, wm))
+
+
+def test_media_resize_dims_and_payload():
+    """Resize stub: output dims <= target, payload == new_w * new_h
+    bytes, and the pooling arithmetic matches a single-process
+    recompute on sampled rows."""
+    from raytiles.ops.media import FAKE_H_MOD, FAKE_W_MOD, ResizeStub, media_resize
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    df = media_resize(wp, target=64).to_pandas()
+    assert len(df) > 0
+    assert (df["new_width"] <= 64).all() and (df["new_height"] <= 64).all()
+    assert (df["pixels"].str.len() ==
+            df["new_width"] * df["new_height"]).all()
+    stub = ResizeStub(target=64)
+    raw = pq.read_table(wp, columns=["url", "html"]).to_pandas() \
+        .set_index("url")["html"]
+    for _, r in df.sample(n=8, random_state=0).iterrows():
+        w, h, nx, ny, px = stub.resize_one(raw.loc[r["url"]])
+        assert (w, h, nx, ny) == (r["width"], r["height"],
+                                  r["new_width"], r["new_height"])
+        assert px == r["pixels"]
