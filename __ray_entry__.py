@@ -602,6 +602,19 @@ def _q_mvt_filter(sf_dir: str):
         lambda v: v == 0)
 
 
+def _q_mvt_diff(sf_dir: str):
+    """Incremental tile-set diff (added/removed/changed per tile
+    coordinate; md5 digests through the shuffle, not tile bytes).
+    Rows-only: status parity vs a pandas recompute pinned by pytest."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_diff, mvt_filter_features
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    return mvt_diff(tiles_pipeline(wp, 12),
+                    mvt_filter_features(tiles_pipeline(wp, 12),
+                                        b"mention_idx", lambda v: v == 0))
+
+
 def _q_line_tiles(sf_dir: str):
     """Cross-tile line tiling: world-spanning mention polylines
     replicated into every XYZ tile they cross, Liang-Barsky-clipped to
@@ -711,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hulls": _q_host_hulls,
         "mvt_overlay": _q_mvt_overlay,
         "mvt_filter": _q_mvt_filter,
+        "mvt_diff": _q_mvt_diff,
         # spatial joins
         "geofence_join": _q_geofence_join,
         "nearest_city": _q_nearest_city,

@@ -604,3 +604,47 @@ def test_mvt_filter_first_mention_invariant():
         for lay in t.layers.values():
             for f in lay.points:
                 assert f.metadata[b"mention_idx"][1] == 0
+
+
+def test_mvt_diff_statuses():
+    """Diff of the full tile set against its feature-filtered variant:
+    tiles that lost every feature report 'removed', tiles that lost
+    some report 'changed', nothing reports 'added', identical runs
+    diff to empty."""
+    import numpy as np
+    import pandas as pd
+
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_diff, mvt_filter_features
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    full_df = tiles_pipeline(wp, 12).to_pandas()
+    filt_df = mvt_filter_features(tiles_pipeline(wp, 12), b"mention_idx",
+                                  lambda v: v == 0).to_pandas()
+    got = mvt_diff(tiles_pipeline(wp, 12),
+                   mvt_filter_features(tiles_pipeline(wp, 12),
+                                       b"mention_idx", lambda v: v == 0)) \
+        .to_pandas()
+    fullk = {(z, x, y): m for z, x, y, m in
+             zip(full_df["z"], full_df["x"], full_df["y"], full_df["mvt"])}
+    filtk = {(z, x, y): m for z, x, y, m in
+             zip(filt_df["z"], filt_df["x"], filt_df["y"], filt_df["mvt"])}
+    want = {}
+    for k in set(fullk) | set(filtk):
+        if k in fullk and k in filtk:
+            if fullk[k] != filtk[k]:
+                want[k] = "changed"
+        elif k in filtk:
+            want[k] = "added"
+        else:
+            want[k] = "removed"
+    gotmap = {(z, x, y): s for z, x, y, s in
+              zip(got["z"], got["x"], got["y"], got["status"])}
+    assert gotmap == want
+    assert "added" not in set(got["status"])
+    assert {"removed", "changed"} <= set(got["status"])
+    # identical runs -> empty diff
+    same = mvt_diff(tiles_pipeline(wp, 12), tiles_pipeline(wp, 12)) \
+        .to_pandas()
+    assert len(same) == 0
