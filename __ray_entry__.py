@@ -388,6 +388,13 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(sf_dir)
 
 
+def _q_events_gapfill(sf_dir: str):
+    """Time-series densification: hourly windows per event_type with
+    missing hours filled (n_events = 0)."""
+    from raytiles.ops.relational import events_gapfill
+    return events_gapfill(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -697,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_asof": _q_events_asof,
         "events_watermark": _q_events_watermark,
+        "events_gapfill": _q_events_gapfill,
         "order_revenue": _q_order_revenue,
         "user_features": _q_user_features,
         "funnel_conversion": _q_funnel,
@@ -795,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": oracles.EVENTS_SESSIONS_SQL,
         "events_asof": oracles.events_asof_sql(),
         "events_watermark": oracles.events_watermark_sql(),
+        "events_gapfill": oracles.EVENTS_GAPFILL_SQL,
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "user_features": oracles.USER_FEATURES_SQL,
         "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,

@@ -868,3 +868,57 @@ def events_watermark(sf_dir: str, lateness_s: int = 300,
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("shard").map_groups(scan, batch_format="pyarrow")
+
+
+def events_gapfill(sf_dir: str) -> ray.data.Dataset:
+    """Time-series densification (gap filling): the hourly tumbling
+    aggregate per event_type with EVERY hour between that type's
+    first and last window present — missing hours filled with
+    n_events = 0, sum_value = 0 (the densify step before plotting /
+    windowed models; the inverse concern of the watermark op).
+
+    Shape: the hourly aggregate is already bounded (types x hours),
+    so after the same partial -> groupby as events_hourly the
+    finalizer runs per event_type (a bounded-domain groupby key) and
+    fills the hour range with a searchsorted scatter — no join, no
+    second shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = pa.table({"event_type": batch["event_type"],
+                      "window_start": pc.floor_temporal(batch["ts"],
+                                                        unit="hour"),
+                      "value": batch["value"]})
+        g = pa.TableGroupBy(t, ["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["event_type", "window_start", "n",
+                                 "s_value"])
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["ts", "event_type", "value"])
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]).aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("s_value", alias_name="sum_value"))
+
+    HOUR = np.timedelta64(1, "h")
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["window_start"].to_numpy().astype("datetime64[us]")
+        lo, hi = w.min(), w.max()
+        full = np.arange(lo, hi + HOUR, HOUR)
+        n = np.zeros(len(full), np.int64)
+        s = np.zeros(len(full), np.float64)
+        pos = np.searchsorted(full, w)
+        n[pos] = g["n_events"].to_numpy().astype(np.int64)
+        s[pos] = g["sum_value"].to_numpy()
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "window_start": pd.Series(full).dt.strftime(
+                "%Y-%m-%d %H:%M:%S"),
+            "n_events": n,
+            "sum_value": _fq(s, 6)})
+
+    return agg.groupby("event_type").map_groups(
+        densify, batch_format="pandas")

@@ -968,3 +968,20 @@ SELECT event_id, ts_us,
        ELSE CAST(ts_us < max(ts_us) OVER w - {late_us} AS BIGINT) END AS is_late
 FROM e
 WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+
+
+EVENTS_GAPFILL_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS w,
+         count(*) AS n, round(sum(value), 6) AS s
+  FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, min(w) AS lo, max(w) AS hi FROM h GROUP BY 1),
+g AS (SELECT b.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS w
+      FROM b)
+SELECT g.event_type,
+       strftime(g.w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COALESCE(h.n, 0) AS n_events,
+       COALESCE(h.s, 0) AS sum_value
+FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.w = h.w
+"""
