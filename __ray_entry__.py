@@ -609,6 +609,15 @@ def _q_mvt_filter(sf_dir: str):
         lambda v: v == 0)
 
 
+def _q_pyramid_mvt(sf_dir: str):
+    """Multi-zoom MVT pyramid from one assignment pass (integer-shift
+    level transforms; every level byte-identical to a direct run at
+    that zoom — pinned by pytest). Rows-only: binary codec output."""
+    from raytiles.pipeline.flagship import pyramid_mvt_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    return pyramid_mvt_pipeline(webpages_path(sf_dir))
+
+
 def _q_mvt_diff(sf_dir: str):
     """Incremental tile-set diff (added/removed/changed per tile
     coordinate; md5 digests through the shuffle, not tile bytes).
@@ -733,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_overlay": _q_mvt_overlay,
         "mvt_filter": _q_mvt_filter,
         "mvt_diff": _q_mvt_diff,
+        "pyramid_mvt": _q_pyramid_mvt,
         # spatial joins
         "geofence_join": _q_geofence_join,
         "nearest_city": _q_nearest_city,

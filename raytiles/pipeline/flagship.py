@@ -256,3 +256,44 @@ def assignments_pipeline(webpages_path: str, zoom: int = DEFAULT_ZOOM) -> ray.da
     ds = read_webpages(webpages_path)
     ds = geoparse(ds)
     return assign(ds, zoom)
+
+
+def pyramid_mvt_pipeline(webpages_path: str, base_zoom: int = DEFAULT_ZOOM,
+                         levels: int = 3) -> ray.data.Dataset:
+    """Multi-zoom MVT pyramid from ONE assignment pass (the
+    tippecanoe-style zoom build): every mention is replicated to
+    ``levels`` zoom levels with pure integer-shift coordinate
+    transforms, then the ordinary pack -> one bounded shuffle ->
+    merge -> encode chain emits real MVT tiles for every level.
+
+    Exactness: local-at-parent = ((x & (2^d - 1)) * extent + local)
+    >> d, and floor(floor(G) / 2^d) == floor(G / 2^d) (nested-floor
+    identity), so level d tiles are BYTE-IDENTICAL to running the
+    flagship directly at base_zoom - d — pinned by test. Fan-out is
+    the bounded factor ``levels``; everything downstream reuses the
+    flagship's shuffle discipline unchanged."""
+    ds = geoparse(read_webpages(webpages_path))
+    ds = assign(ds, base_zoom, with_cells=False)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy().astype(np.int64)
+        y = b["y"].to_numpy().astype(np.int64)
+        lx = b["local_x"].to_numpy().astype(np.int64)
+        ly = b["local_y"].to_numpy().astype(np.int64)
+        parts = []
+        for d in range(levels):
+            m = (1 << d) - 1
+            parts.append(pa.table({
+                "url": b["url"],
+                "mention_idx": b["mention_idx"],
+                "z": pa.array(np.full(len(x), base_zoom - d, np.int32)),
+                "x": pa.array((x >> d).astype(np.int32)),
+                "y": pa.array((y >> d).astype(np.int32)),
+                "local_x": pa.array(
+                    (((x & m) * 4096 + lx) >> d).astype(np.int32)),
+                "local_y": pa.array(
+                    (((y & m) * 4096 + ly) >> d).astype(np.int32))}))
+        return pa.concat_tables(parts)
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow")
+    return encode_tiles(aggregate_tiles(rep))

@@ -648,3 +648,22 @@ def test_mvt_diff_statuses():
     same = mvt_diff(tiles_pipeline(wp, 12), tiles_pipeline(wp, 12)) \
         .to_pandas()
     assert len(same) == 0
+
+
+def test_pyramid_levels_byte_identical_to_direct_runs():
+    """Every pyramid level's tiles are byte-identical to running the
+    flagship directly at that zoom (nested-floor identity)."""
+    from raytiles.pipeline.flagship import pyramid_mvt_pipeline, tiles_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    pyr = pyramid_mvt_pipeline(wp, base_zoom=12, levels=3).to_pandas()
+    for d in range(3):
+        z = 12 - d
+        lvl = pyr[pyr["z"] == z].sort_values(["x", "y"]).reset_index(drop=True)
+        want = tiles_pipeline(wp, z).to_pandas() \
+            .sort_values(["x", "y"]).reset_index(drop=True)
+        assert len(lvl) == len(want) > 0, z
+        assert (lvl["x"].to_numpy() == want["x"].to_numpy()).all()
+        assert (lvl["y"].to_numpy() == want["y"].to_numpy()).all()
+        assert (lvl["mvt"].to_numpy() == want["mvt"].to_numpy()).all(), z
