@@ -388,6 +388,13 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(sf_dir)
 
 
+def _q_events_rollup(sf_dir: str):
+    """OLAP GROUPING SETS rollup in one pass (bounded x3 fan-out of
+    pre-aggregated partials)."""
+    from raytiles.ops.relational import events_rollup
+    return events_rollup(sf_dir)
+
+
 def _q_events_gapfill(sf_dir: str):
     """Time-series densification: hourly windows per event_type with
     missing hours filled (n_events = 0)."""
@@ -714,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_watermark": _q_events_watermark,
         "events_gapfill": _q_events_gapfill,
+        "events_rollup": _q_events_rollup,
         "order_revenue": _q_order_revenue,
         "user_features": _q_user_features,
         "funnel_conversion": _q_funnel,
@@ -814,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": oracles.events_asof_sql(),
         "events_watermark": oracles.events_watermark_sql(),
         "events_gapfill": oracles.EVENTS_GAPFILL_SQL,
+        "events_rollup": oracles.EVENTS_ROLLUP_SQL,
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "user_features": oracles.USER_FEATURES_SQL,
         "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,

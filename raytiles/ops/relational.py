@@ -922,3 +922,54 @@ def events_gapfill(sf_dir: str) -> ray.data.Dataset:
 
     return agg.groupby("event_type").map_groups(
         densify, batch_format="pandas")
+
+
+def events_rollup(sf_dir: str) -> ray.data.Dataset:
+    """OLAP rollup over events: count + value sum at three grouping
+    sets — (event_type, hour), (event_type), and grand total — in ONE
+    pass. The per-batch partial emits each (type, hour) partial row
+    once per grouping set with the rolled-up dimensions blanked to ''
+    (a bounded x3 fan-out of ALREADY-AGGREGATED rows, never raw
+    events), then a single groupby over the bounded composite key
+    merges. SQL twin: GROUP BY GROUPING SETS with COALESCE('')."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = pa.table({"event_type": batch["event_type"],
+                      "window_start": pc.strftime(
+                          pc.cast(pc.floor_temporal(batch["ts"],
+                                                    unit="hour"),
+                                  pa.timestamp("s")),
+                          format="%Y-%m-%d %H:%M:%S"),
+                      "value": batch["value"]})
+        g = pa.TableGroupBy(t, ["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        g = g.rename_columns(["event_type", "window_start", "n", "s"])
+        et = g["event_type"]
+        ws = g["window_start"]
+        blank = pa.array([""] * g.num_rows, pa.string())
+        sets = [
+            pa.table({"event_type": et, "window_start": ws,
+                      "n": g["n"], "s": g["s"]}),
+            pa.table({"event_type": et, "window_start": blank,
+                      "n": g["n"], "s": g["s"]}),
+            pa.table({"event_type": blank, "window_start": blank,
+                      "n": g["n"], "s": g["s"]})]
+        return pa.concat_tables(sets)
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["ts", "event_type", "value"])
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]).aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("s", alias_name="sum_value"))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "window_start": b["window_start"],
+            "n_events": b["n_events"].astype(np.int64),
+            "sum_value": _fq(b["sum_value"], 6)})
+
+    return agg.map_batches(finalize, batch_format="pandas")

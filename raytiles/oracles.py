@@ -985,3 +985,15 @@ SELECT g.event_type,
        COALESCE(h.s, 0) AS sum_value
 FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.w = h.w
 """
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT COALESCE(event_type, '') AS event_type,
+       COALESCE(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), '')
+         AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, date_trunc('hour', ts)),
+                        (event_type), ())
+"""
