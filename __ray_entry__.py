@@ -388,6 +388,12 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(sf_dir)
 
 
+def _q_value_histogram(sf_dir: str):
+    """Fixed-width numeric histogram per event_type."""
+    from raytiles.ops.relational import value_histogram
+    return value_histogram(sf_dir)
+
+
 def _q_events_rollup(sf_dir: str):
     """OLAP GROUPING SETS rollup in one pass (bounded x3 fan-out of
     pre-aggregated partials)."""
@@ -625,6 +631,27 @@ def _q_pyramid_mvt(sf_dir: str):
     return pyramid_mvt_pipeline(webpages_path(sf_dir))
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink roundtrip: parquet webpages -> JSONL shards
+    -> geoparse — same mentions as the parquet path (pinned by
+    pytest). Returns the geoparsed mentions from the JSONL source.
+    Rows-only (source-format breadth; values re-checked by the
+    geoparse SQL twin shape via the pytest equality)."""
+    import tempfile
+
+    import ray.data as _rd
+
+    from raytiles.pipeline.flagship import geoparse
+    from raytiles.pipeline.sources import (read_webpages_jsonl,
+                                           write_webpages_jsonl)
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    root = tempfile.mkdtemp(prefix="raytiles_jsonl_")
+    write_webpages_jsonl(
+        _rd.read_parquet(wp, columns=["url", "text"]), root)
+    return geoparse(read_webpages_jsonl(root))
+
+
 def _q_mvt_diff(sf_dir: str):
     """Incremental tile-set diff (added/removed/changed per tile
     coordinate; md5 digests through the shuffle, not tile bytes).
@@ -710,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiles_mvt": _q_tiles_mvt,
         "mvt_files": _q_mvt_files,
         "mvt_ingest": _q_mvt_ingest,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "tile_features": _q_tile_features,
         # relational operators
@@ -722,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark": _q_events_watermark,
         "events_gapfill": _q_events_gapfill,
         "events_rollup": _q_events_rollup,
+        "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "user_features": _q_user_features,
         "funnel_conversion": _q_funnel,
@@ -810,6 +839,8 @@ def oracle_sql() -> dict[str, str]:
     wp = webpages_path(SF_ORACLE)  # materialized deterministically on demand
     return {
         "geoparse": oracles.geoparse_sql(wp),
+        # the JSONL path must parse to the same mentions as parquet
+        "jsonl_roundtrip": oracles.geoparse_sql(wp),
         "tile_assign": oracles.tile_assign_sql(wp),
         "tile_counts": oracles.tile_counts_sql(wp),
         "cell_counts": oracles.cell_counts_sql(wp),
@@ -823,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "events_watermark": oracles.events_watermark_sql(),
         "events_gapfill": oracles.EVENTS_GAPFILL_SQL,
         "events_rollup": oracles.EVENTS_ROLLUP_SQL,
+        "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "user_features": oracles.USER_FEATURES_SQL,
         "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,

@@ -973,3 +973,39 @@ def events_rollup(sf_dir: str) -> ray.data.Dataset:
             "sum_value": _fq(b["sum_value"], 6)})
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def value_histogram(sf_dir: str, bin_width: float = 5.0) -> ray.data.Dataset:
+    """Fixed-width histogram of events.value per event_type: bin id =
+    floor(value / bin_width), with count and bin min/max. Per-batch
+    C++ hash-aggregate partials, one bounded groupby ((type, bin) is
+    a bounded domain for bounded value ranges — the documented
+    assumption; unbounded domains would bucket the bin id)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy()
+        t = pa.table({"event_type": batch["event_type"],
+                      "bin": np.floor(v / bin_width).astype(np.int64),
+                      "value": v})
+        g = pa.TableGroupBy(t, ["event_type", "bin"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")])
+        return g.rename_columns(["event_type", "bin", "n", "vmin", "vmax"])
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["event_type", "value"])
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "bin"]).aggregate(
+            Sum("n", alias_name="n"),
+            Min("vmin", alias_name="vmin"),
+            Max("vmax", alias_name="vmax"))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "bin": b["bin"].astype(np.int64),
+            "n": b["n"].astype(np.int64),
+            "vmin": _fq(b["vmin"], 6),
+            "vmax": _fq(b["vmax"], 6)})
+
+    return agg.map_batches(finalize, batch_format="pandas")

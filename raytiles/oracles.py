@@ -997,3 +997,13 @@ FROM events
 GROUP BY GROUPING SETS ((event_type, date_trunc('hour', ts)),
                         (event_type), ())
 """
+
+
+def value_histogram_sql(bin_width: float = 5.0) -> str:
+    return f"""
+SELECT event_type,
+       CAST(floor(value / {bin_width}) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY 1, 2"""

@@ -62,3 +62,66 @@ def read_mvt_dir(root: str) -> ray.data.Dataset:
             "ok": pa.array(ok)})
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_webpages_jsonl(root: str, columns=("url", "text")) -> ray.data.Dataset:
+    """JSONL webpages source: newline-delimited JSON shards with the
+    same logical schema as the parquet table (url, warc_ts, html-b64,
+    text, lang) — the interchange format crawls actually arrive in.
+    ray.data.read_json streams shard-per-task like read_parquet;
+    column pruning happens in a projection pass right after the read
+    (JSON has no column pushdown — documented storage-format cost vs
+    parquet, not an engine limitation). Binary html travels base64
+    (JSON has no bytes type) and is decoded only when requested."""
+    import base64
+
+    ds = ray.data.read_json(root)
+    want = list(columns)
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in want:
+            if c == "html" and t.schema.field(c).type == pa.string():
+                cols[c] = pa.array(
+                    [base64.b64decode(s) for s in t[c].to_pylist()],
+                    pa.binary())
+            elif c == "warc_ts" and pa.types.is_string(t[c].type):
+                import pyarrow.compute as pc
+                cols[c] = pc.strptime(t[c], format="%Y-%m-%d %H:%M:%S",
+                                      unit="us")
+            else:
+                cols[c] = t[c]
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def write_webpages_jsonl(ds: ray.data.Dataset, root: str) -> None:
+    """Inverse sink (one .jsonl file per block; base64 for binary)."""
+    import base64
+    import json as _json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        import hashlib
+        rows = []
+        names = t.column_names
+        for i in range(t.num_rows):
+            row = {}
+            for c in names:
+                v = t[c][i].as_py()
+                if isinstance(v, bytes):
+                    v = base64.b64encode(v).decode("ascii")
+                elif hasattr(v, "isoformat"):
+                    v = v.strftime("%Y-%m-%d %H:%M:%S")
+                row[c] = v
+            rows.append(_json.dumps(row, sort_keys=True))
+        payload = ("\n".join(rows) + "\n").encode()
+        name = hashlib.md5(payload).hexdigest()[:16]
+        with open(os.path.join(root, f"part-{name}.jsonl"), "wb") as fh:
+            fh.write(payload)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(dump, batch_format="pyarrow").materialize()

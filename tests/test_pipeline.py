@@ -667,3 +667,36 @@ def test_pyramid_levels_byte_identical_to_direct_runs():
         assert (lvl["x"].to_numpy() == want["x"].to_numpy()).all()
         assert (lvl["y"].to_numpy() == want["y"].to_numpy()).all()
         assert (lvl["mvt"].to_numpy() == want["mvt"].to_numpy()).all(), z
+
+
+def test_jsonl_source_roundtrips_parquet(tmp_path):
+    """write_webpages_jsonl -> read_webpages_jsonl reproduces the
+    parquet rows (url, text, lang; html through base64) and the
+    flagship geoparse gives identical mentions from either source."""
+    import pandas as pd
+    import ray.data
+
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.sources import (read_webpages_jsonl,
+                                           write_webpages_jsonl)
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    src = ray.data.read_parquet(wp, columns=["url", "text", "lang", "html"])
+    root = str(tmp_path / "jsonl")
+    write_webpages_jsonl(src, root)
+    back = read_webpages_jsonl(root, columns=("url", "text", "lang",
+                                              "html")).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = src.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(back) == len(want)
+    for c in ("url", "text", "lang", "html"):
+        assert (back[c] == want[c]).all(), c
+    # identical geoparse output from either source
+    m1 = geoparse(read_webpages(wp)).to_pandas() \
+        .sort_values(["url", "mention_idx"]).reset_index(drop=True)
+    m2 = geoparse(read_webpages_jsonl(root)).to_pandas() \
+        .sort_values(["url", "mention_idx"]).reset_index(drop=True)
+    assert len(m1) == len(m2)
+    for c in ("url", "mention_idx", "lon", "lat"):
+        assert (m1[c] == m2[c]).all(), c
