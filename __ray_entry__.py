@@ -622,6 +622,31 @@ def _q_mvt_filter(sf_dir: str):
         lambda v: v == 0)
 
 
+def _q_mvt_enrich(sf_dir: str):
+    """Broadcast-dim join inside encoded tiles: every mention feature
+    gains a host_docs metadata entry from the host_stats table.
+    Rows-only: per-feature dim parity pinned by pytest."""
+    import re
+
+    import ray as _ray
+
+    from raytiles.ops.webcorpus import host_stats
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_enrich
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    hs = host_stats(wp).to_pandas()
+    ref = _ray.put(dict(zip(hs["host"], hs["n_docs"].astype(int))))
+    host_re = re.compile(rb"^https?://([^/]+)/")
+
+    def key_to_dim(url_bytes):
+        m = host_re.match(url_bytes)
+        return m.group(1).decode() if m else None
+
+    return mvt_enrich(tiles_pipeline(wp, 12), ref, b"url", key_to_dim,
+                      b"host_docs")
+
+
 def _q_pyramid_mvt(sf_dir: str):
     """Multi-zoom MVT pyramid from one assignment pass (integer-shift
     level transforms; every level byte-identical to a direct run at
@@ -780,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_filter": _q_mvt_filter,
         "mvt_diff": _q_mvt_diff,
         "pyramid_mvt": _q_pyramid_mvt,
+        "mvt_enrich": _q_mvt_enrich,
         # spatial joins
         "geofence_join": _q_geofence_join,
         "nearest_city": _q_nearest_city,

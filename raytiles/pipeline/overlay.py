@@ -210,3 +210,45 @@ def mvt_diff(old: ray.data.Dataset, new: ray.data.Dataset) -> ray.data.Dataset:
 
     return tagged.groupby("bucket").map_groups(
         diff_bucket, batch_format="pyarrow")
+
+
+def mvt_enrich(tiles: ray.data.Dataset, dim_ref, key_meta: bytes,
+               key_to_dim, new_meta: bytes) -> ray.data.Dataset:
+    """Broadcast-dimension join INSIDE encoded tiles: for every
+    feature, derive a dim key from its ``key_meta`` metadata value
+    (via ``key_to_dim``), look it up in the ray.put-broadcast dict
+    ``dim_ref``, and attach the result as the ``new_meta`` I64 entry —
+    the attribute-enrichment step of a tile pipeline (join tile
+    features to a host/POI/owner table) without any shuffle: the dim
+    is broadcast once, looked up per worker, and each tile re-encodes
+    in place. Features whose key misses the dim get -1 (LEFT JOIN
+    semantics)."""
+    from ..codec.model import I64V
+
+    class Enrich:
+        def __init__(self, ref):
+            self.dim = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            z = t["z"].to_numpy()
+            x = t["x"].to_numpy()
+            y = t["y"].to_numpy()
+            out = []
+            for raw in t["mvt"].to_pylist():
+                tile = decode_tile(raw)
+                for lay in tile.layers.values():
+                    for feats in (lay.points, lay.linestrings,
+                                  lay.polygons):
+                        for f in feats:
+                            kv = f.metadata.get(key_meta)
+                            dimkey = key_to_dim(kv[1]) if kv else None
+                            f.metadata[new_meta] = (
+                                I64V, int(self.dim.get(dimkey, -1)))
+                out.append(encode_tile(tile))
+            return pa.table({
+                "z": pa.array(z), "x": pa.array(x), "y": pa.array(y),
+                "mvt": pa.array(out, pa.binary())})
+
+    return tiles.map_batches(Enrich, batch_format="pyarrow",
+                             concurrency=(1, 8),
+                             fn_constructor_kwargs={"ref": dim_ref})

@@ -700,3 +700,45 @@ def test_jsonl_source_roundtrips_parquet(tmp_path):
     assert len(m1) == len(m2)
     for c in ("url", "mention_idx", "lon", "lat"):
         assert (m1[c] == m2[c]).all(), c
+
+
+def test_mvt_enrich_attaches_host_docs(ray_session):
+    """Enrichment: every feature gains a host_docs I64 entry equal to
+    the broadcast host_stats n_docs for its url's host; geometry and
+    other metadata byte-survive the re-encode."""
+    import re
+
+    import numpy as np
+    import ray
+
+    from raytiles.codec.decode import decode_tile
+    from raytiles.ops.webcorpus import host_stats
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_enrich
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    hs = host_stats(wp).to_pandas()
+    dim = dict(zip(hs["host"], hs["n_docs"].astype(int)))
+    ref = ray.put(dim)
+    host_re = re.compile(rb"^https?://([^/]+)/")
+
+    def key_to_dim(url_bytes):
+        m = host_re.match(url_bytes)
+        return m.group(1).decode() if m else None
+
+    out = mvt_enrich(tiles_pipeline(wp, 12), ref, b"url", key_to_dim,
+                     b"host_docs").to_pandas()
+    base = tiles_pipeline(wp, 12).to_pandas()
+    assert len(out) == len(base)
+    checked = 0
+    for _, r in out.sample(n=min(10, len(out)), random_state=0).iterrows():
+        t = decode_tile(r["mvt"])
+        for lay in t.layers.values():
+            for f in lay.points:
+                url = f.metadata[b"url"][1]
+                host = host_re.match(url).group(1).decode()
+                assert f.metadata[b"host_docs"][1] == dim[host]
+                assert b"mention_idx" in f.metadata
+                checked += 1
+    assert checked > 0
