@@ -490,6 +490,16 @@ def _q_zonal_stats(sf_dir: str):
     return zonal_stats(webpages_path(sf_dir))
 
 
+def _q_cell_cover(sf_dir: str):
+    """Hierarchical multi-resolution cell cover of the host-hull zones
+    (S2 RegionCoverer pattern over the XYZ quadtree). Rows-only:
+    disjointness / coverage / FULL-soundness / boundary-intersection
+    properties pinned by tests/test_spatial.py."""
+    from raytiles.ops.spatial import cell_cover
+    from raytiles.pipeline.synth import webpages_path
+    return cell_cover(webpages_path(sf_dir))
+
+
 def _q_host_stats(sf_dir: str):
     from raytiles.ops.webcorpus import host_stats
     from raytiles.pipeline.synth import webpages_path
@@ -812,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_bbox": _q_host_bbox,
         "host_tile_cover": _q_host_tile_cover,
         "zonal_stats": _q_zonal_stats,
+        "cell_cover": _q_cell_cover,
         # web-corpus curation
         "host_stats": _q_host_stats,
         "cust_anti_join": _q_cust_anti_join,

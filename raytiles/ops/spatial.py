@@ -298,3 +298,147 @@ def zonal_stats(webpages_path: str, zoom: int = 3, n_zones: int = 64,
     merge = _cached_stage(("zonal_merge", state_ref.hex()), merge_factory)
     return partials.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def cell_cover(webpages_path: str, min_zoom: int = 2, max_zoom: int = 6,
+               n_zones: int = 64) -> ray.data.Dataset:
+    """Hierarchical cell cover of the host-hull zones (the S2
+    RegionCoverer pattern over the XYZ quadtree): starting from the
+    ``min_zoom`` grid, each cell is classified against the convex
+    hull — FULL (entirely inside, emitted at the current level),
+    DISJOINT (dropped), or PARTIAL (refined into its 4 children until
+    ``max_zoom``, where it is emitted as a boundary cell). The result
+    is a disjoint multi-resolution cover: coarse cells where the zone
+    is solid, fine cells along its boundary.
+
+    All classification is vectorized across every (zone, cell) pair
+    of a level (convex half-plane corner tests with ragged edge
+    expansion + logical reduceat — the zonal_stats kernel shape);
+    refinement quadruples only the PARTIAL frontier, so work per
+    level tracks the boundary length, not the area. Runs as one
+    map_batches over the (small) hull table — no shuffle. Output:
+    (host, z, x, y, full) with full=1 for interior cells.
+
+    Zone-count contract: same as zonal_stats (bounded broadcast-side
+    zone set)."""
+    from ..pipeline.polytiles import host_hulls
+
+    # hull coords arrive in global px at hull_zoom; normalize cells to
+    # that space: cell (z, x, y) spans a square of side S(z) px
+    hull_zoom = 3
+    hulls = host_hulls(webpages_path, hull_zoom)
+
+    def cover_batch(b: pa.Table) -> pa.Table:
+        host = np.asarray(b["host"])
+        if len(host) == 0:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "z": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "full": pa.array([], pa.int64())})
+        pts = [np.frombuffer(p, np.float64).reshape(-1, 2)
+               for p in b["pts"].to_pylist()]
+        counts = np.array([len(p) for p in pts], np.int64)
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        flat = np.concatenate(pts)
+        world = 4096.0 * (1 << hull_zoom)  # global px extent
+
+        def classify(hid, z, cx, cy):
+            """FULL(2) / PARTIAL(1) / DISJOINT(0) per (zone, cell)."""
+            side = world / (1 << z)
+            x0, y0 = cx * side, cy * side
+            ecnt = counts[hid]
+            eoffs = np.concatenate([[0], np.cumsum(ecnt)]).astype(np.int64)
+            eidx = (np.arange(int(ecnt.sum()), dtype=np.int64)
+                    - eoffs[:-1].repeat(ecnt) + offs[:-1][hid].repeat(ecnt))
+            nxt = eidx + 1
+            last = eoffs[1:] - 1
+            nxt[last] = offs[:-1][hid]
+            ax, ay = flat[eidx, 0], flat[eidx, 1]
+            bx, by = flat[nxt, 0], flat[nxt, 1]
+            ex, ey = bx - ax, by - ay
+            rx0, ry0 = x0.repeat(ecnt), y0.repeat(ecnt)
+            # corner cross products against each hull edge (side is a
+            # level-constant scalar)
+            crs = []
+            for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                px = rx0 + dx * side
+                py = ry0 + dy * side
+                crs.append(ex * (py - ay) - ey * (px - ax))
+            crs = np.stack(crs, axis=1)  # (pairs*edges, 4)
+            corner_in = crs >= 0
+            # FULL: every corner inside every edge half-plane
+            full = np.logical_and.reduceat(corner_in.all(axis=1),
+                                           eoffs[:-1])
+            # DISJOINT (sufficient + necessary for convex vs AABB):
+            # some hull edge has ALL corners strictly outside, OR the
+            # hull's bbox misses the rect on some axis
+            sep_edge = np.logical_or.reduceat((crs < 0).all(axis=1),
+                                              eoffs[:-1])
+            hminx = np.minimum.reduceat(flat[:, 0], offs[:-1])[hid]
+            hmaxx = np.maximum.reduceat(flat[:, 0], offs[:-1])[hid]
+            hminy = np.minimum.reduceat(flat[:, 1], offs[:-1])[hid]
+            hmaxy = np.maximum.reduceat(flat[:, 1], offs[:-1])[hid]
+            bbox_out = (hmaxx < x0) | (hminx > x0 + side) \
+                | (hmaxy < y0) | (hminy > y0 + side)
+            out = np.where(full, 2, np.where(sep_edge | bbox_out, 0, 1))
+            return out
+
+        # frontier at min_zoom: all cells of each zone's bbox cover
+        n = 1 << min_zoom
+        side0 = world / n
+        oh, oz, ox, oy, ofull = [], [], [], [], []
+        minx = np.minimum.reduceat(flat[:, 0], offs[:-1])
+        maxx = np.maximum.reduceat(flat[:, 0], offs[:-1])
+        miny = np.minimum.reduceat(flat[:, 1], offs[:-1])
+        maxy = np.maximum.reduceat(flat[:, 1], offs[:-1])
+        lo_x = np.clip((minx // side0).astype(np.int64), 0, n - 1)
+        hi_x = np.clip((maxx // side0).astype(np.int64), 0, n - 1)
+        lo_y = np.clip((miny // side0).astype(np.int64), 0, n - 1)
+        hi_y = np.clip((maxy // side0).astype(np.int64), 0, n - 1)
+        wx = hi_x - lo_x + 1
+        wy = hi_y - lo_y + 1
+        cover_n = wx * wy
+        hid = np.repeat(np.arange(len(host)), cover_n)
+        starts = np.concatenate([[0], np.cumsum(cover_n)[:-1]])
+        li = np.arange(int(cover_n.sum()), dtype=np.int64) - starts[hid]
+        cx = lo_x[hid] + li % wx[hid]
+        cy = lo_y[hid] + li // wx[hid]
+        z = min_zoom
+        while len(hid):
+            cls = classify(hid, z, cx, cy)
+            emit = (cls == 2) | ((cls == 1) & (z == max_zoom))
+            if emit.any():
+                oh.append(hid[emit])
+                oz.append(np.full(int(emit.sum()), z, np.int64))
+                ox.append(cx[emit])
+                oy.append(cy[emit])
+                ofull.append((cls[emit] == 2).astype(np.int64))
+            if z == max_zoom:
+                break
+            ref = cls == 1
+            hid, cx, cy = hid[ref], cx[ref], cy[ref]
+            # refine the PARTIAL frontier into its 4 children
+            k = len(hid)
+            hid = np.repeat(hid, 4)
+            cx = np.repeat(cx * 2, 4) + np.tile(
+                np.array([0, 1, 0, 1], np.int64), k)
+            cy = np.repeat(cy * 2, 4) + np.tile(
+                np.array([0, 0, 1, 1], np.int64), k)
+            z += 1
+        hid = np.concatenate(oh) if oh else np.empty(0, np.int64)
+        return pa.table({
+            "host": pa.array(host[hid].tolist(), pa.string()),
+            "z": pa.array(np.concatenate(oz) if oz else
+                          np.empty(0, np.int64)),
+            "x": pa.array(np.concatenate(ox) if ox else
+                          np.empty(0, np.int64)),
+            "y": pa.array(np.concatenate(oy) if oy else
+                          np.empty(0, np.int64)),
+            "full": pa.array(np.concatenate(ofull) if ofull else
+                             np.empty(0, np.int64))})
+
+    # bound the zone set like zonal_stats (sorted-host head)
+    hp = hulls.to_pandas().sort_values("host").head(n_zones)
+    small = ray.data.from_pandas(hp.reset_index(drop=True))
+    return small.map_batches(cover_batch, batch_format="pyarrow")

@@ -122,3 +122,72 @@ def test_zonal_stats_bruteforce_oracle():
         assert np.isclose(r["density"], n / a)
     covered = {h for h, (n, _) in want.items() if n > 0}
     assert set(got["host"]) == covered
+
+
+def test_cell_cover_properties():
+    """Hierarchical cover: (a) cells of one zone are disjoint (no
+    ancestor pairs, no dups); (b) every mention point inside the hull
+    falls in an emitted cell; (c) FULL cells have all 4 corners inside
+    the hull; (d) boundary cells genuinely intersect the hull
+    (clip_ring non-empty)."""
+    from raytiles.geo.clip import clip_ring
+    from raytiles.ops.spatial import cell_cover
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.linetiles import _global_px
+    from raytiles.pipeline.polytiles import host_hulls
+    from raytiles.pipeline.synth import webpages_path
+
+    wp = webpages_path(SF_SMOKE)
+    cov = cell_cover(wp, min_zoom=2, max_zoom=6, n_zones=16).to_pandas()
+    hulls = host_hulls(wp, 3).to_pandas().set_index("host")
+    m = geoparse(read_webpages(wp)).to_pandas()
+    m["host"] = m["url"].str.extract(r"^https?://([^/]+)/")
+    gx, gy = _global_px(m["lon"].to_numpy(), m["lat"].to_numpy(), 3)
+    m["gx"], m["gy"] = gx, gy
+    world = 4096.0 * (1 << 3)
+
+    def inside_hull(hull, px, py):
+        nx = np.roll(hull, -1, axis=0)
+        ok = np.ones(np.shape(px), bool)
+        for (x0, y0), (x1, y1) in zip(hull, nx):
+            ok &= ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) >= 0
+        return ok
+
+    checked_hosts = 0
+    for host, g in cov.groupby("host"):
+        hull = np.frombuffer(hulls.loc[host, "pts"],
+                             np.float64).reshape(-1, 2)
+        cells = list(zip(g["z"], g["x"], g["y"]))
+        # (a) disjoint: no duplicates, no ancestor pairs
+        assert len(set(cells)) == len(cells)
+        cellset = set(cells)
+        for z, x, y in cells:
+            for za in range(2, z):
+                assert (za, x >> (z - za), y >> (z - za)) not in cellset
+        # (b) point coverage
+        sub = m[m["host"] == host]
+        for px, py in zip(sub["gx"], sub["gy"]):
+            if not inside_hull(hull, px, py):
+                continue
+            hit = any(
+                (x * world / (1 << z)) <= px <= ((x + 1) * world / (1 << z))
+                and (y * world / (1 << z)) <= py
+                <= ((y + 1) * world / (1 << z))
+                for z, x, y in cells)
+            assert hit, (host, px, py)
+        # (c) FULL soundness + (d) boundary intersection
+        for _, r in g.iterrows():
+            side = world / (1 << r["z"])
+            x0, y0 = r["x"] * side, r["y"] * side
+            corners_in = inside_hull(
+                hull,
+                np.array([x0, x0 + side, x0, x0 + side]),
+                np.array([y0, y0, y0 + side, y0 + side]))
+            if r["full"] == 1:
+                assert corners_in.all()
+            else:
+                cx, cy = clip_ring(hull[:, 0], hull[:, 1],
+                                   x0, y0, x0 + side, y0 + side)
+                assert len(cx) >= 3
+        checked_hosts += 1
+    assert checked_hosts == 16
