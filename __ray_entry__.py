@@ -589,6 +589,20 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(sf_dir)
 
 
+def _q_dedup_chunks(sf_dir: str):
+    """C4-style corpus-wide chunk dedup: keep each distinct 4-word
+    chunk's global first occurrence, reassemble surviving docs."""
+    from raytiles.ops.text import dedup_chunks
+    return dedup_chunks(sf_dir)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Training-sequence packing via a distributed prefix sum of token
+    counts in doc_id order."""
+    from raytiles.ops.text import pack_sequences
+    return pack_sequences(sf_dir)
+
+
 def _q_winnow(sf_dir: str):
     from raytiles.ops.text import winnow_fingerprints
     return winnow_fingerprints(sf_dir)
@@ -842,6 +856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank": _q_doc_rank,
         "boilerplate": _q_boilerplate,
         "chunk_documents": _q_chunk_documents,
+        "dedup_chunks": _q_dedup_chunks,
+        "pack_sequences": _q_pack_sequences,
         "unigram_logprob": _q_unigram_logprob,
         "mixture_sample": _q_mixture_sample,
         # dedup
@@ -931,6 +947,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_rank": oracles.DOC_RANK_SQL,
         "boilerplate": oracles.boilerplate_ngrams_sql(),
         "chunk_documents": oracles.chunk_documents_sql(),
+        "dedup_chunks": oracles.dedup_chunks_sql(),
+        "pack_sequences": oracles.pack_sequences_sql(),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "mixture_sample": oracles.MIXTURE_SAMPLE_SQL,
         "exact_dedup": oracles.EXACT_DEDUP_SQL,

@@ -647,3 +647,161 @@ def unigram_logprob(sf_dir: str, vocab_k: int = 256) -> ray.data.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+def dedup_chunks(sf_dir: str, chunk_words: int = 4,
+                 n_buckets: int = 512) -> ray.data.Dataset:
+    """C4-style corpus-wide duplicate-span removal: split every doc
+    into fixed ``chunk_words``-word chunks (the ``chunk_documents``
+    grammar), keep each distinct chunk's globally FIRST occurrence
+    (min doc_id, then min chunk_idx), and reassemble the surviving
+    chunks per document. Output (doc_id, clean_text, n_kept); docs
+    whose every chunk was seen earlier elsewhere drop out.
+
+    Shuffle discipline (CLAUDE.md): the global first-occurrence rule
+    needs each chunk hash's occurrences co-located ONCE — chunks
+    shuffle on splitmix(md5-u64(chunk)) into ``n_buckets`` bounded
+    buckets, the winner per hash is one vectorized lexsort + reduceat
+    slice per bucket, survivors shuffle a second time on
+    splitmix(doc_id) to reassemble. No driver materialization; both
+    shuffle keys have a bounded domain. The 64-bit hash is the first
+    16 hex chars of md5 (the repo's md5-derived parity rule), so the
+    DuckDB twin partitions by substr(md5(chunk), 1, 16) and groups
+    byte-identically."""
+    import hashlib
+
+    from ..util import bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+             for s in b["chunk_text"].to_pylist()),
+            dtype=np.uint64, count=b.num_rows)
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "chunk_idx": pc.cast(b["chunk_idx"], pa.int64()),
+            "chunk_text": b["chunk_text"],
+            "h": pa.array(h),
+            "bucket": pa.array(bucket_of(h, n_buckets))})
+
+    def first_occurrence(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy()
+        idx = g["chunk_idx"].to_numpy()
+        h = g["h"].to_numpy()
+        order = np.lexsort((idx, doc, h))
+        hs = h[order]
+        starts = np.flatnonzero(np.concatenate([[True], hs[1:] != hs[:-1]]))
+        win = order[starts]  # ORDER BY doc_id, chunk_idx per hash
+        kept = g.take(pa.array(np.sort(win)))
+        dbkt = bucket_of(kept["doc_id"].to_numpy().astype(np.uint64),
+                         n_buckets)
+        return pa.table({
+            "doc_id": kept["doc_id"], "chunk_idx": kept["chunk_idx"],
+            "chunk_text": kept["chunk_text"],
+            "dbucket": pa.array(dbkt)})
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        df = g.select(["doc_id", "chunk_idx", "chunk_text"]).to_pandas() \
+            .sort_values(["doc_id", "chunk_idx"], kind="stable")
+        agg = df.groupby("doc_id", sort=True)["chunk_text"].agg(
+            [(" ".join), "size"])
+        return pa.table({
+            "doc_id": pa.array(agg.index.to_numpy().astype(np.int64)),
+            "clean_text": pa.array(agg.iloc[:, 0].to_numpy().tolist(),
+                                   pa.string()),
+            "n_kept": pa.array(agg.iloc[:, 1].to_numpy().astype(np.int64))})
+
+    return chunk_documents(sf_dir, chunk_words) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(first_occurrence, batch_format="pyarrow") \
+        .groupby("dbucket").map_groups(reassemble, batch_format="pyarrow")
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 64,
+                   ids_per_bucket: int = 65536,
+                   n_shuffle: int = 512) -> ray.data.Dataset:
+    """Training-sequence packing: concatenate all documents in doc_id
+    order into one global token stream (token = space-separated word,
+    the ``string_split(text, ' ')`` grammar) and cut it into fixed
+    ``seq_len``-token sequences. Output one row per (doc, sequence)
+    overlap: (doc_id, seq_id, tok_from, tok_to) with doc-local token
+    positions [tok_from, tok_to) — exactly what a sequence-assembly
+    pass needs to gather each training sequence's pieces.
+
+    The global token offset per doc is a DISTRIBUTED PREFIX SUM (the
+    events_watermark scan shape): (1) one max(doc_id) aggregate sizes
+    the id buckets; (2) a streamed pass folds per-bucket token-count
+    partials on the driver (<= max_id/ids_per_bucket tiny rows) into
+    an exclusive cross-bucket carry, broadcast via ray.put; (3) rows
+    shuffle once on splitmix(bucket), each bucket cumsums locally and
+    adds its carry, then expands to overlap rows with repeat/arange
+    arithmetic. Nothing global is sorted or driver-materialized.
+
+    SQL twin: sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING) + unnest(range(s//L, (s+n-1)//L + 1))."""
+    from ..util import bucket_of
+    L = np.int64(seq_len)
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    max_id = int(ds.max("doc_id"))
+    B = ids_per_bucket
+    n_bkt = max_id // B + 1
+
+    def bucket_tokens(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        n = pc.add(pc.count_substring(b["text"], " "), 1) \
+            .to_numpy().astype(np.int64)
+        bkt = did // B
+        order = np.argsort(bkt, kind="stable")
+        sb = bkt[order]
+        starts = np.flatnonzero(np.concatenate([[True], sb[1:] != sb[:-1]]))
+        return pa.table({
+            "bkt": pa.array(sb[starts]),
+            "s": pa.array(np.add.reduceat(n[order], starts))})
+
+    folded = np.zeros(n_bkt, np.int64)
+    for nb in ds.map_batches(bucket_tokens, batch_format="pyarrow") \
+            .iter_batches(batch_format="numpy"):
+        np.add.at(folded, nb["bkt"], nb["s"])
+    carry = np.concatenate([[0], np.cumsum(folded)[:-1]])
+    carry_ref = ray.put(carry)
+
+    def tag(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        n = pc.add(pc.count_substring(b["text"], " "), 1) \
+            .to_numpy().astype(np.int64)
+        bkt = did // B
+        return pa.table({
+            "doc_id": pa.array(did), "n": pa.array(n),
+            "bkt": pa.array(bkt),
+            "shard": pa.array(bucket_of(bkt.astype(np.uint64), n_shuffle))})
+
+    def expand(g: pa.Table) -> pa.Table:
+        cr = ray.get(carry_ref)
+        did = g["doc_id"].to_numpy()
+        n = g["n"].to_numpy()
+        bkt = g["bkt"].to_numpy()
+        order = np.lexsort((did, bkt))
+        did, n, bkt = did[order], n[order], bkt[order]
+        # local exclusive cumsum, reset at bucket starts, plus carry
+        cum = np.cumsum(n) - n
+        starts = np.flatnonzero(np.concatenate([[True], bkt[1:] != bkt[:-1]]))
+        base = np.zeros(len(n), np.int64)
+        base[starts] = cum[starts]
+        start = cum - np.maximum.accumulate(base) + cr[bkt]
+        keep = n > 0
+        did, n, start = did[keep], n[keep], start[keep]
+        first = start // L
+        nseq = (start + n - 1) // L - first + 1
+        total = int(nseq.sum())
+        rep = np.repeat(np.arange(len(n)), nseq)
+        cstarts = np.concatenate([[0], np.cumsum(nseq)[:-1]])
+        i = first[rep] + (np.arange(total, dtype=np.int64) - cstarts[rep])
+        s_r, n_r = start[rep], n[rep]
+        return pa.table({
+            "doc_id": pa.array(did[rep]),
+            "seq_id": pa.array(i),
+            "tok_from": pa.array(np.maximum(s_r, i * L) - s_r),
+            "tok_to": pa.array(np.minimum(s_r + n_r, (i + 1) * L) - s_r)})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("shard").map_groups(expand, batch_format="pyarrow")

@@ -1007,3 +1007,46 @@ SELECT event_type,
        round(min(value), 6) AS vmin,
        round(max(value), 6) AS vmax
 FROM events GROUP BY 1, 2"""
+
+
+def dedup_chunks_sql(chunk_words: int = 4) -> str:
+    """C4-style chunk-dedup twin: the chunk_documents_sql grammar,
+    global first occurrence per chunk via row_number() OVER
+    (PARTITION BY substr(md5(chunk), 1, 16) ORDER BY doc_id,
+    chunk_idx) — the same 64-bit md5 prefix the engine buckets and
+    groups by — then per-doc reassembly of the survivors."""
+    w = chunk_words
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+c AS (SELECT doc_id, i AS chunk_idx,
+             array_to_string(words[i*{w} + 1 : (i+1)*{w}], ' ') AS chunk
+      FROM w, unnest(range(0, CAST(ceil(len(words)/{w}.0) AS BIGINT))) AS t(i)),
+k AS (SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (PARTITION BY substr(md5(chunk), 1, 16)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM c)
+SELECT doc_id,
+       array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM k WHERE rn = 1 GROUP BY doc_id"""
+
+
+def pack_sequences_sql(seq_len: int = 64) -> str:
+    """Sequence-packing twin: exclusive running token sum in doc_id
+    order (the engine's distributed prefix scan) + one range-unnest
+    per overlapped sequence; token positions are doc-local."""
+    L = seq_len
+    return f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+c AS (SELECT doc_id, n,
+             CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS s
+      FROM t)
+SELECT doc_id, i AS seq_id,
+       greatest(s, i*{L}) - s AS tok_from,
+       least(s + n, (i+1)*{L}) - s AS tok_to
+FROM c, unnest(range(s // {L}, (s + n - 1) // {L} + 1)) AS u(i)
+WHERE n > 0"""

@@ -691,3 +691,60 @@ def test_media_resize_dims_and_payload():
         assert (w, h, nx, ny) == (r["width"], r["height"],
                                   r["new_width"], r["new_height"])
         assert px == r["pixels"]
+
+
+def test_dedup_chunks_single_process_oracle():
+    """Replicate the global first-occurrence rule single-process:
+    chunk every doc into 4-word runs, keep a chunk iff no earlier
+    (doc_id, chunk_idx) produced the same text, reassemble."""
+    from raytiles.ops.text import dedup_chunks
+    got = dedup_chunks(SF_SMOKE).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id")
+    seen: set = set()
+    want = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split(" ")
+        kept = []
+        for i in range(0, len(words), 4):
+            c = " ".join(words[i:i + 4])
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        if kept:
+            want[did] = (" ".join(kept), len(kept))
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        ct, nk = want[r["doc_id"]]
+        assert r["clean_text"] == ct and r["n_kept"] == nk
+
+
+def test_pack_sequences_single_process_oracle():
+    """Exclusive running token sum in doc_id order, one row per
+    (doc, sequence) overlap with doc-local [tok_from, tok_to)."""
+    from raytiles.ops.text import pack_sequences
+    L = 64
+    got = pack_sequences(SF_SMOKE, seq_len=L, ids_per_bucket=64,
+                         n_shuffle=16).to_pandas() \
+        .sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id")
+    rows = []
+    s = 0
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        n = len(text.split(" "))
+        for i in range(s // L, (s + n - 1) // L + 1):
+            rows.append((did, i, max(s, i * L) - s, min(s + n, (i + 1) * L) - s))
+        s += n
+    assert len(got) == len(rows)
+    for g, w in zip(got.itertuples(index=False), rows):
+        assert tuple(g) == w
+    # every doc's overlaps cover exactly its tokens, in order
+    per_doc = got.groupby("doc_id").agg(lo=("tok_from", "min"),
+                                        hi=("tok_to", "max"),
+                                        span=("tok_to", "sum"),
+                                        f=("tok_from", "sum"))
+    assert (per_doc["lo"] == 0).all()
