@@ -442,6 +442,14 @@ def _q_approx_distinct(sf_dir: str):
     return approx_distinct_users(sf_dir)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy-hitters sketch over the token stream (no SQL
+    twin — approximate by design; pytest pins the undercount bound and
+    that every true heavy hitter survives)."""
+    from raytiles.ops.sketch import heavy_hitters
+    return heavy_hitters(sf_dir)
+
+
 def _q_minhash_overflow(sf_dir: str):
     import numpy as np
     import pandas as pd
@@ -812,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_bands": _q_range_join,
         "distinct_users": _q_distinct_users,
         "approx_distinct": _q_approx_distinct,
+        "heavy_hitters": _q_heavy_hitters,
         "extract_text": _q_extract_text,
         "redact_locations": _q_redact_locations,
         "morton_cells": _q_morton_cells,

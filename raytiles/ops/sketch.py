@@ -97,3 +97,83 @@ def approx_distinct_users(sf_dir: str, p: int = 12,
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pyarrow") \
         .groupby("event_type").map_groups(estimate, batch_format="pyarrow")
+
+
+def heavy_hitters(sf_dir: str, k: int = 64,
+                  n_buckets: int = 64) -> ray.data.Dataset:
+    """Approximate heavy hitters (Misra-Gries / mergeable-summaries
+    shape) over the documents token stream: <= ``k`` (token, est_cnt)
+    rows whose estimates undercount by at most 2N/(k+1) total-weight
+    error (one Misra-Gries compression at the bucket level + one at
+    the final merge; Agarwal et al., Mergeable Summaries, PODS'12).
+
+    Unlike ``vocab_topk`` (exact, full count shuffle), the summary
+    memory is O(k) per reducer regardless of vocabulary size — the
+    100 TB shape for "what are the dominant tokens" when the
+    vocabulary itself doesn't fit anywhere.
+
+    Determinism despite compression: the per-batch partial is an
+    EXACT per-token count (layout-dependent Misra-Gries at batch level
+    would make output depend on block boundaries), the ONE bounded
+    shuffle co-locates each token's total in its md5 bucket, and both
+    compressions then see layout-independent exact inputs.
+
+    Pytest oracle: est <= true, true - est <= 2N/(k+1), and every
+    token with true count > 2N/(k+1) survives. No SQL twin
+    (approximate by design)."""
+    import hashlib
+
+    from ..util import bucket_of
+    from .text import _tokens_table
+
+    def _mg(tok: np.ndarray, cnt: np.ndarray, cap: int):
+        """Misra-Gries compression of exact (token, count) pairs to
+        <= cap survivors: subtract the (cap+1)-th largest count, drop
+        non-positive. Deterministic in values (ties all drop)."""
+        if len(tok) <= cap:
+            return tok, cnt
+        cstar = np.partition(cnt, len(cnt) - cap - 1)[len(cnt) - cap - 1]
+        keep = cnt > cstar
+        return tok[keep], cnt[keep] - cstar
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        tok, cnt = np.unique(np.asarray(t["token"]), return_counts=True)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+             for s in tok), dtype=np.uint64, count=len(tok))
+        return pa.table({"token": pa.array(tok.tolist(), pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(
+                             bucket_of(h, n_buckets).astype(np.int64))})
+
+    def bucket_compress(g: pa.Table) -> pa.Table:
+        tok = np.asarray(g["token"])
+        cnt = g["cnt"].to_numpy()
+        order = np.argsort(tok, kind="stable")
+        ts, cs = tok[order], cnt[order]
+        starts = np.flatnonzero(np.concatenate(([True], ts[1:] != ts[:-1])))
+        utok, ucnt = ts[starts], np.add.reduceat(cs, starts)
+        utok, ucnt = _mg(utok, ucnt, k)
+        return pa.table({"token": pa.array(utok.tolist(), pa.string()),
+                         "cnt": pa.array(ucnt.astype(np.int64)),
+                         "g": pa.array(np.zeros(len(utok), np.int64))})
+
+    def final(g: pa.Table) -> pa.Table:
+        tok = np.asarray(g["token"])
+        cnt = g["cnt"].to_numpy()
+        tok, cnt = _mg(tok, cnt, k)   # buckets are disjoint: no re-sum
+        order = np.lexsort((np.asarray(tok, dtype=object), -cnt))
+        return pa.table({
+            "token": pa.array(tok[order].tolist(), pa.string()),
+            "est_cnt": pa.array(cnt[order].astype(np.int64))})
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_compress, batch_format="pyarrow") \
+        .groupby("g").map_groups(final, batch_format="pyarrow")

@@ -748,3 +748,33 @@ def test_pack_sequences_single_process_oracle():
                                         span=("tok_to", "sum"),
                                         f=("tok_from", "sum"))
     assert (per_doc["lo"] == 0).all()
+
+
+def test_heavy_hitters_misra_gries_guarantees():
+    """est <= true; true - est <= 2N/(k+1); every token with true
+    count > 2N/(k+1) survives the sketch — the mergeable-summaries
+    bound with one bucket-level and one final compression."""
+    import re
+    from raytiles.ops.sketch import heavy_hitters
+    from raytiles.ops.text import TOKEN_RE
+    k = 16
+    got = heavy_hitters(SF_SMOKE, k=k, n_buckets=8).to_pandas()
+    assert len(got) <= k
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    true: dict = {}
+    for text in docs["text"]:
+        for t in re.findall(TOKEN_RE, text):
+            true[t] = true.get(t, 0) + 1
+    N = sum(true.values())
+    bound = 2 * N / (k + 1)
+    for tok, est in zip(got["token"], got["est_cnt"]):
+        assert est <= true[tok]
+        assert true[tok] - est <= bound
+    survivors = set(got["token"])
+    for tok, c in true.items():
+        if c > bound:
+            assert tok in survivors, (tok, c, bound)
+    # output is ordered by estimate desc, token asc
+    e = got["est_cnt"].to_numpy()
+    assert (e[:-1] >= e[1:]).all()
