@@ -709,6 +709,25 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return geoparse(read_webpages_jsonl(root))
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV source/sink roundtrip: parquet webpages -> CSV shards ->
+    geoparse. Oracle: the geoparse SQL twin over the original parquet
+    (the roundtrip must be lossless for url/text)."""
+    import tempfile
+
+    import ray.data as _rd
+
+    from raytiles.pipeline.flagship import geoparse
+    from raytiles.pipeline.sources import (read_webpages_csv,
+                                           write_webpages_csv)
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    root = tempfile.mkdtemp(prefix="raytiles_csv_")
+    write_webpages_csv(
+        _rd.read_parquet(wp, columns=["url", "text"]), root)
+    return geoparse(read_webpages_csv(root))
+
+
 def _q_mvt_diff(sf_dir: str):
     """Incremental tile-set diff (added/removed/changed per tile
     coordinate; md5 digests through the shuffle, not tile bytes).
@@ -795,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_files": _q_mvt_files,
         "mvt_ingest": _q_mvt_ingest,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "tile_features": _q_tile_features,
         # relational operators
@@ -903,6 +923,7 @@ def oracle_sql() -> dict[str, str]:
         "geoparse": oracles.geoparse_sql(wp),
         # the JSONL path must parse to the same mentions as parquet
         "jsonl_roundtrip": oracles.geoparse_sql(wp),
+        "csv_roundtrip": oracles.geoparse_sql(wp),
         "tile_assign": oracles.tile_assign_sql(wp),
         "tile_counts": oracles.tile_counts_sql(wp),
         "cell_counts": oracles.cell_counts_sql(wp),

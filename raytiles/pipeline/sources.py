@@ -125,3 +125,42 @@ def write_webpages_jsonl(ds: ray.data.Dataset, root: str) -> None:
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     ds.map_batches(dump, batch_format="pyarrow").materialize()
+
+
+def read_webpages_csv(root: str, columns=("url", "text")) -> ray.data.Dataset:
+    """CSV webpages source (url, text, lang — the text-only exchange
+    subset; CSV has no binary type, so html stays parquet/JSONL-only).
+    ray.data.read_csv streams shard-per-task over pyarrow's C++ CSV
+    reader; quoting round-trips embedded commas/quotes/newlines. As
+    with JSONL, projection happens right after the read (no column
+    pushdown in the format itself)."""
+    ds = ray.data.read_csv(root)
+    want = list(columns)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(want)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def write_webpages_csv(ds: ray.data.Dataset, root: str) -> None:
+    """Inverse sink: one .csv shard per block via pyarrow's C++ CSV
+    writer (vectorized — no per-row Python), resumable-layout like the
+    parquet and .mvt sinks (one file per block, re-runs overwrite)."""
+    import os
+
+    import pyarrow.csv as pacsv
+
+    os.makedirs(root, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        import hashlib
+        tag = hashlib.md5(
+            f"{t.num_rows}:{t['url'][0].as_py() if t.num_rows else ''}"
+            .encode()).hexdigest()[:12]
+        pacsv.write_csv(t, os.path.join(root, f"shard-{tag}.csv"))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    for _ in ds.map_batches(dump, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        pass

@@ -742,3 +742,33 @@ def test_mvt_enrich_attaches_host_docs(ray_session):
                 assert b"mention_idx" in f.metadata
                 checked += 1
     assert checked > 0
+
+
+def test_csv_source_roundtrips_parquet(tmp_path):
+    """write_webpages_csv -> read_webpages_csv reproduces the parquet
+    rows (url, text, lang — CSV quoting must round-trip embedded
+    commas/quotes) and geoparse gives identical mentions."""
+    import ray.data
+
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.sources import (read_webpages_csv,
+                                           write_webpages_csv)
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    src = ray.data.read_parquet(wp, columns=["url", "text", "lang"])
+    root = str(tmp_path / "csv")
+    write_webpages_csv(src, root)
+    back = read_webpages_csv(root, columns=("url", "text", "lang")) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    want = src.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(back) == len(want)
+    for c in ("url", "text", "lang"):
+        assert (back[c] == want[c]).all(), c
+    m1 = geoparse(read_webpages(wp)).to_pandas() \
+        .sort_values(["url", "mention_idx"]).reset_index(drop=True)
+    m2 = geoparse(read_webpages_csv(root)).to_pandas() \
+        .sort_values(["url", "mention_idx"]).reset_index(drop=True)
+    assert len(m1) == len(m2)
+    for c in ("url", "mention_idx", "lon", "lat"):
+        assert (m1[c] == m2[c]).all(), c
