@@ -442,6 +442,14 @@ def _q_approx_distinct(sf_dir: str):
     return approx_distinct_users(sf_dir)
 
 
+def _q_hdr_quantiles(sf_dir: str):
+    """HDR-histogram mergeable quantile sketch — integer binning makes
+    the approximate estimate a deterministic function of exact bin
+    counts, so it carries a full DuckDB oracle twin."""
+    from raytiles.ops.sketch import hdr_quantiles
+    return hdr_quantiles(sf_dir)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy-hitters sketch over the token stream (no SQL
     twin — approximate by design; pytest pins the undercount bound and
@@ -841,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "approx_distinct": _q_approx_distinct,
         "heavy_hitters": _q_heavy_hitters,
+        "hdr_quantiles": _q_hdr_quantiles,
         "extract_text": _q_extract_text,
         "redact_locations": _q_redact_locations,
         "morton_cells": _q_morton_cells,
@@ -947,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": oracles.top_orders_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
         "group_quantiles": oracles.group_quantiles_sql(),
+        "hdr_quantiles": oracles.hdr_quantiles_sql(),
         "range_join_bands": oracles.range_join_sql(),
         "distinct_users": oracles.DISTINCT_USERS_SQL,
         "extract_text": oracles.extract_text_sql(wp),

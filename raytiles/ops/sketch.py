@@ -177,3 +177,79 @@ def heavy_hitters(sf_dir: str, k: int = 64,
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(bucket_compress, batch_format="pyarrow") \
         .groupby("g").map_groups(final, batch_format="pyarrow")
+
+
+def hdr_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99),
+                  sub: int = 16) -> ray.data.Dataset:
+    """Mergeable quantile sketch (HDR-histogram shape): per-group
+    quantile estimates of l_extendedprice from a log2-octave histogram
+    with ``sub`` linear sub-buckets per octave — bounded-memory
+    (<= 64*sub bins per group) at ANY value distribution, relative
+    error <= 1/sub, and bin counts merge by plain addition, so output
+    is block-layout-independent.
+
+    Unlike ``group_quantiles`` (exact, needs a small integral domain),
+    this is the 100 TB shape for continuous unbounded values. Every
+    binning step is INTEGER arithmetic on cents (bits via np.frexp,
+    exact below 2^53; lower bound via shifts; sub-bucket via integer
+    division), so the DuckDB twin — length(bin(cents)), BIGINT <<,
+    // — reproduces it bit-exactly: an ORACLE-CHECKED approximate
+    sketch. Estimate = the selected bin's lower bound in cents
+    (est_cents), rank rule cum >= ceil(q*n)."""
+    qs = tuple(qs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        _, e = np.frexp(cents.astype(np.float64))
+        b1 = e.astype(np.int64) - 1
+        lower = np.int64(1) << b1
+        bin_key = b1 * sub + (cents - lower) * sub // lower
+        t = pa.table({"flag": b["l_returnflag"], "bin_key": pa.array(bin_key)})
+        g = pa.TableGroupBy(t, ["flag", "bin_key"]).aggregate(
+            [("bin_key", "count")])
+        g = g.rename_columns(["flag", "bin_key", "n"])
+        return g.append_column(
+            "bucket", pa.array(g["bin_key"].to_numpy() % 64))
+
+    def bucket_merge(g: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(g.select(["flag", "bin_key", "n"]),
+                            ["flag", "bin_key"]).aggregate([("n", "sum")])
+        t = t.rename_columns(["flag", "bin_key", "n"])
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    def final(g: pa.Table) -> pa.Table:
+        flag = np.asarray(g["flag"])
+        key = g["bin_key"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((key, np.asarray(flag, dtype=object)))
+        flag, key, n = flag[order], key[order], n[order]
+        # merge duplicate (flag, bin_key) partials, then per-flag scan
+        out_f, out_q, out_e = [], [], []
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (flag[1:] != flag[:-1]))))
+        for s, e_ in zip(starts, np.concatenate((starts[1:], [len(n)]))):
+            k_, n_ = key[s:e_], n[s:e_]
+            ks = np.flatnonzero(np.concatenate(([True], k_[1:] != k_[:-1])))
+            ku, nu = k_[ks], np.add.reduceat(n_, ks)
+            cum = np.cumsum(nu)
+            tot = cum[-1]
+            for q in qs:
+                i = int(np.searchsorted(cum, np.ceil(q * tot)))
+                b1 = ku[i] // sub
+                lower = np.int64(1) << b1
+                est = lower + (lower * (ku[i] % sub)) // sub
+                out_f.append(flag[s])
+                out_q.append(q)
+                out_e.append(est)
+        return pa.table({
+            "l_returnflag": pa.array([str(x) for x in out_f], pa.string()),
+            "q": pa.array(out_q, pa.float64()),
+            "est_cents": pa.array(np.array(out_e, np.int64))})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_merge, batch_format="pyarrow") \
+        .groupby("g").map_groups(final, batch_format="pyarrow")

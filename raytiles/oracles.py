@@ -1050,3 +1050,37 @@ SELECT doc_id, i AS seq_id,
        least(s + n, (i+1)*{L}) - s AS tok_to
 FROM c, unnest(range(s // {L}, (s + n - 1) // {L} + 1)) AS u(i)
 WHERE n > 0"""
+
+
+def hdr_quantiles_sql(qs=(0.5, 0.95, 0.99), sub: int = 16) -> str:
+    """Twin of ops.sketch.hdr_quantiles: the identical INTEGER binning
+    (bits via length(bin(cents)), lower bound via BIGINT <<, linear
+    sub-bucket via //) and rank rule cum >= ceil(q*n) — the sketch is
+    a deterministic function of exact bin counts, so the approximate
+    operator is fully oracle-checkable."""
+    s = sub
+    vals = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem),
+k AS (
+  SELECT l_returnflag,
+         (length(bin(cents)) - 1) * {s}
+           + ((cents - (1::BIGINT << (length(bin(cents)) - 1))) * {s}
+              // (1::BIGINT << (length(bin(cents)) - 1))) AS bin_key,
+         count(*) AS n
+  FROM c GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, bin_key, n,
+         sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin_key) AS c,
+         sum(n) OVER (PARTITION BY l_returnflag) AS tot
+  FROM k)
+SELECT l_returnflag, q,
+       min((1::BIGINT << (bin_key // {s}))
+           + ((1::BIGINT << (bin_key // {s})) * (bin_key % {s})) // {s})
+         AS est_cents
+FROM cum, (VALUES {vals}) AS qs(q)
+WHERE c >= ceil(q * tot)
+GROUP BY 1, 2"""

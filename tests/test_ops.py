@@ -778,3 +778,23 @@ def test_heavy_hitters_misra_gries_guarantees():
     # output is ordered by estimate desc, token asc
     e = got["est_cnt"].to_numpy()
     assert (e[:-1] >= e[1:]).all()
+
+
+def test_hdr_quantiles_relative_error_bound():
+    """The sketch estimate is the lower bound of the bin holding the
+    exact quantile value: est <= exact < est * (1 + 2/sub)."""
+    from raytiles.ops.sketch import hdr_quantiles
+    sub = 16
+    got = hdr_quantiles(SF_SMOKE, sub=sub).to_pandas()
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet",
+                       columns=["l_returnflag", "l_extendedprice"]) \
+        .to_pandas()
+    li["cents"] = np.rint(li["l_extendedprice"].to_numpy() * 100.0) \
+        .astype(np.int64)
+    for _, r in got.iterrows():
+        grp = np.sort(li.loc[li["l_returnflag"] == r["l_returnflag"],
+                             "cents"].to_numpy())
+        k = int(np.ceil(r["q"] * len(grp)))
+        exact = grp[k - 1]
+        assert r["est_cents"] <= exact
+        assert exact < r["est_cents"] * (1 + 2.0 / sub)
