@@ -605,6 +605,13 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(sf_dir)
 
 
+def _q_bigram_pmi(sf_dir: str):
+    """Bigram PMI phrase detection: broadcast vocab, int64 index-pair
+    shuffle keys, floor-quantized micro-nat scores."""
+    from raytiles.ops.text import bigram_pmi
+    return bigram_pmi(sf_dir)
+
+
 def _q_dedup_chunks(sf_dir: str):
     """C4-style corpus-wide chunk dedup: keep each distinct 4-word
     chunk's global first occurrence, reassemble surviving docs."""
@@ -895,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": _q_boilerplate,
         "chunk_documents": _q_chunk_documents,
         "dedup_chunks": _q_dedup_chunks,
+        "bigram_pmi": _q_bigram_pmi,
         "pack_sequences": _q_pack_sequences,
         "unigram_logprob": _q_unigram_logprob,
         "mixture_sample": _q_mixture_sample,
@@ -988,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate": oracles.boilerplate_ngrams_sql(),
         "chunk_documents": oracles.chunk_documents_sql(),
         "dedup_chunks": oracles.dedup_chunks_sql(),
+        "bigram_pmi": oracles.bigram_pmi_sql(),
         "pack_sequences": oracles.pack_sequences_sql(),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "mixture_sample": oracles.MIXTURE_SAMPLE_SQL,

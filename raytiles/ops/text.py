@@ -805,3 +805,77 @@ def pack_sequences(sf_dir: str, seq_len: int = 64,
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("shard").map_groups(expand, batch_format="pyarrow")
+
+
+def bigram_pmi(sf_dir: str, vocab_k: int = 256, min_count: int = 5,
+               n_buckets: int = 256) -> ray.data.Dataset:
+    """Bigram PMI scoring (the phrase-detection pass of an NLP
+    pipeline): for every adjacent token pair whose BOTH members are in
+    the corpus top-``vocab_k`` vocabulary, pmi_micro = floor(ln(
+    (n_xy * N) / (tf_x * tf_y)) * 1e6) with N = total corpus tokens;
+    pairs below ``min_count`` drop. Output (bigram, n_xy, pmi_micro).
+
+    Scale shape: the vocabulary (bounded by contract) broadcasts with
+    its term frequencies; bigrams ride the shuffle as ONE int64 vocab
+    index pair (i1*V + i2 — no strings), per-batch np.unique partials
+    collapse before the bounded modulo-bucket groupby, and the PMI
+    finalizer is pure vectorized arithmetic per bucket. Docs never
+    split across batches, so adjacency never crosses a batch edge.
+
+    The float ln matches the oracle by the repo's floor-quantize rule
+    (same double ops in the same order: ln((n_xy*N)/(tf1*tf2)))."""
+    from ray.data.aggregate import Sum
+
+    vocab = vocab_topk(sf_dir, k=vocab_k).to_pandas()
+    N = float(token_counts(sf_dir).aggregate(Sum("n_tokens"))
+              ["sum(n_tokens)"])
+    vtok = vocab["token"].to_numpy()
+    vtf = vocab["tf"].to_numpy().astype(np.float64)
+    vorder = np.argsort(vtok)
+    vtok_sorted = vtok[vorder]
+    vtf_sorted = vtf[vorder]
+    V = np.int64(len(vtok_sorted))
+
+    _EMPTY = pa.schema([("key", pa.int64()), ("n_xy", pa.int64()),
+                        ("bucket", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows < 2:
+            return _EMPTY.empty_table()
+        tok = np.asarray(t["token"])
+        doc = t["doc_id"].to_numpy()
+        pos = np.searchsorted(vtok_sorted, tok)
+        pos[pos >= V] = 0
+        hit = vtok_sorted[pos] == tok
+        adj = (doc[1:] == doc[:-1]) & hit[1:] & hit[:-1]
+        if not adj.any():
+            return _EMPTY.empty_table()
+        key = pos[:-1][adj].astype(np.int64) * V + pos[1:][adj]
+        ku, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(ku),
+                         "n_xy": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(ku % n_buckets)})
+
+    def final(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy()
+        n = g["n_xy"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        k_, n_ = key[order], n[order]
+        starts = np.flatnonzero(np.concatenate(([True], k_[1:] != k_[:-1])))
+        ku, nu = k_[starts], np.add.reduceat(n_, starts)
+        keep = nu >= min_count
+        ku, nu = ku[keep], nu[keep]
+        i1, i2 = ku // V, ku % V
+        pmi = np.floor(np.log((nu.astype(np.float64) * N)
+                              / (vtf_sorted[i1] * vtf_sorted[i2]))
+                       * 1e6).astype(np.int64)
+        bg = np.char.add(np.char.add(vtok_sorted[i1].astype(str), " "),
+                         vtok_sorted[i2].astype(str))
+        return pa.table({"bigram": pa.array(bg.tolist(), pa.string()),
+                         "n_xy": pa.array(nu.astype(np.int64)),
+                         "pmi_micro": pa.array(pmi)})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(final, batch_format="pyarrow")

@@ -1084,3 +1084,36 @@ SELECT l_returnflag, q,
 FROM cum, (VALUES {vals}) AS qs(q)
 WHERE c >= ceil(q * tot)
 GROUP BY 1, 2"""
+
+
+def bigram_pmi_sql(vocab_k: int = 256, min_count: int = 5) -> str:
+    """Twin of ops.text.bigram_pmi: adjacent token pairs via the
+    boilerplate range-unnest pattern, vocabulary and N from the
+    vocab_topk / token-count twins, and the identical double
+    arithmetic ln((n_xy*N)/(tf1*tf2)) floor-quantized to micro-nats."""
+    return f"""
+WITH ta AS (SELECT doc_id, regexp_extract_all(text, '{SQL_TOKEN_RE}') AS t
+            FROM documents),
+v AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS tf FROM (
+    SELECT token, doc_id, count(*) AS tf
+    FROM (SELECT doc_id, unnest(t) AS token FROM ta)
+    GROUP BY token, doc_id)
+  GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT {vocab_k}),
+n AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS n FROM ta),
+big AS (SELECT t[i] AS t1, t[i + 1] AS t2
+        FROM ta, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2),
+bc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_xy
+       FROM big
+       JOIN v v1 ON v1.token = big.t1
+       JOIN v v2 ON v2.token = big.t2
+       GROUP BY 1, 2
+       HAVING count(*) >= {min_count})
+SELECT bc.t1 || ' ' || bc.t2 AS bigram, bc.n_xy,
+       CAST(floor(ln((bc.n_xy::DOUBLE * n.n) / (v1.tf::DOUBLE * v2.tf))
+                  * 1e6) AS BIGINT) AS pmi_micro
+FROM bc
+JOIN v v1 ON v1.token = bc.t1
+JOIN v v2 ON v2.token = bc.t2, n"""

@@ -798,3 +798,39 @@ def test_hdr_quantiles_relative_error_bound():
         exact = grp[k - 1]
         assert r["est_cents"] <= exact
         assert exact < r["est_cents"] * (1 + 2.0 / sub)
+
+
+def test_bigram_pmi_single_process_oracle():
+    """Exact replicate: top-256 vocab by (df desc, token), adjacent
+    in-vocab pairs with count >= 5, floor-quantized micro-nat PMI."""
+    import re
+    from raytiles.ops.text import TOKEN_RE, bigram_pmi
+    got = bigram_pmi(SF_SMOKE).to_pandas() \
+        .sort_values("bigram").reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    toks = [re.findall(TOKEN_RE, t) for t in docs["text"]]
+    df_, tf_ = {}, {}
+    for ts in toks:
+        for t in set(ts):
+            df_[t] = df_.get(t, 0) + 1
+        for t in ts:
+            tf_[t] = tf_.get(t, 0) + 1
+    vocab = sorted(df_, key=lambda t: (-df_[t], t))[:256]
+    vs = set(vocab)
+    N = float(sum(len(ts) for ts in toks))
+    bc = {}
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            if a in vs and b in vs:
+                bc[(a, b)] = bc.get((a, b), 0) + 1
+    want = {}
+    for (a, b), n in bc.items():
+        if n >= 5:
+            want[f"{a} {b}"] = (n, int(np.floor(
+                np.log((np.float64(n) * N)
+                       / (np.float64(tf_[a]) * np.float64(tf_[b]))) * 1e6)))
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        n, p = want[r["bigram"]]
+        assert r["n_xy"] == n and r["pmi_micro"] == p
