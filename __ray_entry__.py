@@ -478,6 +478,14 @@ def _q_geofence_join(sf_dir: str):
     return geofence_join(webpages_path(sf_dir))
 
 
+def _q_trajectory_lengths(sf_dir: str):
+    """Per-url great-circle polyline length (haversine, floor-mm
+    per leg so distributed sums are order-free exact)."""
+    from raytiles.ops.spatial import trajectory_lengths
+    from raytiles.pipeline.synth import webpages_path
+    return trajectory_lengths(webpages_path(sf_dir))
+
+
 def _q_nearest_city(sf_dir: str):
     from raytiles.ops.spatial import nearest_city
     from raytiles.pipeline.synth import webpages_path
@@ -877,6 +885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_enrich": _q_mvt_enrich,
         # spatial joins
         "geofence_join": _q_geofence_join,
+        "trajectory_lengths": _q_trajectory_lengths,
         "nearest_city": _q_nearest_city,
         "host_bbox": _q_host_bbox,
         "host_tile_cover": _q_host_tile_cover,
@@ -975,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_cells": oracles.raster_cells_sql(wp),
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),
         "geofence_join": oracles.geofence_join_sql(wp),
+        "trajectory_lengths": oracles.trajectory_lengths_sql(wp),
         "nearest_city": oracles.nearest_city_sql(wp),
         "host_bbox": oracles.host_bbox_sql(wp),
         "host_tile_cover": oracles.host_tile_cover_sql(wp),

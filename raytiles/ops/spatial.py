@@ -442,3 +442,45 @@ def cell_cover(webpages_path: str, min_zoom: int = 2, max_zoom: int = 6,
     hp = hulls.to_pandas().sort_values("host").head(n_zones)
     small = ray.data.from_pandas(hp.reset_index(drop=True))
     return small.map_batches(cover_batch, batch_format="pyarrow")
+
+
+def trajectory_lengths(webpages_path: str) -> ray.data.Dataset:
+    """Per-url great-circle trajectory length: mentions in mention_idx
+    order form a polyline; each leg's haversine distance quantizes to
+    INTEGER millimeters (floor) BEFORE the per-url sum, so sums are
+    order-free and bit-exact vs the oracle. Urls with a single mention
+    have no legs and drop (the SQL lag IS NOT NULL rule).
+
+    Shuffle-free: geoparse emits one url's mentions contiguously and
+    in order within a batch (row expansion never crosses a batch), so
+    legs and per-url sums complete per batch — adjacency + reduceat,
+    no groupby. Same double-op ORDER as the twin: dlat/2 -> radians ->
+    sin -> product sum -> sqrt -> asin -> * 2R_mm -> floor."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        url = np.asarray(b["url"])
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        if len(url) < 2:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "n_legs": pa.array([], pa.int64()),
+                             "length_mm": pa.array([], pa.int64())})
+        adj = url[1:] == url[:-1]
+        plat, clat = lat[:-1][adj], lat[1:][adj]
+        plon, clon = lon[:-1][adj], lon[1:][adj]
+        sa = np.sin(np.radians((clat - plat) / 2))
+        sb = np.sin(np.radians((clon - plon) / 2))
+        h = sa * sa + np.cos(np.radians(plat)) * np.cos(np.radians(clat)) \
+            * sb * sb
+        mm = np.floor(12742000000.0 * np.arcsin(np.sqrt(h))) \
+            .astype(np.int64)
+        leg_url = url[1:][adj]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], leg_url[1:] != leg_url[:-1])))
+        return pa.table({
+            "url": pa.array(leg_url[starts].tolist(), pa.string()),
+            "n_legs": pa.array(np.diff(np.concatenate(
+                (starts, [len(leg_url)]))).astype(np.int64)),
+            "length_mm": pa.array(np.add.reduceat(mm, starts))})
+
+    return _mentions(webpages_path).map_batches(fn, batch_format="pyarrow")

@@ -1117,3 +1117,27 @@ SELECT bc.t1 || ' ' || bc.t2 AS bigram, bc.n_xy,
 FROM bc
 JOIN v v1 ON v1.token = bc.t1
 JOIN v v2 ON v2.token = bc.t2, n"""
+
+
+def trajectory_lengths_sql(webpages_parquet: str) -> str:
+    """Twin of ops.spatial.trajectory_lengths: lag window per url over
+    mention order, the identical haversine double ops, per-leg floor
+    to BIGINT millimeters before the sum (order-free exactness)."""
+    return f"""
+WITH {mentions_cte(webpages_parquet)},
+legs AS (
+  SELECT url,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lat, lon
+  FROM mentions
+  WINDOW w AS (PARTITION BY url ORDER BY mention_idx)),
+d AS (
+  SELECT url,
+         CAST(floor(12742000000.0 * asin(sqrt(
+           sin(radians((lat - plat) / 2)) * sin(radians((lat - plat) / 2))
+           + cos(radians(plat)) * cos(radians(lat))
+             * sin(radians((lon - plon) / 2)) * sin(radians((lon - plon) / 2))
+         ))) AS BIGINT) AS mm
+  FROM legs WHERE plat IS NOT NULL)
+SELECT url, CAST(count(*) AS BIGINT) AS n_legs,
+       CAST(sum(mm) AS BIGINT) AS length_mm
+FROM d GROUP BY url"""

@@ -191,3 +191,34 @@ def test_cell_cover_properties():
                 assert len(cx) >= 3
         checked_hosts += 1
     assert checked_hosts == 16
+
+
+def test_trajectory_lengths_single_process_oracle():
+    """Replicate: per-url consecutive-mention haversine legs, each
+    floored to integer mm, summed; single-mention urls drop."""
+    import numpy as np
+
+    from raytiles.ops.spatial import trajectory_lengths
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    got = trajectory_lengths(wp).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    m = geoparse(read_webpages(wp)).to_pandas() \
+        .sort_values(["url", "mention_idx"])
+    want = {}
+    for url, g in m.groupby("url", sort=True):
+        if len(g) < 2:
+            continue
+        lat, lon = g["lat"].to_numpy(), g["lon"].to_numpy()
+        sa = np.sin(np.radians((lat[1:] - lat[:-1]) / 2))
+        sb = np.sin(np.radians((lon[1:] - lon[:-1]) / 2))
+        h = sa * sa + np.cos(np.radians(lat[:-1])) \
+            * np.cos(np.radians(lat[1:])) * sb * sb
+        mm = np.floor(12742000000.0 * np.arcsin(np.sqrt(h))).astype(np.int64)
+        want[url] = (len(mm), int(mm.sum()))
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        n, s = want[r["url"]]
+        assert r["n_legs"] == n and r["length_mm"] == s
