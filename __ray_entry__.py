@@ -613,6 +613,27 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(sf_dir)
 
 
+def _q_group_mode(sf_dir: str):
+    """Distributed argmax: modal user per event type (per-bucket
+    candidate reduction, tiny final tie-break pass)."""
+    from raytiles.ops.groupops import group_mode
+    return group_mode(sf_dir)
+
+
+def _q_lang_percentiles(sf_dir: str):
+    """Per-language percentile normalization via the 2-D histogram
+    prefix-rank pattern (no global sort)."""
+    from raytiles.ops.text import lang_percentiles
+    return lang_percentiles(sf_dir)
+
+
+def _q_corpus_checksums(sf_dir: str):
+    """Order-free per-bucket XOR content checksums (integrity /
+    anti-entropy primitive)."""
+    from raytiles.ops.text import corpus_checksums
+    return corpus_checksums(sf_dir)
+
+
 def _q_bigram_pmi(sf_dir: str):
     """Bigram PMI phrase detection: broadcast vocab, int64 index-pair
     shuffle keys, floor-quantized micro-nat scores."""
@@ -912,6 +933,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "dedup_chunks": _q_dedup_chunks,
         "bigram_pmi": _q_bigram_pmi,
+        "group_mode": _q_group_mode,
+        "lang_percentiles": _q_lang_percentiles,
+        "corpus_checksums": _q_corpus_checksums,
         "pack_sequences": _q_pack_sequences,
         "unigram_logprob": _q_unigram_logprob,
         "mixture_sample": _q_mixture_sample,
@@ -1007,6 +1031,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oracles.chunk_documents_sql(),
         "dedup_chunks": oracles.dedup_chunks_sql(),
         "bigram_pmi": oracles.bigram_pmi_sql(),
+        "group_mode": oracles.GROUP_MODE_SQL,
+        "lang_percentiles": oracles.lang_percentiles_sql(),
+        "corpus_checksums": oracles.corpus_checksums_sql(),
         "pack_sequences": oracles.pack_sequences_sql(),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "mixture_sample": oracles.MIXTURE_SAMPLE_SQL,

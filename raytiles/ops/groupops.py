@@ -392,3 +392,65 @@ def distinct_users(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
                          "n_users": pc.cast(batch["n_users"], pa.int64())})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def group_mode(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Distributed ARGMAX / mode: the most frequent user per
+    event_type, ties to the smallest user_id — (event_type,
+    modal_user, n). The grouped-mode shape for a high-cardinality
+    value domain: exact counts need each (type, user) pair co-located
+    ONCE, so per-batch partial counts shuffle on splitmix(user_id)
+    into bounded buckets, each bucket reduces to ONE candidate row
+    per event_type (its local argmax — correct because a user's whole
+    count lives in exactly one bucket), and a tiny final pass picks
+    the best of <= n_buckets candidates per type with the same
+    (n DESC, user ASC) rule.
+
+    SQL twin: row_number() OVER (PARTITION BY event_type ORDER BY
+    count(*) DESC, user_id) = 1."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"],
+                      "user_id": b["user_id"].cast(pa.int64())})
+        g = pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate(
+            [("user_id", "count")])
+        g = g.rename_columns(["event_type", "user_id", "n"])
+        return g.append_column("bucket", pa.array(bucket_of(
+            g["user_id"].to_numpy().astype(np.uint64), n_buckets)))
+
+    def _argmax_per_type(et: np.ndarray, uid: np.ndarray,
+                         n: np.ndarray) -> pa.Table:
+        # sort (type asc, n desc, user asc); first row per type wins
+        order = np.lexsort((uid, -n, np.asarray(et, dtype=object)))
+        ets, us, ns = et[order], uid[order], n[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ets[1:] != ets[:-1])))
+        return pa.table({
+            "event_type": pa.array([str(x) for x in ets[starts]],
+                                   pa.string()),
+            "modal_user": pa.array(us[starts].astype(np.int64)),
+            "n": pa.array(ns[starts].astype(np.int64))})
+
+    def bucket_best(g: pa.Table) -> pa.Table:
+        et = np.asarray(g["event_type"])
+        uid = g["user_id"].to_numpy()
+        n = g["n"].to_numpy()
+        # merge duplicate (type, user) partials within the bucket
+        order = np.lexsort((uid, np.asarray(et, dtype=object)))
+        ets, us, ns = et[order], uid[order], n[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (ets[1:] != ets[:-1]) | (us[1:] != us[:-1]))))
+        t = _argmax_per_type(ets[starts], us[starts],
+                             np.add.reduceat(ns, starts))
+        return t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    def final(g: pa.Table) -> pa.Table:
+        return _argmax_per_type(np.asarray(g["event_type"]),
+                                g["modal_user"].to_numpy(),
+                                g["n"].to_numpy())
+
+    return ray.data.read_parquet(_p(sf_dir, "events"),
+                                 columns=["event_type", "user_id"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_best, batch_format="pyarrow") \
+        .groupby("g").map_groups(final, batch_format="pyarrow")

@@ -680,7 +680,10 @@ def dedup_chunks(sf_dir: str, chunk_words: int = 4,
             "doc_id": pc.cast(b["doc_id"], pa.int64()),
             "chunk_idx": pc.cast(b["chunk_idx"], pa.int64()),
             "chunk_text": b["chunk_text"],
-            "h": pa.array(h),
+            # two's-complement int64 view: uint64 columns >= 2^63 can
+            # round through float64 in pandas-converting paths (see
+            # corpus_checksums); equality grouping is view-invariant
+            "h": pa.array(h.view(np.int64)),
             "bucket": pa.array(bucket_of(h, n_buckets))})
 
     def first_occurrence(g: pa.Table) -> pa.Table:
@@ -879,3 +882,123 @@ def bigram_pmi(sf_dir: str, vocab_k: int = 256, min_count: int = 5,
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(final, batch_format="pyarrow")
+
+
+def lang_percentiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-language percentile normalization of document length: for
+    every doc, pct_micro = floor((rank-1)/(n_lang-1) * 1e6) with SQL
+    RANK tie semantics (ties share the min rank) — the percent_rank()
+    window twin, quantized by the repo's floor rule (n_lang==1 -> 0,
+    DuckDB's convention for a single-row partition).
+
+    The rank problem solves with the doc_rank histogram pattern, made
+    two-dimensional: distinct (lang, n_chars) cells are a BOUNDED
+    domain, so one streamed histogram pass folds per-batch cell counts
+    on the driver into per-cell exclusive prefix ranks, and a second
+    shuffle-free pass broadcasts the (lang, n_chars) -> (rank, n)
+    map and scores every doc vectorized. Nothing is globally sorted."""
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": b["lang"],
+            "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64())})
+        g = pa.TableGroupBy(t, ["lang", "n_chars"]).aggregate(
+            [("n_chars", "count")])
+        return g.rename_columns(["lang", "n_chars", "cnt"])
+
+    parts = _docs(sf_dir, ["lang", "text"]) \
+        .map_batches(hist, batch_format="pyarrow")
+    agg: dict = {}
+    for nb in parts.iter_batches(batch_format="pyarrow"):
+        for lang, n, c in zip(np.asarray(nb["lang"]),
+                              nb["n_chars"].to_numpy(),
+                              nb["cnt"].to_numpy()):
+            k = (str(lang), int(n))
+            agg[k] = agg.get(k, 0) + int(c)
+    langs = sorted({k[0] for k in agg})
+    lut = {}
+    for lg in langs:
+        lens = sorted(n for (l2, n) in agg if l2 == lg)
+        total = sum(agg[(lg, n)] for n in lens)
+        run = 0
+        for n in lens:
+            lut[(lg, n)] = (run + 1, total)  # min rank of ties, n_lang
+            run += agg[(lg, n)]
+    lut_ref = ray.put(lut)
+
+    def score(b: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)
+        lang = np.asarray(b["lang"])
+        n = pc.cast(pc.utf8_length(b["text"]), pa.int64()).to_numpy()
+        rank = np.empty(len(n), np.int64)
+        tot = np.empty(len(n), np.int64)
+        for i in range(len(n)):          # dict lookup per row: the map
+            r, t = m[(str(lang[i]), int(n[i]))]   # is bounded, rows few
+            rank[i], tot[i] = r, t
+        pct = np.where(
+            tot > 1,
+            np.floor((rank - 1).astype(np.float64)
+                     / (tot - 1).astype(np.float64) * 1e6), 0.0) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "lang": b["lang"],
+            "n_chars": pa.array(n),
+            "pct_micro": pa.array(pct)})
+
+    return _docs(sf_dir, ["doc_id", "lang", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+def corpus_checksums(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Order-free per-bucket content checksums — the integrity /
+    anti-entropy primitive a resumable 100 TB pipeline verifies
+    partitions with: per doc h = md5-u64(text), bucket = doc_id %
+    n_buckets (ids are dense, so plain modulo is uniform AND exactly
+    SQL-reproducible — splitmix would need wraparound arithmetic
+    DuckDB lacks), checksum = XOR of h per bucket (XOR is associative
+    + commutative, so block layout and merge order never matter).
+    Output (bucket, n_docs, checksum) with checksum as 16 lowercase
+    hex chars: uint64 COLUMNS ARE UNSAFE as Ray Data outputs — the
+    streaming block builder can round them through float64 (verified:
+    exact via to_arrow_refs, low bits zeroed via streamed to_pandas),
+    so the 64-bit word rides the shuffle as two int32-range int64
+    halves (XOR composes bitwise, so the halves fold independently)
+    and hex-formats only at the final <= n_buckets rows.
+
+    Per-batch partials collapse to <= n_buckets rows before the ONE
+    bounded groupby; the merge is another XOR fold."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+             for s in b["text"].to_pylist()),
+            dtype=np.uint64, count=b.num_rows)
+        bkt = (b["doc_id"].to_numpy().astype(np.int64) % n_buckets)
+        order = np.argsort(bkt, kind="stable")
+        sb = bkt[order]
+        starts = np.flatnonzero(np.concatenate(([True], sb[1:] != sb[:-1])))
+        hs = h[order]
+        return pa.table({
+            "bucket": pa.array(sb[starts]),
+            "n_docs": pa.array(np.diff(np.concatenate(
+                (starts, [len(sb)]))).astype(np.int64)),
+            "ck_hi": pa.array(np.bitwise_xor.reduceat(
+                hs >> np.uint64(32), starts).astype(np.int64)),
+            "ck_lo": pa.array(np.bitwise_xor.reduceat(
+                hs & np.uint64(0xFFFFFFFF), starts).astype(np.int64))})
+
+    def merge(g: pa.Table) -> pa.Table:
+        hi = np.bitwise_xor.reduce(g["ck_hi"].to_numpy())
+        lo = np.bitwise_xor.reduce(g["ck_lo"].to_numpy())
+        return pa.table({
+            "bucket": pa.array([g["bucket"][0].as_py()], pa.int64()),
+            "n_docs": pa.array([int(np.sum(g["n_docs"].to_numpy()))],
+                               pa.int64()),
+            "checksum": pa.array(
+                [f"{(int(hi) << 32) | int(lo):016x}"], pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")

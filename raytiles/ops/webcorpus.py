@@ -193,15 +193,17 @@ def decontaminate(sf_dir: str, mod: int = BENCH_MOD) -> ray.data.Dataset:
         ids = b["doc_id"].to_numpy()
         sel = ids % mod == 0
         if not sel.any():
-            return pa.table({"gh": pa.array([], pa.uint64())})
+            return pa.table({"gh": pa.array([], pa.int64())})
         texts = b["text"].combine_chunks().filter(pa.array(sel))
         _, gh = _doc_gram_hashes(texts)
-        return pa.table({"gh": np.unique(gh)})
+        # int64 view: uint64 values >= 2^63 can round through float64
+        # in pandas-converting output paths (see corpus_checksums)
+        return pa.table({"gh": np.unique(gh).view(np.int64)})
 
     bench_parts = ray.data.read_parquet(path, columns=["doc_id", "text"]) \
         .map_batches(bench_partial, batch_format="pyarrow").take_all()
     bench = np.unique(np.asarray([r["gh"] for r in bench_parts],
-                                 dtype=np.uint64))
+                                 dtype=np.int64).view(np.uint64))
     bench_ref = ray.put(bench)  # broadcast once; read per task, zero-copy
 
     def scan(b: pa.Table) -> pa.Table:

@@ -1141,3 +1141,40 @@ d AS (
 SELECT url, CAST(count(*) AS BIGINT) AS n_legs,
        CAST(sum(mm) AS BIGINT) AS length_mm
 FROM d GROUP BY url"""
+
+
+def lang_percentiles_sql() -> str:
+    """Twin of ops.text.lang_percentiles: percent_rank() already IS
+    (rank-1)/(n-1) with min-rank tie semantics and 0 for single-row
+    partitions — floor-quantize to micro units on both sides."""
+    return """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(floor(percent_rank() OVER (
+           PARTITION BY lang ORDER BY length(text)) * 1e6) AS BIGINT)
+         AS pct_micro
+FROM documents"""
+
+
+def corpus_checksums_sql(n_buckets: int = 64) -> str:
+    """Twin of ops.text.corpus_checksums: the repo's md5-u64 parity
+    rule + DuckDB's bit_xor aggregate (XOR is order-free, so engine
+    merge order is irrelevant by construction); checksum compares as
+    16 lowercase hex chars (uint64 columns are unsafe through Ray's
+    streamed output path — see the engine docstring)."""
+    return f"""
+SELECT doc_id % {n_buckets} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       lpad(lower(to_hex(
+           bit_xor(('0x' || substr(md5(text), 1, 16))::UBIGINT))),
+           16, '0') AS checksum
+FROM documents GROUP BY 1"""
+
+
+GROUP_MODE_SQL = """
+SELECT event_type, modal_user, n FROM (
+  SELECT event_type, user_id AS modal_user,
+         CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rn
+  FROM events GROUP BY event_type, user_id)
+WHERE rn = 1"""

@@ -218,3 +218,28 @@ def test_user_features_pivot():
     sums = ev.groupby("user_id")["value"].sum()
     assert np.allclose(df["sum_value"].sort_index(),
                        sums.sort_index().round(6), atol=1e-5)
+
+
+def test_group_mode_matches_pandas_argmax():
+    """Modal user per event type with (count desc, user asc) ties —
+    exact vs a pandas recompute."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raytiles.ops.groupops import group_mode
+    from tests.conftest import SF_SMOKE
+    got = group_mode(SF_SMOKE, n_buckets=16).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    counts = ev.groupby(["event_type", "user_id"]).size() \
+        .reset_index(name="n")
+    counts = counts.sort_values(
+        ["event_type", "n", "user_id"],
+        ascending=[True, False, True], kind="stable")
+    want = counts.groupby("event_type").first().reset_index()
+    assert len(got) == len(want)
+    assert (got["event_type"].to_numpy() == want["event_type"].to_numpy()).all()
+    assert (got["modal_user"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (got["n"].to_numpy().astype(np.int64)
+            == want["n"].to_numpy().astype(np.int64)).all()

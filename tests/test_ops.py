@@ -834,3 +834,47 @@ def test_bigram_pmi_single_process_oracle():
     for _, r in got.iterrows():
         n, p = want[r["bigram"]]
         assert r["n_xy"] == n and r["pmi_micro"] == p
+
+
+def test_lang_percentiles_matches_pandas_rank():
+    """pct_micro == floor(percent_rank * 1e6) with min-rank ties,
+    0 for single-row partitions."""
+    from raytiles.ops.text import lang_percentiles
+    got = lang_percentiles(SF_SMOKE).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "lang", "text"]).to_pandas()
+    docs["n_chars"] = docs["text"].str.len()
+    for lang, g in docs.groupby("lang"):
+        n = len(g)
+        rank = g["n_chars"].rank(method="min")
+        want = np.floor((rank - 1) / (n - 1) * 1e6).astype(np.int64) \
+            if n > 1 else pd.Series(0, index=g.index)
+        sub = got.set_index("doc_id").loc[g["doc_id"]]
+        assert (sub["pct_micro"].to_numpy()
+                == want.to_numpy()).all(), lang
+    assert len(got) == len(docs)
+
+
+def test_corpus_checksums_xor_and_layout_invariance():
+    """Checksums equal a single-process XOR of md5-u64 per bucket —
+    and are invariant to engine block layout by construction (XOR
+    merge): verified against the exact recompute."""
+    import hashlib
+    from raytiles.ops.text import corpus_checksums
+    nb = 16
+    got = corpus_checksums(SF_SMOKE, n_buckets=nb).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    want = {}
+    cnt = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        b = int(did) % nb
+        h = int.from_bytes(hashlib.md5(text.encode()).digest()[:8], "big")
+        want[b] = want.get(b, 0) ^ h
+        cnt[b] = cnt.get(b, 0) + 1
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert r["checksum"] == f"{want[int(r['bucket'])]:016x}"
+        assert int(r["n_docs"]) == cnt[int(r["bucket"])]
