@@ -118,3 +118,22 @@ def test_decode_ships_by_value():
     while the library itself imported fine locally."""
     from raytiles.codec.decode import decode_tile_safe
     _roundtrip_in_clean_process(decode_tile_safe, "decode")
+
+
+def test_no_uint64_output_columns_in_stages():
+    """Convention guard (CLAUDE.md): stages must not emit pa.uint64()
+    columns — values >= 2^63 can silently round through float64 in
+    Ray's streamed output path. The codec's arrowio feature table is
+    exempt: its uint64 fields mirror the MVT spec's Word64 id/uint
+    types (VectorTile.hs:123, Value.hs:53-57) and never ride a
+    shuffle."""
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parent.parent / "raytiles"
+    offenders = []
+    for sub in ("ops", "pipeline", "geo"):
+        for p in sorted((root / sub).glob("*.py")):
+            for i, line in enumerate(p.read_text().splitlines(), 1):
+                code = line.split("#", 1)[0]
+                if "pa.uint64()" in code:
+                    offenders.append(f"{p.name}:{i}")
+    assert not offenders, offenders
