@@ -442,6 +442,20 @@ def _q_approx_distinct(sf_dir: str):
     return approx_distinct_users(sf_dir)
 
 
+def _q_hll_sketches(sf_dir: str):
+    """Persistable HLL sketch columns (binary registers per event
+    type); pytest pins estimate parity vs approx_distinct."""
+    from raytiles.ops.sketch import hll_sketches
+    return hll_sketches(sf_dir)
+
+
+def _q_hll_union(sf_dir: str):
+    """Cross-sketch union to one corpus-wide distinct estimate
+    without rereading events."""
+    from raytiles.ops.sketch import hll_union
+    return hll_union(sf_dir)
+
+
 def _q_hdr_quantiles(sf_dir: str):
     """HDR-histogram mergeable quantile sketch — integer binning makes
     the approximate estimate a deterministic function of exact bin
@@ -886,6 +900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "heavy_hitters": _q_heavy_hitters,
         "hdr_quantiles": _q_hdr_quantiles,
+        "hll_sketches": _q_hll_sketches,
+        "hll_union": _q_hll_union,
         "extract_text": _q_extract_text,
         "redact_locations": _q_redact_locations,
         "morton_cells": _q_morton_cells,

@@ -26,21 +26,11 @@ import ray.data
 from ..util import splitmix64
 
 
-def approx_distinct_users(sf_dir: str, p: int = 12,
-                          n_buckets: int = 64) -> ray.data.Dataset:
-    """Approximate count(DISTINCT user_id) per event_type via HLL with
-    m = 2**p registers.
-
-    Partial (per batch): hash user_ids, split each hash into a
-    register index (top p bits) and a rank (leading-zero count of the
-    remaining 64-p bits, +1), and collapse to the per-(event_type,
-    register) max — one argsort + maximum.reduceat, no Python loop.
-    Shuffle: registers hash-partition into a bounded bucket key; the
-    per-bucket merge is the same max-reduce (register max is
-    associative+commutative, so partial order never matters).
-    Finalize: ONE bounded groupby over event_type computes the HLL
-    estimate from its <= m register rows (absent registers count as
-    rank 0 in the harmonic sum)."""
+def _hll_rows(sf_dir: str, p: int, n_buckets: int) -> ray.data.Dataset:
+    """Shared HLL register chain: per-batch (event_type, reg, rank)
+    max partials -> bounded bucket merge. Consumed by the estimating
+    query (approx_distinct_users) and the sketch-column packers
+    (hll_sketches / hll_union)."""
     m = 1 << p
     low_bits = 64 - p
     low_mask = np.uint64((1 << low_bits) - 1)
@@ -80,6 +70,29 @@ def approx_distinct_users(sf_dir: str, p: int = 12,
         return pa.table({"event_type": pa.array(codes[ku // m]),
                          "reg": ku % m, "rank": mx})
 
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def approx_distinct_users(sf_dir: str, p: int = 12,
+                          n_buckets: int = 64) -> ray.data.Dataset:
+    """Approximate count(DISTINCT user_id) per event_type via HLL with
+    m = 2**p registers.
+
+    Partial (per batch): hash user_ids, split each hash into a
+    register index (top p bits) and a rank (leading-zero count of the
+    remaining 64-p bits, +1), and collapse to the per-(event_type,
+    register) max — one argsort + maximum.reduceat, no Python loop.
+    Shuffle: registers hash-partition into a bounded bucket key; the
+    per-bucket merge is the same max-reduce (register max is
+    associative+commutative, so partial order never matters).
+    Finalize: ONE bounded groupby over event_type computes the HLL
+    estimate from its <= m register rows (absent registers count as
+    rank 0 in the harmonic sum)."""
+    m = 1 << p
+
     def estimate(g: pa.Table) -> pa.Table:
         ranks = g["rank"].to_numpy()
         zeros = m - len(ranks)
@@ -92,10 +105,7 @@ def approx_distinct_users(sf_dir: str, p: int = 12,
             "event_type": pa.array([g["event_type"][0].as_py()]),
             "n_users_est": np.array([int(round(e))], dtype=np.int64)})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "user_id"])
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pyarrow") \
+    return _hll_rows(sf_dir, p, n_buckets) \
         .groupby("event_type").map_groups(estimate, batch_format="pyarrow")
 
 
@@ -253,3 +263,76 @@ def hdr_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99),
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(bucket_merge, batch_format="pyarrow") \
         .groupby("g").map_groups(final, batch_format="pyarrow")
+
+
+def _hll_estimate(dense_ranks: np.ndarray) -> int:
+    """HLL estimate from a DENSE m-register rank array (zeros = empty
+    registers) — the same formula approx_distinct_users applies to its
+    sparse rows, shared so sketch-column estimates agree bit-for-bit."""
+    m = len(dense_ranks)
+    nz = dense_ranks[dense_ranks > 0]
+    zeros = m - len(nz)
+    s = float(np.sum(np.ldexp(1.0, -nz))) + zeros
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / s
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)   # small-range (linear counting)
+    return int(round(e))
+
+
+def hll_sketches(sf_dir: str, p: int = 12,
+                 n_buckets: int = 64) -> ray.data.Dataset:
+    """Persistable HLL sketches — the sketch-AS-DATA pattern: one row
+    per event_type whose ``sketch`` column is the dense m=2**p
+    register array packed as m bytes (rank <= 64-p+1 fits uint8).
+    Stored sketches union by elementwise byte max, so later queries
+    (rollups, cross-snapshot distincts) merge them WITHOUT rereading
+    the events table — see ``hll_union``.
+
+    Same partial/merge shuffle as approx_distinct_users (per-batch
+    register-max collapse, bounded bucket merge); the finalizer
+    scatters the <= m sparse rows into the dense byte array."""
+    m = 1 << p
+    base = _hll_rows(sf_dir, p, n_buckets)
+
+    def pack(g: pa.Table) -> pa.Table:
+        dense = np.zeros(m, np.uint8)
+        dense[g["reg"].to_numpy()] = g["rank"].to_numpy().astype(np.uint8)
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()]),
+            "sketch": pa.array([dense.tobytes()], pa.binary()),
+            "n_users_est": pa.array([_hll_estimate(
+                dense.astype(np.int64))], pa.int64())})
+
+    return base.groupby("event_type").map_groups(pack, batch_format="pyarrow")
+
+
+def hll_union(sf_dir: str, p: int = 12, n_buckets: int = 64) -> ray.data.Dataset:
+    """Union stored HLL sketches into one corpus-wide distinct-user
+    estimate WITHOUT touching the events table again: elementwise max
+    over the per-type register bytes (HLL union is exact over unions
+    of the underlying sets). Output one row (n_types, n_users_est)."""
+    m = 1 << p
+    sketches = hll_sketches(sf_dir, p=p, n_buckets=n_buckets)
+
+    def union(b: pa.Table) -> pa.Table:
+        regs = np.zeros(m, np.uint8)
+        for s in b["sketch"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(s, np.uint8))
+        return pa.table({"n_types": pa.array([b.num_rows], pa.int64()),
+                         "regs": pa.array([regs.tobytes()], pa.binary())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        regs = np.zeros(m, np.uint8)
+        n = 0
+        for s, k in zip(b["regs"].to_pylist(), b["n_types"].to_numpy()):
+            regs = np.maximum(regs, np.frombuffer(s, np.uint8))
+            n += int(k)
+        return pa.table({
+            "n_types": pa.array([n], pa.int64()),
+            "n_users_est": pa.array(
+                [_hll_estimate(regs.astype(np.int64))], pa.int64())})
+
+    # per-block partial unions, then one tiny final row
+    return sketches.map_batches(union, batch_format="pyarrow") \
+        .repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -878,3 +878,26 @@ def test_corpus_checksums_xor_and_layout_invariance():
     for _, r in got.iterrows():
         assert r["checksum"] == f"{want[int(r['bucket'])]:016x}"
         assert int(r["n_docs"]) == cnt[int(r["bucket"])]
+
+
+def test_hll_sketch_column_estimate_parity_and_union():
+    """The packed sketch's estimate equals approx_distinct_users'
+    bit-for-bit (same registers, same formula); the union of per-type
+    sketches estimates the overall distinct count within HLL error."""
+    from raytiles.ops.sketch import (approx_distinct_users, hll_sketches,
+                                     hll_union)
+    p = 10
+    est = approx_distinct_users(SF_SMOKE, p=p).to_pandas() \
+        .set_index("event_type")["n_users_est"]
+    sk = hll_sketches(SF_SMOKE, p=p).to_pandas()
+    assert len(sk) == len(est)
+    for _, r in sk.iterrows():
+        assert len(r["sketch"]) == (1 << p)
+        assert r["n_users_est"] == est[r["event_type"]]
+    u = hll_union(SF_SMOKE, p=p).to_pandas()
+    assert len(u) == 1 and int(u["n_types"][0]) == len(sk)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    exact = ev["user_id"].nunique()
+    m = 1 << p
+    assert abs(int(u["n_users_est"][0]) - exact) <= 5 * 1.04 / np.sqrt(m) * exact + 3
