@@ -627,6 +627,13 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(sf_dir)
 
 
+def _q_events_range_window(sf_dir: str):
+    """Trailing time-RANGE window over the global stream via halo
+    (ghost-cell) replication across time buckets."""
+    from raytiles.ops.relational import events_range_window
+    return events_range_window(sf_dir)
+
+
 def _q_group_mode(sf_dir: str):
     """Distributed argmax: modal user per event type (per-bucket
     candidate reduction, tiny final tie-break pass)."""
@@ -949,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "dedup_chunks": _q_dedup_chunks,
         "bigram_pmi": _q_bigram_pmi,
+        "events_range_window": _q_events_range_window,
         "group_mode": _q_group_mode,
         "lang_percentiles": _q_lang_percentiles,
         "corpus_checksums": _q_corpus_checksums,
@@ -1047,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oracles.chunk_documents_sql(),
         "dedup_chunks": oracles.dedup_chunks_sql(),
         "bigram_pmi": oracles.bigram_pmi_sql(),
+        "events_range_window": oracles.events_range_window_sql(),
         "group_mode": oracles.GROUP_MODE_SQL,
         "lang_percentiles": oracles.lang_percentiles_sql(),
         "corpus_checksums": oracles.corpus_checksums_sql(),

@@ -1009,3 +1009,74 @@ def value_histogram(sf_dir: str, bin_width: float = 5.0) -> ray.data.Dataset:
             "vmax": _fq(b["vmax"], 6)})
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def events_range_window(sf_dir: str, range_s: int = 300,
+                        bucket_s: int = 3600,
+                        n_shuffle: int = 256) -> ray.data.Dataset:
+    """Trailing time-RANGE window over the global event stream: for
+    every event, how many events (any type) fall in [ts - range_s,
+    ts] — SQL's RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW,
+    peers (equal ts) included.
+
+    The distributed shape is HALO (ghost-cell) REPLICATION: events
+    partition by fixed time bucket (bucket_s wide — time itself is
+    the shuffle key, bounded by the stream's horizon), and each event
+    within range_s of its bucket's END is replicated once into the
+    NEXT bucket as a halo row, so every bucket owns all data its
+    windows can reach. Per bucket: one sort + two vectorized
+    searchsorteds (right bound on ts for peers, left bound on
+    ts - range_s) — no per-row loop; halo rows count into neighbors'
+    windows but emit no output row. Replication factor is
+    range_s / bucket_s (<= ~8% at the defaults), the documented halo
+    cost knob.
+
+    SQL twin: count(*) OVER (ORDER BY epoch_us(ts) RANGE BETWEEN
+    {range_us} PRECEDING AND CURRENT ROW)."""
+    from ..util import bucket_of
+    range_us = np.int64(range_s * 1_000_000)
+    bucket_us = np.int64(bucket_s * 1_000_000)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy().astype(np.int64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bkt = ts // bucket_us
+        halo = ts >= (bkt + 1) * bucket_us - range_us
+        out_eid = np.concatenate([eid, eid[halo]])
+        out_ts = np.concatenate([ts, ts[halo]])
+        out_bkt = np.concatenate([bkt, bkt[halo] + 1])
+        out_halo = np.concatenate(
+            [np.zeros(len(eid), bool), np.ones(int(halo.sum()), bool)])
+        return pa.table({
+            "event_id": pa.array(out_eid), "ts_us": pa.array(out_ts),
+            "bkt": pa.array(out_bkt), "is_halo": pa.array(out_halo),
+            "shard": pa.array(bucket_of(out_bkt.astype(np.uint64),
+                                        n_shuffle))})
+
+    def count_windows(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        bkt = g["bkt"].to_numpy()
+        halo = g["is_halo"].to_numpy()
+        order = np.lexsort((ts, bkt))
+        ts, eid, bkt, halo = ts[order], eid[order], bkt[order], halo[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], bkt[1:] != bkt[:-1])))
+        ends = np.concatenate((starts[1:], [len(ts)]))
+        out_eid, out_n = [], []
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - range_us, side="left")
+            own = ~halo[s:e]
+            out_eid.append(eid[s:e][own])
+            out_n.append((hi - lo)[own])
+        return pa.table({
+            "event_id": pa.array(np.concatenate(out_eid)),
+            "n_in_range": pa.array(
+                np.concatenate(out_n).astype(np.int64))})
+
+    return ray.data.read_parquet(_p(sf_dir, "events"),
+                                 columns=["event_id", "ts"]) \
+        .map_batches(replicate, batch_format="pyarrow") \
+        .groupby("shard").map_groups(count_windows, batch_format="pyarrow")

@@ -1178,3 +1178,15 @@ SELECT event_type, modal_user, n FROM (
                             ORDER BY count(*) DESC, user_id) AS rn
   FROM events GROUP BY event_type, user_id)
 WHERE rn = 1"""
+
+
+def events_range_window_sql(range_s: int = 300) -> str:
+    """Twin of ops.relational.events_range_window: DuckDB's RANGE
+    frame over integer microseconds — peers at equal ts included on
+    both sides by the frame definition."""
+    return f"""
+SELECT event_id,
+       CAST(count(*) OVER (ORDER BY epoch_us(ts)
+            RANGE BETWEEN {range_s * 1_000_000} PRECEDING
+            AND CURRENT ROW) AS BIGINT) AS n_in_range
+FROM events"""

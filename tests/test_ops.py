@@ -901,3 +901,24 @@ def test_hll_sketch_column_estimate_parity_and_union():
     exact = ev["user_id"].nunique()
     m = 1 << p
     assert abs(int(u["n_users_est"][0]) - exact) <= 5 * 1.04 / np.sqrt(m) * exact + 3
+
+
+def test_events_range_window_tiny_buckets_exercise_halo():
+    """Force many small time buckets (bucket_s=600 vs range_s=300) so
+    halo replication carries most windows across bucket edges; compare
+    against a single-process sorted searchsorted recompute."""
+    from raytiles.ops.relational import events_range_window
+    got = events_range_window(SF_SMOKE, range_s=300, bucket_s=600,
+                              n_shuffle=16).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["event_id", "ts"]).to_pandas()
+    ts = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    order = np.argsort(ts, kind="stable")
+    sts = ts[order]
+    hi = np.searchsorted(sts, ts, side="right")
+    lo = np.searchsorted(sts, ts - 300_000_000, side="left")
+    want = dict(zip(ev["event_id"].to_numpy(), hi - lo))
+    assert len(got) == len(ev)
+    for eid, n in zip(got["event_id"], got["n_in_range"]):
+        assert n == want[eid], eid
