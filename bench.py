@@ -51,6 +51,7 @@ def run_benchmarks() -> dict:
 
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
+    _b0, _s0 = _cpu_stat()  # ambient-noise provenance for this run
 
     # --- headline: flagship end-to-end ---
     # one untimed warm-up run first: Ray spawns worker processes
@@ -168,6 +169,16 @@ def run_benchmarks() -> dict:
         }
 
     ray.shutdown()
+    # ambient-noise provenance: hypervisor steal across the whole run
+    # and current loadavg, so a recorded BENCH json carries its own
+    # measurement context (this shared host loses 0-66% of cycles to
+    # steal in bursts — BASELINE.md "measurement-noise provenance")
+    _b1, _s1 = _cpu_stat()
+    _tot = (_b1 - _b0) + (_s1 - _s0)
+    extras["ambient_steal_pct"] = round(
+        100.0 * (_s1 - _s0) / _tot, 1) if _tot else 0.0
+    with open("/proc/loadavg") as fh:
+        extras["loadavg_1m"] = float(fh.read().split()[0])
     return {
         "metric": "flagship_tiles_e2e",
         "value": queries["tiles_e2e"],
