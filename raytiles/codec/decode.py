@@ -133,12 +133,21 @@ def _decode_feature_raw(buf, start: int, end: int):
                     raise wire.WireError("scan_fields: truncated LEN field")
                 pos = e
                 if fno == 2:
-                    tags_parts.append(wire.uvarint_decode_list(buf[s:e]))
+                    seg = buf[s:e]
+                    # all-single-byte runs (tiny tag/geom words are the
+                    # norm) decode as a C-speed list(bytes) — max() is
+                    # a C scan, no per-byte Python
+                    tags_parts.append(
+                        list(seg) if not seg or max(seg) < 0x80
+                        else wire.uvarint_decode_list(seg))
                 elif fno == 4:
+                    seg = buf[s:e]
                     if ln < SMALL_GEOM_BYTES:
-                        geom_parts.append(wire.uvarint_decode_list(buf[s:e]))
+                        geom_parts.append(
+                            list(seg) if not seg or max(seg) < 0x80
+                            else wire.uvarint_decode_list(seg))
                     else:
-                        geom_parts.append(wire.uvarint_decode_array(buf[s:e]))
+                        geom_parts.append(wire.uvarint_decode_array(seg))
             elif wtype == wire.I32:
                 pos += 4
             elif wtype == wire.I64:
@@ -165,6 +174,8 @@ def _decode_feature_raw(buf, start: int, end: int):
 def _get_meta(keys: list, values: list, tags) -> dict:
     """tags (k_idx, v_idx) pairs -> metadata dict in tag order
     (`getMeta`, Internal.hs:314-317); odd trailing tag dropped."""
+    if not tags:
+        return {}
     t = tags
     if len(t) % 2:
         t = t[:-1]

@@ -172,6 +172,30 @@ def decode_points(cmds: np.ndarray) -> np.ndarray:
     "No points given!" error is reserved for an EMPTY command list
     (Internal.hs:154-156 pattern order)."""
     if type(cmds) is list:  # small-geometry fast path (pure Python)
+        # the dominant shape — ONE well-formed MoveTo whose params
+        # exactly fill the stream — decodes inline (no command tuples,
+        # no parse call); every other shape (empty, short/odd params,
+        # extra trailing words, non-MoveTo) falls through to the
+        # general path so error order and messages stay reference-
+        # exact (parse_commands_list owns them)
+        if cmds:
+            header = cmds[0] & 0xFFFFFFFF
+            count = header >> 3
+            if header & 7 == MOVE_TO and count and len(cmds) == 1 + 2 * count:
+                out = np.empty((count, 2), dtype=np.int64)
+                x = y = 0
+                j = 1
+                for i in range(count):
+                    u = cmds[j] & 0xFFFFFFFF
+                    v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                    x += v - 0x100000000 if v >= 0x80000000 else v
+                    u = cmds[j + 1] & 0xFFFFFFFF
+                    v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                    y += v - 0x100000000 if v >= 0x80000000 else v
+                    out[i, 0] = x
+                    out[i, 1] = y
+                    j += 2
+                return out
         parsed = parse_commands_list(cmds)
         if not parsed:
             raise GeometryError("No points given!")
