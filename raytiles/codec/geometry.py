@@ -230,6 +230,39 @@ def decode_linestrings(cmds: np.ndarray) -> list[np.ndarray]:
     """Pairs of MoveTo(take head only) + LineTo(n>=1); cursor threads
     across linestrings within the feature (Internal.hs:165-174)."""
     if type(cmds) is list:  # small-geometry fast path (pure Python)
+        # dominant shape: ONE [MoveTo(c0) LineTo(c1)] pair whose
+        # params exactly fill the stream — decode inline (no command
+        # tuples, no per-point tuple list); anomalies fall through so
+        # error order/messages stay with the general path
+        if cmds:
+            h0 = cmds[0] & 0xFFFFFFFF
+            c0 = h0 >> 3
+            i1 = 1 + 2 * c0
+            if h0 & 7 == MOVE_TO and c0 and i1 < len(cmds):
+                h1 = cmds[i1] & 0xFFFFFFFF
+                c1 = h1 >> 3
+                if h1 & 7 == LINE_TO and c1 and len(cmds) == i1 + 1 + 2 * c1:
+                    u = cmds[1] & 0xFFFFFFFF
+                    v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                    x = v - 0x100000000 if v >= 0x80000000 else v
+                    u = cmds[2] & 0xFFFFFFFF
+                    v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                    y = v - 0x100000000 if v >= 0x80000000 else v
+                    seg = np.empty((1 + c1, 2), dtype=np.int64)
+                    seg[0, 0] = x
+                    seg[0, 1] = y
+                    j = i1 + 1
+                    for i in range(1, 1 + c1):
+                        u = cmds[j] & 0xFFFFFFFF
+                        v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                        x += v - 0x100000000 if v >= 0x80000000 else v
+                        u = cmds[j + 1] & 0xFFFFFFFF
+                        v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                        y += v - 0x100000000 if v >= 0x80000000 else v
+                        seg[i, 0] = x
+                        seg[i, 1] = y
+                        j += 2
+                    return [seg]
         parsed = parse_commands_list(cmds)
         if len(parsed) % 2:
             raise GeometryError("LineString decode: Invalid command sequence given.")
@@ -295,6 +328,42 @@ def decode_polygons(cmds: np.ndarray) -> list[list[np.ndarray]]:
     all rings closed.
     """
     if type(cmds) is list:  # small-geometry fast path (pure Python)
+        # dominant shape: ONE [MoveTo(c0) LineTo(c1) ClosePath] ring
+        # with exact param fill — a single ring is always its own
+        # polygon group (the hole rule only inspects rings AFTER the
+        # first), so no shoelace needed; anomalies fall through
+        if cmds:
+            h0 = cmds[0] & 0xFFFFFFFF
+            c0 = h0 >> 3
+            i1 = 1 + 2 * c0
+            if h0 & 7 == MOVE_TO and c0 and i1 < len(cmds):
+                h1 = cmds[i1] & 0xFFFFFFFF
+                c1 = h1 >> 3
+                i2 = i1 + 1 + 2 * c1
+                if (h1 & 7 == LINE_TO and c1 and i2 == len(cmds) - 1
+                        and cmds[i2] & 0xFFFFFFFF == 15):
+                    u = cmds[1] & 0xFFFFFFFF
+                    v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                    x = v - 0x100000000 if v >= 0x80000000 else v
+                    u = cmds[2] & 0xFFFFFFFF
+                    v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                    y = v - 0x100000000 if v >= 0x80000000 else v
+                    ring = np.empty((c1 + 2, 2), dtype=np.int64)
+                    ring[0, 0] = x
+                    ring[0, 1] = y
+                    j = i1 + 1
+                    for i in range(1, 1 + c1):
+                        u = cmds[j] & 0xFFFFFFFF
+                        v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                        x += v - 0x100000000 if v >= 0x80000000 else v
+                        u = cmds[j + 1] & 0xFFFFFFFF
+                        v = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                        y += v - 0x100000000 if v >= 0x80000000 else v
+                        ring[i, 0] = x
+                        ring[i, 1] = y
+                        j += 2
+                    ring[c1 + 1] = ring[0]  # stored closed
+                    return [[ring]]
         parsed = parse_commands_list(cmds)
         if len(parsed) % 3:
             raise GeometryError(
