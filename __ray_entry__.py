@@ -641,6 +641,12 @@ def _q_group_mode(sf_dir: str):
     return group_mode(sf_dir)
 
 
+def _q_feature_hashing(sf_dir: str):
+    """Hashing-trick feature vectors (shuffle-free signed counts)."""
+    from raytiles.ops.text import feature_hashing
+    return feature_hashing(sf_dir)
+
+
 def _q_lang_percentiles(sf_dir: str):
     """Per-language percentile normalization via the 2-D histogram
     prefix-rank pattern (no global sort)."""
@@ -958,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": _q_bigram_pmi,
         "events_range_window": _q_events_range_window,
         "group_mode": _q_group_mode,
+        "feature_hashing": _q_feature_hashing,
         "lang_percentiles": _q_lang_percentiles,
         "corpus_checksums": _q_corpus_checksums,
         "pack_sequences": _q_pack_sequences,
@@ -1057,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": oracles.bigram_pmi_sql(),
         "events_range_window": oracles.events_range_window_sql(),
         "group_mode": oracles.GROUP_MODE_SQL,
+        "feature_hashing": oracles.feature_hashing_sql(),
         "lang_percentiles": oracles.lang_percentiles_sql(),
         "corpus_checksums": oracles.corpus_checksums_sql(),
         "pack_sequences": oracles.pack_sequences_sql(),

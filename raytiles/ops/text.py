@@ -1002,3 +1002,51 @@ def corpus_checksums(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def feature_hashing(sf_dir: str, n_features: int = 256) -> ray.data.Dataset:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): every token
+    maps to bucket = md5-u64(token) % n_features with sign from the
+    hash's top bit; per-doc signed counts are the sparse feature
+    vector — (doc_id, fh_bucket, weight) rows, zero weights dropped.
+
+    Shuffle-FREE: docs never split across batches, so per-doc sign
+    sums complete in one vectorized pass (distinct-token md5s via
+    np.unique, scatter-add per (doc, bucket)). The md5-derived hash is
+    the repo parity rule, so the DuckDB twin reproduces bucket and
+    sign exactly."""
+    import hashlib
+
+    _EMPTY = pa.schema([("doc_id", pa.int64()), ("fh_bucket", pa.int64()),
+                        ("weight", pa.int64())])
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows == 0:
+            return _EMPTY.empty_table()
+        tok = np.asarray(t["token"])
+        doc = t["doc_id"].to_numpy()
+        ut, inv = np.unique(tok, return_inverse=True)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+             for s in ut), dtype=np.uint64, count=len(ut))
+        bkt = (h % np.uint64(n_features)).astype(np.int64)[inv]
+        sign = np.where((h >> np.uint64(63)).astype(np.int64)[inv] == 1,
+                        -1, 1).astype(np.int64)
+        # scatter-add per (doc, bucket): docs are contiguous in the
+        # tokens table, so one lexsort + reduceat does every doc
+        key = doc * n_features + bkt
+        order = np.argsort(key, kind="stable")
+        ks, ss = key[order], sign[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        ku = ks[starts]
+        w = np.add.reduceat(ss, starts)
+        keep = w != 0
+        ku, w = ku[keep], w[keep]
+        return pa.table({
+            "doc_id": pa.array(ku // n_features),
+            "fh_bucket": pa.array(ku % n_features),
+            "weight": pa.array(w)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

@@ -1190,3 +1190,19 @@ SELECT event_id,
             RANGE BETWEEN {range_s * 1_000_000} PRECEDING
             AND CURRENT ROW) AS BIGINT) AS n_in_range
 FROM events"""
+
+
+def feature_hashing_sql(n_features: int = 256) -> str:
+    """Twin of ops.text.feature_hashing: the md5-u64 parity expression
+    supplies bucket (mod) and sign (top bit); zero weights dropped."""
+    return f"""
+WITH {_TOKS_CTE},
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 16))::UBIGINT AS hv
+      FROM toks)
+SELECT doc_id,
+       CAST(hv % {n_features} AS BIGINT) AS fh_bucket,
+       CAST(sum(CASE WHEN hv >= 9223372036854775808 THEN -1 ELSE 1 END)
+            AS BIGINT) AS weight
+FROM h GROUP BY 1, 2
+HAVING sum(CASE WHEN hv >= 9223372036854775808 THEN -1 ELSE 1 END) <> 0"""

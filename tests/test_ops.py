@@ -922,3 +922,24 @@ def test_events_range_window_tiny_buckets_exercise_halo():
     assert len(got) == len(ev)
     for eid, n in zip(got["event_id"], got["n_in_range"]):
         assert n == want[eid], eid
+
+
+def test_feature_hashing_single_process_oracle():
+    """Replicate: bucket = md5-u64(token) % 256, sign = top hash bit,
+    per-doc signed counts, zeros dropped."""
+    import re
+    from raytiles.ops.text import TOKEN_RE, feature_hashing
+    got = feature_hashing(SF_SMOKE).to_pandas() \
+        .sort_values(["doc_id", "fh_bucket"]).reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    want = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        for t in re.findall(TOKEN_RE, text):
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            k = (int(did), h % 256)
+            want[k] = want.get(k, 0) + (-1 if h >> 63 else 1)
+    want = {k: v for k, v in want.items() if v != 0}
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[(int(r["doc_id"]), int(r["fh_bucket"]))] == int(r["weight"])
