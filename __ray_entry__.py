@@ -634,6 +634,18 @@ def _q_events_range_window(sf_dir: str):
     return events_range_window(sf_dir)
 
 
+def _q_events_lag(sf_dir: str):
+    """LAG window: previous same-user event + exact micro-unit delta."""
+    from raytiles.ops.relational import events_lag
+    return events_lag(sf_dir)
+
+
+def _q_events_moving_sum(sf_dir: str):
+    """ROWS-frame moving window: per-user trailing 4-event sum/count."""
+    from raytiles.ops.relational import events_moving_sum
+    return events_moving_sum(sf_dir)
+
+
 def _q_group_mode(sf_dir: str):
     """Distributed argmax: modal user per event type (per-bucket
     candidate reduction, tiny final tie-break pass)."""
@@ -963,6 +975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_chunks": _q_dedup_chunks,
         "bigram_pmi": _q_bigram_pmi,
         "events_range_window": _q_events_range_window,
+        "events_lag": _q_events_lag,
+        "events_moving_sum": _q_events_moving_sum,
         "group_mode": _q_group_mode,
         "feature_hashing": _q_feature_hashing,
         "lang_percentiles": _q_lang_percentiles,
@@ -1063,6 +1077,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_chunks": oracles.dedup_chunks_sql(),
         "bigram_pmi": oracles.bigram_pmi_sql(),
         "events_range_window": oracles.events_range_window_sql(),
+        "events_lag": oracles.events_lag_sql(),
+        "events_moving_sum": oracles.events_moving_sum_sql(),
         "group_mode": oracles.GROUP_MODE_SQL,
         "feature_hashing": oracles.feature_hashing_sql(),
         "lang_percentiles": oracles.lang_percentiles_sql(),

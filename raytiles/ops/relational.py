@@ -1080,3 +1080,113 @@ def events_range_window(sf_dir: str, range_s: int = 300,
                                  columns=["event_id", "ts"]) \
         .map_batches(replicate, batch_format="pyarrow") \
         .groupby("shard").map_groups(count_windows, batch_format="pyarrow")
+
+def events_lag(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """LAG window (offset lookback): each event paired with the SAME
+    user's immediately previous event in ``(ts, event_id)`` order,
+    emitting the value delta — SQL's ``lag(...) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)``, rows without a predecessor
+    dropped (the oracle's QUALIFY).
+
+    Same distributed shape as ``events_asof``: one bounded
+    splitmix(user) bucket shuffle, then a whole-bucket lexsort and a
+    shift-by-one compare — a row's predecessor is simply the prior
+    sorted row when it shares the user. Values are quantized to exact
+    INT64 micro-units (floor(value * 1e6), the identical double op on
+    both sides) BEFORE the subtraction so the delta is bit-exact and
+    order-free."""
+    from ..util import bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table({
+            "event_id": pa.compute.cast(b["event_id"], pa.int64()),
+            "user_id": uid.astype(np.int64),
+            "ts_us": pa.compute.cast(b["ts"], pa.int64()),
+            "vm": np.floor(b["value"].to_numpy() * 1e6).astype(np.int64),
+            "bucket": bucket_of(uid, n_buckets)})
+
+    def lag_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        vm = g["vm"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, vm = uid[order], ts[order], eid[order], vm[order]
+        n = len(uid)
+        empty = pa.table({"event_id": np.empty(0, np.int64),
+                          "user_id": np.empty(0, np.int64),
+                          "ts_us": np.empty(0, np.int64),
+                          "prev_event_id": np.empty(0, np.int64),
+                          "delta_micro": np.empty(0, np.int64)})
+        if n < 2:
+            return empty
+        has_prev = np.concatenate(([False], uid[1:] == uid[:-1]))
+        li = np.flatnonzero(has_prev)
+        return pa.table({
+            "event_id": eid[li], "user_id": uid[li], "ts_us": ts[li],
+            "prev_event_id": eid[li - 1],
+            "delta_micro": vm[li] - vm[li - 1]}) if len(li) else empty
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["event_id", "ts", "user_id", "value"])
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(lag_bucket, batch_format="pyarrow")
+
+
+def events_moving_sum(sf_dir: str, k_preceding: int = 3,
+                      n_buckets: int = 256) -> ray.data.Dataset:
+    """ROWS-frame moving window: per user, the sum and count of the
+    last ``k_preceding + 1`` events' values in ``(ts, event_id)``
+    order — SQL's ``sum(...) OVER (... ROWS BETWEEN k PRECEDING AND
+    CURRENT ROW)``. Completes the window family (tumbling / sliding /
+    session / cumulative / RANGE / LAG) with the ROWS frame.
+
+    One bounded splitmix(user) bucket shuffle; per bucket one lexsort,
+    one integer cumsum, and a vectorized frame-start clamp
+    (max(i - k, segment_first)) — no per-user loop, no per-row loop.
+    Values ride as exact INT64 micro-units so the windowed sums are
+    order-free bit-exact vs the oracle's integer sum."""
+    from ..util import bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table({
+            "event_id": pa.compute.cast(b["event_id"], pa.int64()),
+            "user_id": uid.astype(np.int64),
+            "ts_us": pa.compute.cast(b["ts"], pa.int64()),
+            "vm": np.floor(b["value"].to_numpy() * 1e6).astype(np.int64),
+            "bucket": bucket_of(uid, n_buckets)})
+
+    def window_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        vm = g["vm"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, vm = uid[order], ts[order], eid[order], vm[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table({"event_id": np.empty(0, np.int64),
+                             "user_id": np.empty(0, np.int64),
+                             "ts_us": np.empty(0, np.int64),
+                             "w_sum_micro": np.empty(0, np.int64),
+                             "w_n": np.empty(0, np.int64)})
+        idx = np.arange(n)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        seg_first = np.maximum.accumulate(np.where(new, idx, 0))
+        lo = np.maximum(idx - k_preceding, seg_first)
+        cs = np.cumsum(vm)
+        # frame sum = cs[i] - cs[lo-1]; lo == 0 rows start at the
+        # array head, so there is nothing to subtract
+        w_sum = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        return pa.table({
+            "event_id": eid, "user_id": uid, "ts_us": ts,
+            "w_sum_micro": w_sum, "w_n": (idx - lo + 1)})
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["event_id", "ts", "user_id", "value"])
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(window_bucket, batch_format="pyarrow")

@@ -1206,3 +1206,37 @@ SELECT doc_id,
             AS BIGINT) AS weight
 FROM h GROUP BY 1, 2
 HAVING sum(CASE WHEN hv >= 9223372036854775808 THEN -1 ELSE 1 END) <> 0"""
+
+def events_lag_sql() -> str:
+    """Twin of ops.relational.events_lag: lag() over (user, ts,
+    event_id) order; values quantized to INT64 micro-units with the
+    identical floor(value * 1e6) double op before the subtraction, so
+    the delta is bit-exact on both sides."""
+    return """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events)
+SELECT event_id, user_id, ts_us,
+       lag(event_id) OVER win AS prev_event_id,
+       vm - lag(vm) OVER win AS delta_micro
+FROM e
+WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+QUALIFY lag(event_id) OVER win IS NOT NULL"""
+
+
+def events_moving_sum_sql(k_preceding: int = 3) -> str:
+    """Twin of ops.relational.events_moving_sum: the ROWS frame over
+    (user, ts, event_id) order; integer micro-unit sums are order-free
+    exact."""
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events)
+SELECT event_id, user_id, ts_us,
+       CAST(sum(vm) OVER win AS BIGINT) AS w_sum_micro,
+       CAST(count(*) OVER win AS BIGINT) AS w_n
+FROM e
+WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN {k_preceding} PRECEDING AND CURRENT ROW)"""

@@ -943,3 +943,55 @@ def test_feature_hashing_single_process_oracle():
     assert len(got) == len(want)
     for _, r in got.iterrows():
         assert want[(int(r["doc_id"]), int(r["fh_bucket"]))] == int(r["weight"])
+
+
+def test_events_lag_pandas_oracle():
+    """Engine LAG vs a pandas groupby-shift recompute: previous
+    same-user event in (ts, event_id) order, micro-unit delta."""
+    from raytiles.ops.relational import events_lag
+    got = events_lag(SF_SMOKE).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = pq.read_table(
+        f"{SF_SMOKE}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"]).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    ev["vm"] = np.floor(ev["value"].to_numpy() * 1e6).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    g = ev.groupby("user_id")
+    ev["prev_event_id"] = g["event_id"].shift(1)
+    ev["prev_vm"] = g["vm"].shift(1)
+    want = ev[ev["prev_event_id"].notna()] \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["event_id"].to_numpy()
+            == want["event_id"].to_numpy()).all()
+    assert (got["prev_event_id"].to_numpy()
+            == want["prev_event_id"].to_numpy().astype(np.int64)).all()
+    assert (got["delta_micro"].to_numpy()
+            == (want["vm"] - want["prev_vm"]).to_numpy()
+            .astype(np.int64)).all()
+
+
+def test_events_moving_sum_pandas_oracle():
+    """Engine ROWS-frame moving sum vs pandas rolling(4, min_periods=1)
+    over integer micro-units per user."""
+    from raytiles.ops.relational import events_moving_sum
+    got = events_moving_sum(SF_SMOKE).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = pq.read_table(
+        f"{SF_SMOKE}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"]).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    ev["vm"] = np.floor(ev["value"].to_numpy() * 1e6).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    g = ev.groupby("user_id")["vm"]
+    ev["w_sum"] = g.rolling(4, min_periods=1).sum() \
+        .reset_index(level=0, drop=True)
+    ev["w_n"] = g.rolling(4, min_periods=1).count() \
+        .reset_index(level=0, drop=True)
+    want = ev.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["w_sum_micro"].to_numpy()
+            == want["w_sum"].to_numpy().astype(np.int64)).all()
+    assert (got["w_n"].to_numpy()
+            == want["w_n"].to_numpy().astype(np.int64)).all()
