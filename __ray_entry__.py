@@ -492,6 +492,14 @@ def _q_geofence_join(sf_dir: str):
     return geofence_join(webpages_path(sf_dir))
 
 
+def _q_comention_edges(sf_dir: str):
+    """Location co-occurrence graph edges (distinct cell pairs per
+    url, pre-aggregated partials, one bounded pair-bucket shuffle)."""
+    from raytiles.ops.spatial import comention_edges
+    from raytiles.pipeline.synth import webpages_path
+    return comention_edges(webpages_path(sf_dir))
+
+
 def _q_trajectory_lengths(sf_dir: str):
     """Per-url great-circle polyline length (haversine, floor-mm
     per leg so distributed sums are order-free exact)."""
@@ -947,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_enrich": _q_mvt_enrich,
         # spatial joins
         "geofence_join": _q_geofence_join,
+        "comention_edges": _q_comention_edges,
         "trajectory_lengths": _q_trajectory_lengths,
         "nearest_city": _q_nearest_city,
         "host_bbox": _q_host_bbox,
@@ -1053,6 +1062,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_cells": oracles.raster_cells_sql(wp),
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),
         "geofence_join": oracles.geofence_join_sql(wp),
+        "comention_edges": oracles.comention_edges_sql(wp),
         "trajectory_lengths": oracles.trajectory_lengths_sql(wp),
         "nearest_city": oracles.nearest_city_sql(wp),
         "host_bbox": oracles.host_bbox_sql(wp),

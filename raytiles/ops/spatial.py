@@ -484,3 +484,85 @@ def trajectory_lengths(webpages_path: str) -> ray.data.Dataset:
             "length_mm": pa.array(np.add.reduceat(mm, starts))})
 
     return _mentions(webpages_path).map_batches(fn, batch_format="pyarrow")
+
+def comention_edges(webpages_path: str, res: int = 5,
+                    n_buckets: int = 256) -> ray.data.Dataset:
+    """Location co-occurrence graph: one edge per unordered pair of
+    DISTINCT res-``res`` cells mentioned by the same url, weighted by
+    the number of docs mentioning both — the self-join-on-doc edge
+    extraction a knowledge-graph / co-citation pipeline runs, done
+    without any join.
+
+    Shape: geoparse keeps a url's mentions contiguous in-batch, so
+    distinct cells per url and the (a < b) pair expansion complete
+    per batch with one lexsort + ragged-arange arithmetic — pair rows
+    never ship raw; each batch emits pre-aggregated (cell_a, cell_b,
+    n) partials, which merge through ONE bounded splitmix(pair)
+    bucket shuffle. Per-url pair fan-out is quadratic in that url's
+    DISTINCT cells — bounded by the geoparse grammar (mentions per
+    page), the knob a production run would cap; partials make the
+    shuffle payload the number of distinct edges per batch, not the
+    number of pair occurrences."""
+    from ..geo import tilemath as tm
+    from ..util import pair_key
+
+    def _edge_partials(cell_a, cell_b, n=None):
+        order = np.lexsort((cell_b, cell_a))
+        a, b2 = cell_a[order], cell_b[order]
+        w = (np.ones(len(a), np.int64) if n is None else
+             np.asarray(n, np.int64)[order])
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        st = np.flatnonzero(new)
+        return a[st], b2[st], np.add.reduceat(w, st)
+
+    def expand(b: pa.Table) -> pa.Table:
+        empty = pa.table({"cell_a": np.empty(0, np.int64),
+                          "cell_b": np.empty(0, np.int64),
+                          "n": np.empty(0, np.int64),
+                          "bucket": np.empty(0, np.int64)})
+        url = np.asarray(b["url"])
+        if len(url) == 0:
+            return empty
+        cells = tm.cell_id(b["lon"].to_numpy(), b["lat"].to_numpy(), res)
+        new_url = np.empty(len(url), dtype=bool)
+        new_url[0] = True
+        new_url[1:] = url[1:] != url[:-1]
+        seg = np.cumsum(new_url) - 1
+        # distinct (url, cell), cells ascending within a url
+        order = np.lexsort((cells, seg))
+        s, c = seg[order], cells[order]
+        keep = np.empty(len(s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (s[1:] != s[:-1]) | (c[1:] != c[:-1])
+        s, c = s[keep], c[keep]
+        idx = np.arange(len(s))
+        new = np.empty(len(s), dtype=bool)
+        new[0] = True
+        new[1:] = s[1:] != s[:-1]
+        segfirst = np.maximum.accumulate(np.where(new, idx, 0))
+        loc = idx - segfirst           # local rank within the url
+        npairs = int(loc.sum())
+        if npairs == 0:
+            return empty
+        # every row is the RIGHT element of `loc` pairs; left elements
+        # are the url's earlier (smaller) cells — a ragged arange
+        right = np.repeat(idx, loc)
+        blk = np.cumsum(loc) - loc     # exclusive pair offset per row
+        left = (np.arange(npairs) - np.repeat(blk, loc)) \
+            + np.repeat(segfirst, loc)
+        a, b2, n = _edge_partials(c[left], c[right])
+        return pa.table({
+            "cell_a": a, "cell_b": b2, "n": n,
+            "bucket": bucket_of(pair_key(a, b2), n_buckets)})
+
+    def merge(g: pa.Table) -> pa.Table:
+        a, b2, n = _edge_partials(g["cell_a"].to_numpy(),
+                                  g["cell_b"].to_numpy(),
+                                  g["n"].to_numpy())
+        return pa.table({"cell_a": a, "cell_b": b2, "n_docs": n})
+
+    return _mentions(webpages_path) \
+        .map_batches(expand, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")

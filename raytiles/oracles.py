@@ -1240,3 +1240,14 @@ SELECT event_id, user_id, ts_us,
 FROM e
 WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN {k_preceding} PRECEDING AND CURRENT ROW)"""
+
+def comention_edges_sql(webpages_parquet: str, res: int = 5) -> str:
+    """Twin of ops.spatial.comention_edges: distinct (url, cell) then
+    an a.cell < b.cell self-join on url, counting co-mentioning docs."""
+    return f"""
+WITH {mentions_cte(webpages_parquet)},
+cells AS (
+  SELECT DISTINCT url, {_cell_expr(res)} AS cell FROM mentions)
+SELECT a.cell AS cell_a, b.cell AS cell_b, count(*) AS n_docs
+FROM cells a JOIN cells b ON a.url = b.url AND a.cell < b.cell
+GROUP BY 1, 2"""

@@ -222,3 +222,27 @@ def test_trajectory_lengths_single_process_oracle():
     for _, r in got.iterrows():
         n, s = want[r["url"]]
         assert r["n_legs"] == n and r["length_mm"] == s
+
+
+def test_comention_edges_matches_bruteforce():
+    """Engine edge counts vs a per-url set-of-cells itertools
+    recompute at sf0.001."""
+    from itertools import combinations
+
+    from raytiles.geo.tilemath import cell_id
+    from raytiles.ops.spatial import comention_edges
+    from raytiles.pipeline.synth import webpages_path
+    got = comention_edges(webpages_path(SF_SMOKE)).to_pandas()
+    m = _mentions_df()
+    cells = cell_id(m["lon"].to_numpy(), m["lat"].to_numpy(), 5)
+    want: dict = {}
+    for url, grp in zip(m["url"], cells):
+        want.setdefault(url, set()).add(int(grp))
+    edges: dict = {}
+    for cs in want.values():
+        for a, b in combinations(sorted(cs), 2):
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+    assert len(got) == len(edges)
+    got_map = {(int(r.cell_a), int(r.cell_b)): int(r.n_docs)
+               for r in got.itertuples()}
+    assert got_map == edges
