@@ -800,6 +800,29 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return geoparse(read_webpages_jsonl(root))
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """WARC source/sink roundtrip: parquet webpages -> WARC/1.0 shards
+    (html only — the crawl-native contract) -> re-derive text from the
+    html payload -> geoparse. Value-checked against the same geoparse
+    SQL twin as the parquet path, so the WARC reader's record parse,
+    header recovery, AND the extraction re-derivation are all on the
+    hook."""
+    import tempfile
+
+    import ray.data as _rd
+
+    from raytiles.pipeline.flagship import geoparse
+    from raytiles.pipeline.sources import (read_webpages_warc,
+                                           write_webpages_warc)
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    root = tempfile.mkdtemp(prefix="raytiles_warc_")
+    write_webpages_warc(
+        _rd.read_parquet(wp, columns=["url", "warc_ts", "html", "lang"]),
+        root)
+    return geoparse(read_webpages_warc(root))
+
+
 def _q_csv_roundtrip(sf_dir: str):
     """CSV source/sink roundtrip: parquet webpages -> CSV shards ->
     geoparse. Oracle: the geoparse SQL twin over the original parquet
@@ -905,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_files": _q_mvt_files,
         "mvt_ingest": _q_mvt_ingest,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "warc_roundtrip": _q_warc_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "tile_features": _q_tile_features,
@@ -1027,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "geoparse": oracles.geoparse_sql(wp),
         # the JSONL path must parse to the same mentions as parquet
         "jsonl_roundtrip": oracles.geoparse_sql(wp),
+        "warc_roundtrip": oracles.geoparse_sql(wp),
         "csv_roundtrip": oracles.geoparse_sql(wp),
         "tile_assign": oracles.tile_assign_sql(wp),
         "tile_counts": oracles.tile_counts_sql(wp),

@@ -164,3 +164,113 @@ def write_webpages_csv(ds: ray.data.Dataset, root: str) -> None:
     for _ in ds.map_batches(dump, batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow"):
         pass
+
+
+def write_webpages_warc(ds: ray.data.Dataset, root: str) -> None:
+    """WARC/1.0 sink — the Common-Crawl container format (ISO 28500):
+    one ``.warc`` shard per block, one ``response`` record per page.
+    The payload is an HTTP/1.1 response carrying the raw html bytes;
+    url / warc_ts / lang ride the standard ``WARC-Target-URI`` /
+    ``WARC-Date`` / ``WARC-Identified-Content-Language`` headers (the
+    last is the header Common Crawl itself uses for detected
+    language). Text is NOT stored: the crawl-native contract is that
+    extracted text is derived from html downstream (ops/extract), so
+    a WARC roundtrip re-derives it bit-exactly via the corpus's
+    extraction invariant.
+
+    Record assembly is bytes-concat per row (bounded by payload
+    size); the sink writes one file per block — the same resumable
+    one-file-per-shard layout as the parquet / .mvt / CSV sinks."""
+    import hashlib
+    import os
+
+    os.makedirs(root, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        parts = []
+        urls = t["url"].to_pylist()
+        langs = (t["lang"].to_pylist() if "lang" in t.column_names
+                 else [""] * t.num_rows)
+        ts = t["warc_ts"].to_pylist() if "warc_ts" in t.column_names \
+            else [None] * t.num_rows
+        htmls = t["html"].to_pylist()
+        for url, lang, when, html in zip(urls, langs, ts, htmls):
+            http = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n"
+                    b"Content-Length: " + str(len(html)).encode()
+                    + b"\r\n\r\n" + html)
+            date = (when.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if when is not None else "1970-01-01T00:00:00Z")
+            rid = hashlib.md5(url.encode()).hexdigest()
+            header = (f"WARC/1.0\r\n"
+                      f"WARC-Type: response\r\n"
+                      f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+                      f"WARC-Date: {date}\r\n"
+                      f"WARC-Target-URI: {url}\r\n"
+                      f"WARC-Identified-Content-Language: {lang}\r\n"
+                      f"Content-Type: application/http; msgtype=response\r\n"
+                      f"Content-Length: {len(http)}\r\n\r\n").encode()
+            parts.append(header + http + b"\r\n\r\n")
+        payload = b"".join(parts)
+        name = hashlib.md5(payload).hexdigest()[:16]
+        with open(os.path.join(root, f"part-{name}.warc"), "wb") as fh:
+            fh.write(payload)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(dump, batch_format="pyarrow").materialize()
+
+
+def read_webpages_warc(root: str) -> ray.data.Dataset:
+    """WARC/1.0 webpages source: ``read_binary_files`` shards .warc
+    files across tasks (one file = one sequential record scan — WARC
+    is a sequential container by construction, so the parallel unit is
+    the shard, exactly how Common Crawl's 100k-file crawls are
+    processed); each ``response`` record yields (url, warc_ts, html,
+    text, lang) with ``text`` re-derived from the html payload via the
+    corpus extraction rule (ops/extract strip contract), giving the
+    same logical schema as the parquet table."""
+    from ..ops.extract import PREFIX, SUFFIX
+
+    ds = ray.data.read_binary_files(root, file_extensions=["warc"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        import datetime as _dt
+        urls, tss, htmls, texts, langs = [], [], [], [], []
+        for blob in b["bytes"]:
+            data = blob.as_py()
+            pos = 0
+            while pos < len(data):
+                head_end = data.find(b"\r\n\r\n", pos)
+                if head_end < 0:
+                    break
+                head = data[pos:head_end].decode("utf-8", "replace")
+                fields = {}
+                for line in head.split("\r\n")[1:]:
+                    k, _, v = line.partition(": ")
+                    fields[k.lower()] = v
+                clen = int(fields.get("content-length", "0"))
+                payload = data[head_end + 4:head_end + 4 + clen]
+                pos = head_end + 4 + clen + 4  # skip record separator
+                if fields.get("warc-type") != "response":
+                    continue
+                body_at = payload.find(b"\r\n\r\n")
+                html = payload[body_at + 4:] if body_at >= 0 else b""
+                body = html
+                if body.startswith(PREFIX) and body.endswith(SUFFIX):
+                    body = body[len(PREFIX):len(body) - len(SUFFIX)]
+                urls.append(fields.get("warc-target-uri", ""))
+                tss.append(_dt.datetime.strptime(
+                    fields.get("warc-date", "1970-01-01T00:00:00Z"),
+                    "%Y-%m-%dT%H:%M:%SZ"))
+                htmls.append(html)
+                texts.append(body.decode("utf-8", "replace"))
+                langs.append(
+                    fields.get("warc-identified-content-language", ""))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string())})
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -772,3 +772,42 @@ def test_csv_source_roundtrips_parquet(tmp_path):
     assert len(m1) == len(m2)
     for c in ("url", "mention_idx", "lon", "lat"):
         assert (m1[c] == m2[c]).all(), c
+
+
+def test_warc_source_roundtrips_parquet(tmp_path):
+    """write_webpages_warc -> read_webpages_warc reproduces all five
+    parquet columns — text re-derived from the html payload — and a
+    truncated trailing record is contained, not fatal."""
+    import ray.data
+
+    from raytiles.pipeline.sources import (read_webpages_warc,
+                                           write_webpages_warc)
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    src = ray.data.read_parquet(wp)
+    root = str(tmp_path / "warc")
+    write_webpages_warc(src, root)
+    back = read_webpages_warc(root).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = src.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(back) == len(want)
+    for c in ("url", "text", "lang", "html"):
+        assert (back[c] == want[c]).all(), c
+    assert (back["warc_ts"].astype("datetime64[us]")
+            == want["warc_ts"].astype("datetime64[us]")).all()
+    # containment: a shard whose last record is truncated mid-header
+    # yields its complete records and drops the tail
+    import glob
+    import os
+    shard = sorted(glob.glob(os.path.join(root, "*.warc")))[0]
+    data = open(shard, "rb").read()
+    second = data.find(b"WARC/1.0", 1)
+    assert second > 0
+    trunc_root = str(tmp_path / "warc_trunc")
+    os.makedirs(trunc_root)
+    with open(os.path.join(trunc_root, "t.warc"), "wb") as fh:
+        fh.write(data[:second + 40])  # full record + header fragment
+    got = read_webpages_warc(trunc_root).to_pandas()
+    assert len(got) == 1
+    assert got["url"][0] == back["url"][0] or got["url"][0] in set(want["url"])
