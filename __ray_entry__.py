@@ -582,6 +582,12 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(sf_dir)
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (ADC scan + bounded exact re-rank)."""
+    from raytiles.ops.similarity import knn_pq
+    return knn_pq(sf_dir)
+
+
 def _q_lsh_neardup(sf_dir: str):
     from raytiles.ops.similarity import lsh_neardup_pairs
     # the testdata embeddings are near-orthogonal (max pairwise cosine
@@ -1030,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn": _q_knn,
         "knn_ivf": _q_knn_ivf,
+        "knn_pq": _q_knn_pq,
         "lsh_neardup": _q_lsh_neardup,
         "kmeans_clusters": _q_kmeans,
         "pca_project": _q_pca,
