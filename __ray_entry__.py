@@ -667,6 +667,12 @@ def _q_group_mode(sf_dir: str):
     return group_mode(sf_dir)
 
 
+def _q_token_entropy(sf_dir: str):
+    """Per-doc token-distribution entropy (micro-nat quantized)."""
+    from raytiles.ops.text import token_entropy
+    return token_entropy(sf_dir)
+
+
 def _q_feature_hashing(sf_dir: str):
     """Hashing-trick feature vectors (shuffle-free signed counts)."""
     from raytiles.ops.text import feature_hashing
@@ -1018,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum": _q_events_moving_sum,
         "group_mode": _q_group_mode,
         "feature_hashing": _q_feature_hashing,
+        "token_entropy": _q_token_entropy,
         "lang_percentiles": _q_lang_percentiles,
         "corpus_checksums": _q_corpus_checksums,
         "pack_sequences": _q_pack_sequences,
@@ -1123,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_sum": oracles.events_moving_sum_sql(),
         "group_mode": oracles.GROUP_MODE_SQL,
         "feature_hashing": oracles.feature_hashing_sql(),
+        "token_entropy": oracles.token_entropy_sql(),
         "lang_percentiles": oracles.lang_percentiles_sql(),
         "corpus_checksums": oracles.corpus_checksums_sql(),
         "pack_sequences": oracles.pack_sequences_sql(),

@@ -1050,3 +1050,42 @@ def feature_hashing(sf_dir: str, n_features: int = 256) -> ray.data.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+def token_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc token-distribution Shannon entropy — the
+    repetitiveness/quality signal (low entropy = boilerplate or
+    degenerate repetition; complements doc_repetition's duplicate-
+    token fraction with a distribution-shape measure).
+
+    Shuffle-free: docs never split across batches, so per-(doc,
+    token) counts complete per batch via one Arrow C++ hash-agg on
+    the exact token strings (no hashing — the oracle twin groups the
+    same strings). Parity: each term c*ln(c) floor-quantizes to
+    INT64 micro-nats BEFORE the per-doc sum (integer sums are
+    order-free exact — the unigram_logprob trick), and the final
+    entropy expression ln(n) - (s/n)/1e6 is the identical double-op
+    sequence on identical integer inputs on both sides. Docs with
+    zero tokens emit no row (they have no toks rows in the twin)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows == 0:
+            return pa.table({"doc_id": np.empty(0, np.int64),
+                             "n_tokens": np.empty(0, np.int64),
+                             "ent_micro": np.empty(0, np.int64)})
+        cnt = t.group_by(["doc_id", "token"]).aggregate([("token", "count")])
+        c = cnt["token_count"].to_numpy().astype(np.int64)
+        term = np.floor(c * np.log(c) * 1e6).astype(np.int64)
+        per = pa.table({"doc_id": cnt["doc_id"], "c": pa.array(c),
+                        "term": pa.array(term)})
+        agg = per.group_by("doc_id").aggregate([("c", "sum"),
+                                                ("term", "sum")])
+        n = agg["c_sum"].to_numpy().astype(np.int64)
+        s = agg["term_sum"].to_numpy().astype(np.int64)
+        ent = np.floor((np.log(n) - (s / n) / 1e6) * 1e6).astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(agg["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n), "ent_micro": pa.array(ent)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

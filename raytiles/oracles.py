@@ -1251,3 +1251,20 @@ cells AS (
 SELECT a.cell AS cell_a, b.cell AS cell_b, count(*) AS n_docs
 FROM cells a JOIN cells b ON a.url = b.url AND a.cell < b.cell
 GROUP BY 1, 2"""
+
+def token_entropy_sql() -> str:
+    """Twin of ops.text.token_entropy: per-(doc, token) counts, each
+    c*ln(c) term floor-quantized to INT64 micro-nats before the
+    order-free integer per-doc sum; the closing entropy expression is
+    the identical double-op sequence."""
+    return f"""
+WITH {_TOKS_CTE},
+cnt AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(floor(c * ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS s
+        FROM cnt GROUP BY 1)
+SELECT doc_id, n_tokens,
+       CAST(floor((ln(n_tokens) - (s / n_tokens) / 1e6) * 1e6) AS BIGINT)
+         AS ent_micro
+FROM agg"""

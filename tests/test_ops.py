@@ -1016,3 +1016,33 @@ def test_knn_pq_recall_and_determinism():
     a = pq_df.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b2 = pq2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b2)
+
+
+def test_token_entropy_single_process_oracle():
+    """Entropy recompute with collections.Counter per doc; also pins
+    the monotone range 0 <= H <= ln(n_tokens)."""
+    import math
+    import re
+
+    from raytiles.ops.text import TOKEN_RE, token_entropy
+    got = token_entropy(SF_SMOKE).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    rx = re.compile(TOKEN_RE)
+    want = {}
+    for r in docs.itertuples():
+        toks = rx.findall(r.text)
+        if not toks:
+            continue
+        from collections import Counter
+        c = Counter(toks)
+        n = len(toks)
+        s = sum(int(np.floor(v * np.log(v) * 1e6)) for v in c.values())
+        want[r.doc_id] = (n, int(np.floor(
+            (np.log(n) - (s / n) / 1e6) * 1e6)))
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, e = want[r.doc_id]
+        assert r.n_tokens == n and r.ent_micro == e, r.doc_id
+        assert 0 <= e <= np.log(n) * 1e6 + 1
