@@ -435,6 +435,12 @@ def _q_order_revenue(sf_dir: str):
     return order_revenue(sf_dir)
 
 
+def _q_order_revenue_left(sf_dir: str):
+    """LEFT OUTER big-big join: every open order, null-filled revenue."""
+    from raytiles.ops.relational import order_revenue_left
+    return order_revenue_left(sf_dir)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL approximate count-distinct (no SQL twin — approximate by
     design; pytest pins accuracy vs exact and merge invariance)."""
@@ -956,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
+        "order_revenue_left": _q_order_revenue_left,
         "user_features": _q_user_features,
         "funnel_conversion": _q_funnel,
         "urgent_revenue": _q_urgent_revenue,
@@ -1082,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": oracles.EVENTS_ROLLUP_SQL,
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
+        "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,
         "user_features": oracles.USER_FEATURES_SQL,
         "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,
         "urgent_revenue": oracles.URGENT_REVENUE_SQL,

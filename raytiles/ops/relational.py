@@ -404,6 +404,81 @@ def order_revenue(sf_dir: str, status: str = "O",
     return j.map_batches(finalize, batch_format="pandas")
 
 
+def order_revenue_left(sf_dir: str, status: str = "O",
+                       n_buckets: int = 256) -> ray.data.Dataset:
+    """LEFT OUTER variant of ``order_revenue``: EVERY status-filtered
+    order appears, orders with no lineitems carrying revenue 0.00 /
+    n_items 0 — the null-preserving join shape (reporting joins,
+    slowly-filling fact tables) the inner join can't express.
+
+    Same distributed plan — lineitem collapses to exact per-order
+    partials through one bounded-bucket shuffle first, so the outer
+    join's probe side is one row per order, not one per lineitem —
+    with orders as the preserved (left) side of Ray Data's
+    partitioned hash join and a vectorized null-fill finalizer."""
+    from .dedup import _join_partitions
+    from ..util import bucket_of
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(1.0, b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        g = g.rename_columns(["l_orderkey", "rev", "n"])
+        return g.append_column(
+            "bucket",
+            pa.array(bucket_of(g["l_orderkey"].to_numpy(), n_buckets)))
+
+    def li_merge(g: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(g.select(["l_orderkey", "rev", "n"]),
+                            "l_orderkey") \
+            .aggregate([("rev", "sum"), ("n", "sum")])
+        t = t.rename_columns(["l_orderkey", "rev", "n_items"])
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": t["rev"],
+                         "n_items": pa.compute.cast(t["n_items"],
+                                                    pa.int64())})
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.equal(b["o_orderstatus"], status))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "orderdate_us": pc.cast(
+                pc.cast(b["o_orderdate"], pa.timestamp("us")), pa.int64())})
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(li_merge, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]) \
+        .map_batches(ord_filter, batch_format="pyarrow")
+
+    n_part = _join_partitions()
+    li = li.repartition(n_part)
+    orders = orders.repartition(n_part)
+    j = orders.join(li, "left_outer", n_part,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["rev"].to_numpy(dtype=np.float64, na_value=0.0)
+        n_items = b["n_items"].to_numpy(dtype=np.float64, na_value=0.0)
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype(np.int64),
+            "o_custkey": b["o_custkey"].astype(np.int64),
+            "orderdate_us": b["orderdate_us"].astype(np.int64),
+            "revenue": _fq(rev, 2),
+            "n_items": n_items.astype(np.int64)})
+
+    return j.map_batches(finalize, batch_format="pandas")
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

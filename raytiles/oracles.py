@@ -1268,3 +1268,12 @@ SELECT doc_id, n_tokens,
        CAST(floor((ln(n_tokens) - (s / n_tokens) / 1e6) * 1e6) AS BIGINT)
          AS ent_micro
 FROM agg"""
+
+ORDER_REVENUE_LEFT_SQL = """
+SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS orderdate_us,
+       round(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0), 2)
+         AS revenue,
+       CAST(count(l.l_orderkey) AS BIGINT) AS n_items
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY 1, 2, 3"""

@@ -1046,3 +1046,26 @@ def test_token_entropy_single_process_oracle():
         n, e = want[r.doc_id]
         assert r.n_tokens == n and r.ent_micro == e, r.doc_id
         assert 0 <= e <= np.log(n) * 1e6 + 1
+
+
+def test_order_revenue_left_supersets_inner():
+    """Left join == inner join rows plus zero-filled orders with no
+    lineitems; preserved-side completeness pinned against parquet."""
+    from raytiles.ops.relational import order_revenue, order_revenue_left
+    inner = order_revenue(SF_SMOKE).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    left = order_revenue_left(SF_SMOKE).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    orders = pq.read_table(
+        f"{SF_SMOKE}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"]).to_pandas()
+    n_open = int((orders["o_orderstatus"] == "O").sum())
+    assert len(left) == n_open
+    assert len(inner) <= len(left)
+    merged = left.merge(inner, on="o_orderkey", how="left",
+                        suffixes=("", "_i"))
+    matched = merged["revenue_i"].notna()
+    assert (merged.loc[matched, "revenue"]
+            == merged.loc[matched, "revenue_i"]).all()
+    assert (merged.loc[~matched, "revenue"] == 0.0).all()
+    assert (merged.loc[~matched, "n_items"] == 0).all()
