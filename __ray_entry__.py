@@ -506,6 +506,14 @@ def _q_comention_edges(sf_dir: str):
     return comention_edges(webpages_path(sf_dir))
 
 
+def _q_cell_pagerank(sf_dir: str):
+    """Iterative PageRank over the co-mention cell graph (bounded
+    node domain, one streaming edge pass per iteration)."""
+    from raytiles.ops.graph import cell_pagerank
+    from raytiles.pipeline.synth import webpages_path
+    return cell_pagerank(webpages_path(sf_dir))
+
+
 def _q_trajectory_lengths(sf_dir: str):
     """Per-url great-circle polyline length (haversine, floor-mm
     per leg so distributed sums are order-free exact)."""
@@ -999,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial joins
         "geofence_join": _q_geofence_join,
         "comention_edges": _q_comention_edges,
+        "cell_pagerank": _q_cell_pagerank,
         "trajectory_lengths": _q_trajectory_lengths,
         "nearest_city": _q_nearest_city,
         "host_bbox": _q_host_bbox,

@@ -246,3 +246,32 @@ def test_comention_edges_matches_bruteforce():
     got_map = {(int(r.cell_a), int(r.cell_b)): int(r.n_docs)
                for r in got.itertuples()}
     assert got_map == edges
+
+
+def test_cell_pagerank_matches_power_iteration():
+    """Engine PageRank vs a dense single-process power iteration on
+    the same edge list; tolerance covers summation-order ulp only."""
+    from raytiles.ops.graph import cell_pagerank
+    from raytiles.ops.spatial import comention_edges
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    got = cell_pagerank(wp).to_pandas().sort_values("cell") \
+        .reset_index(drop=True)
+    edges = comention_edges(wp).to_pandas()
+    cells = np.unique(np.concatenate(
+        [edges["cell_a"].to_numpy(), edges["cell_b"].to_numpy()]))
+    n = len(cells)
+    idx = {c: i for i, c in enumerate(cells)}
+    w = np.zeros((n, n))
+    for r in edges.itertuples():
+        w[idx[r.cell_a], idx[r.cell_b]] += r.n_docs
+        w[idx[r.cell_b], idx[r.cell_a]] += r.n_docs
+    deg = w.sum(1)
+    p = np.full(n, 1.0 / n)
+    for _ in range(10):
+        p = (1 - 0.85) / n + 0.85 * (w.T @ (p / deg))
+    assert len(got) == n
+    assert (got["cell"].to_numpy() == cells).all()
+    assert abs(got["rank_micro"].sum() / 1e9 - 1.0) < 1e-6
+    assert np.allclose(got["rank_micro"].to_numpy() / 1e9, p,
+                       rtol=1e-9, atol=1e-9)
