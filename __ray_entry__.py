@@ -849,6 +849,25 @@ def _q_warc_roundtrip(sf_dir: str):
     return geoparse(read_webpages_warc(root))
 
 
+def _q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather V2) source/sink roundtrip -> geoparse —
+    full-fidelity zero-copy interchange; value-checked against the
+    geoparse SQL twin like the parquet path."""
+    import tempfile
+
+    import ray.data as _rd
+
+    from raytiles.pipeline.flagship import geoparse
+    from raytiles.pipeline.sources import (read_webpages_ipc,
+                                           write_webpages_ipc)
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    root = tempfile.mkdtemp(prefix="raytiles_ipc_")
+    write_webpages_ipc(
+        _rd.read_parquet(wp, columns=["url", "text"]), root)
+    return geoparse(read_webpages_ipc(root))
+
+
 def _q_csv_roundtrip(sf_dir: str):
     """CSV source/sink roundtrip: parquet webpages -> CSV shards ->
     geoparse. Oracle: the geoparse SQL twin over the original parquet
@@ -955,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_ingest": _q_mvt_ingest,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
+        "ipc_roundtrip": _q_ipc_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "tile_features": _q_tile_features,
@@ -1082,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         # the JSONL path must parse to the same mentions as parquet
         "jsonl_roundtrip": oracles.geoparse_sql(wp),
         "warc_roundtrip": oracles.geoparse_sql(wp),
+        "ipc_roundtrip": oracles.geoparse_sql(wp),
         "csv_roundtrip": oracles.geoparse_sql(wp),
         "tile_assign": oracles.tile_assign_sql(wp),
         "tile_counts": oracles.tile_counts_sql(wp),

@@ -811,3 +811,28 @@ def test_warc_source_roundtrips_parquet(tmp_path):
     got = read_webpages_warc(trunc_root).to_pandas()
     assert len(got) == 1
     assert got["url"][0] == back["url"][0] or got["url"][0] in set(want["url"])
+
+
+def test_ipc_source_roundtrips_parquet(tmp_path):
+    """write_webpages_ipc -> read_webpages_ipc reproduces all five
+    columns bit-exactly (full-fidelity format) and prunes columns."""
+    import ray.data
+
+    from raytiles.pipeline.sources import (read_webpages_ipc,
+                                           write_webpages_ipc)
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    src = ray.data.read_parquet(wp)
+    root = str(tmp_path / "ipc")
+    write_webpages_ipc(src, root)
+    back = read_webpages_ipc(root).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = src.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(back) == len(want)
+    for c in ("url", "text", "lang", "html"):
+        assert (back[c] == want[c]).all(), c
+    assert (back["warc_ts"].astype("datetime64[us]")
+            == want["warc_ts"].astype("datetime64[us]")).all()
+    pruned = read_webpages_ipc(root, columns=("url",)).to_pandas()
+    assert list(pruned.columns) == ["url"] and len(pruned) == len(want)
