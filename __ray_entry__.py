@@ -681,6 +681,12 @@ def _q_group_mode(sf_dir: str):
     return group_mode(sf_dir)
 
 
+def _q_compression_ratio(sf_dir: str):
+    """Per-doc DEFLATE compression ratio (boilerplate signal)."""
+    from raytiles.ops.text import compression_ratio
+    return compression_ratio(sf_dir)
+
+
 def _q_token_entropy(sf_dir: str):
     """Per-doc token-distribution entropy (micro-nat quantized)."""
     from raytiles.ops.text import token_entropy
@@ -1061,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mode": _q_group_mode,
         "feature_hashing": _q_feature_hashing,
         "token_entropy": _q_token_entropy,
+        "compression_ratio": _q_compression_ratio,
         "lang_percentiles": _q_lang_percentiles,
         "corpus_checksums": _q_corpus_checksums,
         "pack_sequences": _q_pack_sequences,

@@ -1089,3 +1089,44 @@ def token_entropy(sf_dir: str) -> ray.data.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+def compression_ratio(sf_dir: str, level: int = 6) -> ray.data.Dataset:
+    """Per-doc DEFLATE compression ratio — the Gopher/C4-family
+    quality signal orthogonal to token statistics: highly repetitive
+    or templated text compresses far below natural prose, so a low
+    ratio flags boilerplate and degenerate generation even when token
+    entropy looks healthy.
+
+    Shuffle-free map: zlib (C) runs straight over each row's UTF-8
+    slice of the Arrow values buffer — no Python str materializes.
+    Output ratio_ppm = compressed*1e6 // raw is exact integer
+    arithmetic (order-free, platform-deterministic for a fixed zlib),
+    so the gate row hash is stable; no SQL twin exists for DEFLATE ->
+    rows-only + a single-process recompute pytest."""
+    import zlib
+
+    def fn(b: pa.Table) -> pa.Table:
+        col = b["text"].combine_chunks()
+        n = len(col)
+        if pa.types.is_large_string(col.type):
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+                col.offset:col.offset + n + 1]
+        else:
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset:col.offset + n + 1].astype(np.int64)
+        mv = memoryview(col.buffers()[2])
+        comp = zlib.compress
+        raw = np.diff(offs)
+        clen = np.fromiter(
+            (len(comp(mv[offs[i]:offs[i + 1]], level)) for i in range(n)),
+            np.int64, n)
+        keep = raw > 0
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()).filter(
+                pa.array(keep)),
+            "raw_bytes": pa.array(raw[keep]),
+            "comp_bytes": pa.array(clen[keep]),
+            "ratio_ppm": pa.array(clen[keep] * 1_000_000 // raw[keep])})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

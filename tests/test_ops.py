@@ -1069,3 +1069,26 @@ def test_order_revenue_left_supersets_inner():
             == merged.loc[matched, "revenue_i"]).all()
     assert (merged.loc[~matched, "revenue"] == 0.0).all()
     assert (merged.loc[~matched, "n_items"] == 0).all()
+
+
+def test_compression_ratio_single_process_oracle():
+    import zlib
+
+    from raytiles.ops.text import compression_ratio
+    got = compression_ratio(SF_SMOKE).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs[docs["text"].str.len() > 0].sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert len(got) == len(docs)
+    for r, text in zip(got.itertuples(), docs["text"]):
+        raw = text.encode("utf-8")
+        c = len(zlib.compress(raw, 6))
+        assert r.raw_bytes == len(raw)
+        assert r.comp_bytes == c
+        assert r.ratio_ppm == c * 1_000_000 // len(raw)
+    # positive, and > 1.0 only via fixed header overhead on tiny docs
+    assert (got["ratio_ppm"] >= 1).all()
+    big = got[got["raw_bytes"] >= 256]
+    assert big["ratio_ppm"].between(1, 1_000_000).all()
