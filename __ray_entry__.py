@@ -681,6 +681,12 @@ def _q_group_mode(sf_dir: str):
     return group_mode(sf_dir)
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Bigram-LM document scoring (train counts, broadcast, score)."""
+    from raytiles.ops.text import bigram_logprob
+    return bigram_logprob(sf_dir)
+
+
 def _q_compression_ratio(sf_dir: str):
     """Per-doc DEFLATE compression ratio (boilerplate signal)."""
     from raytiles.ops.text import compression_ratio
@@ -1068,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hashing": _q_feature_hashing,
         "token_entropy": _q_token_entropy,
         "compression_ratio": _q_compression_ratio,
+        "bigram_logprob": _q_bigram_logprob,
         "lang_percentiles": _q_lang_percentiles,
         "corpus_checksums": _q_corpus_checksums,
         "pack_sequences": _q_pack_sequences,
@@ -1176,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "group_mode": oracles.GROUP_MODE_SQL,
         "feature_hashing": oracles.feature_hashing_sql(),
         "token_entropy": oracles.token_entropy_sql(),
+        "bigram_logprob": oracles.bigram_logprob_sql(),
         "lang_percentiles": oracles.lang_percentiles_sql(),
         "corpus_checksums": oracles.corpus_checksums_sql(),
         "pack_sequences": oracles.pack_sequences_sql(),

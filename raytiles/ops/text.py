@@ -1130,3 +1130,105 @@ def compression_ratio(sf_dir: str, level: int = 6) -> ray.data.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+def bigram_logprob(sf_dir: str, vocab_k: int = 256,
+                   n_buckets: int = 256) -> ray.data.Dataset:
+    """Bigram-LM document scoring — the next rung above
+    ``unigram_logprob`` on the LM-quality-filter ladder: for every
+    adjacent in-vocabulary token pair, lp = floor(ln((c(w1,w2) + 1) /
+    (tf(w1) + V)) * 1e6) — add-one-smoothed conditional probability
+    over the top-``vocab_k`` vocabulary — summed per doc as exact
+    INT64 micro-nats (order-free, the unigram trick).
+
+    Two corpus passes, the train-then-score LM shape: (1) bigram
+    counts over in-vocab pairs collapse per batch to int64 key
+    partials (i1*V+i2, no strings) through one bounded modulo-bucket
+    groupby — the result is bounded by V^2, a model constant, so it
+    collects and broadcasts like the vocabulary itself; (2) a
+    shuffle-free scoring pass looks pairs up via searchsorted against
+    the broadcast count table. Docs never split across batches, so
+    adjacency and per-doc sums complete in-batch."""
+    from ray.data.aggregate import Sum  # noqa: F401  (parity w/ unigram)
+
+    vocab = vocab_topk(sf_dir, k=vocab_k).to_pandas()
+    vtok = vocab["token"].to_numpy()
+    vtf = vocab["tf"].to_numpy().astype(np.int64)
+    vorder = np.argsort(vtok)
+    vtok_sorted = vtok[vorder]
+    vtf_sorted = vtf[vorder]
+    V = np.int64(len(vtok_sorted))
+
+    _EMPTY_P = pa.schema([("key", pa.int64()), ("c", pa.int64()),
+                          ("bucket", pa.int64())])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows < 2:
+            return _EMPTY_P.empty_table()
+        tok = np.asarray(t["token"])
+        doc = t["doc_id"].to_numpy()
+        pos = np.searchsorted(vtok_sorted, tok)
+        pos[pos >= V] = 0
+        hit = vtok_sorted[pos] == tok
+        adj = (doc[1:] == doc[:-1]) & hit[1:] & hit[:-1]
+        if not adj.any():
+            return _EMPTY_P.empty_table()
+        key = pos[:-1][adj].astype(np.int64) * V + pos[1:][adj]
+        ku, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(ku),
+                         "c": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(ku % n_buckets)})
+
+    def count_merge(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy()
+        c = g["c"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        k_, c_ = key[order], c[order]
+        starts = np.flatnonzero(np.concatenate(([True], k_[1:] != k_[:-1])))
+        return pa.table({"key": pa.array(k_[starts]),
+                         "c": pa.array(np.add.reduceat(c_, starts)
+                                       .astype(np.int64))})
+
+    counts = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(count_merge, batch_format="pyarrow") \
+        .to_pandas()  # bounded by V^2 — a model constant, like the vocab
+    bk = counts["key"].to_numpy().astype(np.int64)
+    bc = counts["c"].to_numpy().astype(np.int64)
+    border = np.argsort(bk)
+    bk_sorted, bc_sorted = bk[border], bc[border]
+
+    _EMPTY_S = pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+                          ("logprob_micro", pa.int64())])
+
+    def score(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        if t.num_rows < 2:
+            return _EMPTY_S.empty_table()
+        tok = np.asarray(t["token"])
+        doc = t["doc_id"].to_numpy()
+        pos = np.searchsorted(vtok_sorted, tok)
+        pos[pos >= V] = 0
+        hit = vtok_sorted[pos] == tok
+        adj = (doc[1:] == doc[:-1]) & hit[1:] & hit[:-1]
+        if not adj.any():
+            return _EMPTY_S.empty_table()
+        i1 = pos[:-1][adj].astype(np.int64)
+        key = i1 * V + pos[1:][adj]
+        at = np.searchsorted(bk_sorted, key)
+        c = bc_sorted[at]  # every observed pair was counted in pass 1
+        lp = np.floor(np.log((c + 1).astype(np.float64)
+                             / (vtf_sorted[i1] + V)) * 1e6).astype(np.int64)
+        d = doc[:-1][adj]
+        order = np.argsort(d, kind="stable")
+        d, lp = d[order], lp[order]
+        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        return pa.table({
+            "doc_id": pa.array(d[starts]),
+            "n_bigrams": pa.array(np.diff(
+                np.concatenate((starts, [len(d)]))).astype(np.int64)),
+            "logprob_micro": pa.array(np.add.reduceat(lp, starts)
+                                      .astype(np.int64))})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")

