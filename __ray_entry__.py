@@ -179,6 +179,23 @@ def _q_trajectories(sf_dir: str):
     return trajectories_pipeline(webpages_path(sf_dir), 6)
 
 
+def _q_geohashes(sf_dir: str):
+    """Geohash base-32 spatial index per mention (prefix = cell)."""
+    from raytiles.geo.tilemath import geohash
+    from raytiles.pipeline.flagship import geoparse, read_webpages
+    from raytiles.pipeline.synth import webpages_path
+
+    def add_geohash(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": b["url"],
+            "mention_idx": b["mention_idx"].astype(np.int64),
+            "geohash": geohash(b["lon"].to_numpy(), b["lat"].to_numpy(), 6),
+        })
+
+    ds = geoparse(read_webpages(webpages_path(sf_dir)))
+    return ds.map_batches(add_geohash, batch_format="pandas")
+
+
 def _q_morton_cells(sf_dir: str):
     from raytiles.geo.tilemath import morton_cell
     from raytiles.pipeline.flagship import geoparse, read_webpages
@@ -1022,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_locations": _q_redact_locations,
         "morton_cells": _q_morton_cells,
         "quadkeys": _q_quadkeys,
+        "geohashes": _q_geohashes,
         "tile_pyramid": _q_tile_pyramid,
         "raster_cells": _q_raster_cells,
         "tile_neighborhood": _q_tile_neighborhood,
@@ -1149,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_locations": oracles.redact_locations_sql(wp),
         "morton_cells": oracles.morton_cells_sql(wp),
         "quadkeys": oracles.quadkeys_sql(wp),
+        "geohashes": oracles.geohashes_sql(wp),
         "tile_pyramid": oracles.tile_pyramid_sql(wp),
         "raster_cells": oracles.raster_cells_sql(wp),
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),

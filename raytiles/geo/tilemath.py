@@ -155,3 +155,51 @@ def quadkey(lon: np.ndarray, lat: np.ndarray, z: int = 12) -> np.ndarray:
         s = z - 1 - i
         codes[:, i] = 48 + ((x >> s) & 1) + 2 * ((y >> s) & 1)
     return codes.reshape(-1).view(f"S{z}").astype("U")
+
+GEOHASH_ALPHABET = b"0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _part1by1_32(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of v to even bit positions (64-bit
+    Morton) — the 16-bit _part1by1 widened for geohash precisions
+    above 6 (up to 12 chars = 60 interleaved bits)."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def geohash(lon: np.ndarray, lat: np.ndarray, precision: int = 6) -> np.ndarray:
+    """Standard geohash strings (base-32, lon bit first) — the third
+    spatial-index family next to XYZ/quadkey and Morton: a geohash
+    PREFIX is a containing cell, so prefix range scans and
+    prefix-joins co-locate neighborhoods in plain string order.
+
+    precision chars = 5*precision bits, split ceil/floor between lon
+    and lat. Vectorized: clamp+quantize both axes, one Morton-style
+    bit spread (lat even / lon odd positions => lon leads from the
+    MSB), then a (n, precision) uint8 alphabet gather viewed as
+    fixed-width bytes. SQL twin: the morton_cells arithmetic-
+    interleave pattern + substr(alphabet) per 5-bit group."""
+    bits = 5 * precision
+    nlon = bits - bits // 2
+    nlat = bits // 2
+    x = np.clip(np.floor((lon + 180.0) / 360.0 * (1 << nlon)),
+                0, (1 << nlon) - 1).astype(np.uint64)
+    y = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << nlat)),
+                0, (1 << nlat) - 1).astype(np.uint64)
+    # lon leads from the MSB; with an ODD bit count the lon stream
+    # also ends at bit 0, flipping which axis sits on even positions
+    if bits % 2 == 0:
+        g = (_part1by1_32(y)
+             | (_part1by1_32(x) << np.uint64(1))).astype(np.int64)
+    else:
+        g = (_part1by1_32(x)
+             | (_part1by1_32(y) << np.uint64(1))).astype(np.int64)
+    shifts = np.arange(bits - 5, -5, -5, dtype=np.int64)
+    codes = ((g[:, None] >> shifts[None, :]) & 31).astype(np.uint8)
+    chars = np.frombuffer(GEOHASH_ALPHABET, np.uint8)[codes]
+    return chars.view(f"S{precision}").ravel().astype(str)

@@ -1311,3 +1311,28 @@ scored AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(lp) AS BIGINT) AS logprob_micro
 FROM scored GROUP BY 1"""
+
+def geohashes_sql(webpages_parquet: str, precision: int = 6) -> str:
+    """Twin of geo/tilemath.geohash at even precision: the
+    morton_cells arithmetic-interleave pattern (lat even / lon odd
+    bit positions -> lon leads from the MSB) + substr(alphabet) per
+    5-bit group."""
+    bits = 5 * precision
+    assert bits % 2 == 0, "SQL twin pinned to even precisions"
+    half = bits // 2
+    n = float(1 << half)
+    terms = " + ".join(
+        f"(((y >> {i}) & 1) + 2 * ((x >> {i}) & 1)) * {4 ** i}"
+        for i in range(half))
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alpha}', CAST(((g >> {bits - 5 * (j + 1)}) & 31) + 1 "
+        f"AS BIGINT), 1)" for j in range(precision))
+    return f"""
+WITH {mentions_cte(webpages_parquet)}, xy AS (
+  SELECT url, mention_idx,
+    CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}), 0), {n} - 1) AS BIGINT) AS x,
+    CAST(least(greatest(floor((lat + 90.0) / 180.0 * {n}), 0), {n} - 1) AS BIGINT) AS y
+  FROM mentions
+), gh AS (SELECT url, mention_idx, {terms} AS g FROM xy)
+SELECT url, mention_idx, {chars} AS geohash FROM gh"""

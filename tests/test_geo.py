@@ -412,3 +412,20 @@ def test_clip_rings_batched_equals_single():
             gx, gy = cx[coffs[r]:coffs[r + 1]], cy[coffs[r]:coffs[r + 1]]
             assert len(gx) == len(ex)
             assert np.allclose(gx, ex) and np.allclose(gy, ey)
+
+
+def test_geohash_canonical_and_prefix_property():
+    """Pin textbook geohashes (ezs42, sqc8b49rny, gcpvj0) and the
+    refinement property: a lower-precision hash is a prefix of any
+    higher-precision hash of the same point, odd and even alike."""
+    import numpy as np
+
+    from raytiles.geo.tilemath import geohash
+    lon = np.array([-5.6, 13.361389, -0.1278])
+    lat = np.array([42.6, 38.115556, 51.5074])
+    assert list(geohash(lon, lat, 5)) == ["ezs42", "sqc8b49"[:5], "gcpvj"]
+    assert geohash(lon[1:2], lat[1:2], 10)[0] == "sqc8b49rny"
+    assert geohash(lon[2:3], lat[2:3], 6)[0] == "gcpvj0"
+    full = geohash(lon, lat, 12)
+    for p in range(1, 12):
+        assert list(geohash(lon, lat, p)) == [h[:p] for h in full]
