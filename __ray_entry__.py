@@ -613,6 +613,13 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(sf_dir)
 
 
+def _q_media_decode(sf_dir: str):
+    """REAL BMP decode (pure numpy) over a synthetic image corpus:
+    actor pool -> dims + exact integer channel statistics."""
+    from raytiles.ops.image import media_decode
+    return media_decode(sf_dir)
+
+
 def _q_knn_pq(sf_dir: str):
     """Product-quantization ANN (ADC scan + bounded exact re-rank)."""
     from raytiles.ops.similarity import knn_pq
@@ -1122,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
+        "media_decode": _q_media_decode,
     }
 
 

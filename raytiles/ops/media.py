@@ -3,7 +3,10 @@
 actor-pool map_batches stages.
 
 Real decode libraries (PIL / ffmpeg / torchaudio) are not in this
-container, so the decode kernel is STUBBED — ``DecodeStub`` produces a
+container, so the decode kernel HERE is STUBBED — but see
+ops/image.py for a fully REAL decode leg (BMP needs only numpy) with
+exact verified statistics; this module keeps the stub pattern for
+formats that genuinely need codec libs. ``DecodeStub`` produces a
 deterministic fake feature vector (byte-value histogram) and fake
 dimensions derived from the payload length, while everything Ray-side
 (binary-column schema, batch sizing for fat rows, actor signature,

@@ -1133,3 +1133,35 @@ def test_bigram_logprob_single_process_oracle():
         n, s = want[r.doc_id]
         assert r.n_bigrams == n and r.logprob_micro == s, r.doc_id
     assert (got["logprob_micro"] < 0).all()
+
+
+def test_bmp_decode_real_and_contained():
+    """The real-decode leg of the multimodal family: byte-exact BMP
+    roundtrip, exact channel stats vs the generator's ground truth,
+    and malformed-payload containment."""
+    from raytiles.ops.image import (bmp_media_path, decode_bmp,
+                                    encode_bmp, media_decode,
+                                    synth_image)
+    for i in (0, 3, 77, 199):
+        img = synth_image(i)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    got = media_decode(SF_SMOKE).to_pandas() \
+        .sort_values("img_id").reset_index(drop=True)
+    assert bool(got["ok"].all())
+    for i in (0, 50, 150):
+        img = synth_image(i)
+        r = got.iloc[i]
+        assert (r.height, r.width) == img.shape[:2]
+        s = img.reshape(-1, 3).sum(0, dtype=np.int64)
+        npx = img.shape[0] * img.shape[1]
+        assert r.mean_r_milli == s[0] * 1000 // npx
+        assert r.mean_g_milli == s[1] * 1000 // npx
+        assert r.mean_b_milli == s[2] * 1000 // npx
+    # containment: a corrupt payload yields ok=false, not an error
+    import pyarrow as _pa
+
+    from raytiles.ops.image import BmpStats
+    bad = BmpStats()(_pa.table({
+        "img_id": _pa.array([1], _pa.int64()),
+        "bmp": _pa.array([b"BM garbage"], _pa.binary())}))
+    assert bad["ok"].to_pylist() == [False]
