@@ -620,6 +620,12 @@ def _q_media_decode(sf_dir: str):
     return media_decode(sf_dir)
 
 
+def _q_media_thumbnails(sf_dir: str):
+    """REAL thumbnailing: BMP decode -> area-pool -> BMP re-encode."""
+    from raytiles.ops.image import media_thumbnails
+    return media_thumbnails(sf_dir)
+
+
 def _q_knn_pq(sf_dir: str):
     """Product-quantization ANN (ADC scan + bounded exact re-rank)."""
     from raytiles.ops.similarity import knn_pq
@@ -1130,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "media_decode": _q_media_decode,
+        "media_thumbnails": _q_media_thumbnails,
     }
 
 

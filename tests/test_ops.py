@@ -1165,3 +1165,25 @@ def test_bmp_decode_real_and_contained():
         "img_id": _pa.array([1], _pa.int64()),
         "bmp": _pa.array([b"BM garbage"], _pa.binary())}))
     assert bad["ok"].to_pylist() == [False]
+
+
+def test_bmp_thumbnails_are_valid_bmps():
+    """Real resize: every output payload decodes, dims fit the target
+    box, and a flat-color image pools to exactly itself."""
+    from raytiles.ops.image import (BmpThumbnail, decode_bmp,
+                                    encode_bmp, media_thumbnails)
+    got = media_thumbnails(SF_SMOKE).to_pandas() \
+        .sort_values("img_id").reset_index(drop=True)
+    assert bool(got["ok"].all())
+    for i in (0, 99, 199):
+        r = got.iloc[i]
+        thumb = decode_bmp(r.thumb_bmp)
+        assert thumb.shape == (r.thumb_h, r.thumb_w, 3)
+        assert r.thumb_w <= 32 and r.thumb_h <= 32
+        assert r.thumb_w * r.thumb_h > 0
+    flat = np.full((40, 48, 3), 77, np.uint8)
+    out = BmpThumbnail(target=16)(pa.table({
+        "img_id": pa.array([0], pa.int64()),
+        "bmp": pa.array([encode_bmp(flat)], pa.binary())}))
+    tb = decode_bmp(out["thumb_bmp"][0].as_py())
+    assert (tb == 77).all() and tb.shape[2] == 3
