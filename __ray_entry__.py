@@ -620,6 +620,13 @@ def _q_media_decode(sf_dir: str):
     return media_decode(sf_dir)
 
 
+def _q_audio_decode(sf_dir: str):
+    """REAL WAV/PCM decode (pure numpy) over a synthetic tone corpus:
+    actor pool -> exact integer acoustic statistics."""
+    from raytiles.ops.audio import audio_decode
+    return audio_decode(sf_dir)
+
+
 def _q_media_thumbnails(sf_dir: str):
     """REAL thumbnailing: BMP decode -> area-pool -> BMP re-encode."""
     from raytiles.ops.image import media_thumbnails
@@ -1137,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "media_decode": _q_media_decode,
         "media_thumbnails": _q_media_thumbnails,
+        "audio_decode": _q_audio_decode,
     }
 
 

@@ -1187,3 +1187,37 @@ def test_bmp_thumbnails_are_valid_bmps():
         "bmp": pa.array([encode_bmp(flat)], pa.binary())}))
     tb = decode_bmp(out["thumb_bmp"][0].as_py())
     assert (tb == 77).all() and tb.shape[2] == 3
+
+
+def test_wav_decode_real_and_contained():
+    """Real audio leg: byte-exact WAV roundtrip, exact integer stats
+    vs the tone generator, malformed containment, and a RIFF with an
+    extra chunk before data still parses."""
+    import struct
+
+    from raytiles.ops.audio import (WavStats, audio_decode, decode_wav,
+                                    encode_wav, synth_tone)
+    got = audio_decode(SF_SMOKE).to_pandas() \
+        .sort_values("clip_id").reset_index(drop=True)
+    assert bool(got["ok"].all())
+    for i in (0, 50, 150):
+        rate, s = synth_tone(i)
+        r = got.iloc[i]
+        assert r.sample_rate == rate and r.n_samples == len(s)
+        x = s.astype(np.int64)
+        assert r.energy == int((x * x).sum())
+        assert r.zero_crossings == int(((s[1:] < 0) != (s[:-1] < 0)).sum())
+        assert r.peak == int(np.abs(x).max())
+    # chunk-walking: inject a LIST chunk between fmt and data
+    rate, s = synth_tone(3)
+    raw = encode_wav(s, rate)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:36] + extra + raw[36:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8) + patched[8:]
+    r2, s2 = decode_wav(patched)
+    assert r2 == rate and np.array_equal(s2, s)
+    bad = WavStats()(pa.table({
+        "clip_id": pa.array([1], pa.int64()),
+        "wav": pa.array([b"RIFF\x00\x00\x00\x00WAVEjunk"], pa.binary())}))
+    assert bad["ok"].to_pylist() == [False]
