@@ -718,6 +718,13 @@ def _q_group_mode(sf_dir: str):
     return group_mode(sf_dir)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """BPE tokenizer TRAINED on the corpus word counts, then applied
+    shuffle-free (per-batch distinct-word encode)."""
+    from raytiles.ops.tokenizer import bpe_encode_counts
+    return bpe_encode_counts(sf_dir)
+
+
 def _q_bigram_logprob(sf_dir: str):
     """Bigram-LM document scoring (train counts, broadcast, score)."""
     from raytiles.ops.text import bigram_logprob
@@ -1113,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": _q_token_entropy,
         "compression_ratio": _q_compression_ratio,
         "bigram_logprob": _q_bigram_logprob,
+        "bpe_encode": _q_bpe_encode,
         "lang_percentiles": _q_lang_percentiles,
         "corpus_checksums": _q_corpus_checksums,
         "pack_sequences": _q_pack_sequences,

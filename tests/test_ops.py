@@ -1221,3 +1221,40 @@ def test_wav_decode_real_and_contained():
         "clip_id": pa.array([1], pa.int64()),
         "wav": pa.array([b"RIFF\x00\x00\x00\x00WAVEjunk"], pa.binary())}))
     assert bad["ok"].to_pylist() == [False]
+
+
+def test_bpe_train_and_encode_reference():
+    """BPE: classic Sennrich toy example pins the merge order; the
+    distributed encode matches a single-process recompute; token
+    counts compress (words <= bpe tokens <= chars)."""
+    import re
+
+    from raytiles.ops.text import TOKEN_RE
+    from raytiles.ops.tokenizer import (bpe_encode_counts, bpe_train,
+                                        encode_word,
+                                        train_bpe_from_counts)
+    m = train_bpe_from_counts(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 4)
+    assert m[:2] == [("e", "s"), ("es", "t")]
+    ranks = {p: i for i, p in enumerate(m)}
+    assert "".join(encode_word("lowest", ranks)) == "lowest"
+
+    merges = bpe_train(SF_SMOKE, n_merges=32)
+    assert len(merges) == 32 and len(set(merges)) == 32
+    rk = {p: i for i, p in enumerate(merges)}
+    got = bpe_encode_counts(SF_SMOKE, n_merges=32).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    rx = re.compile(TOKEN_RE)
+    want = {}
+    for r in docs.itertuples():
+        ws = rx.findall(r.text)
+        if ws:
+            want[r.doc_id] = (len(ws),
+                              sum(len(encode_word(w, rk)) for w in ws))
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        nw, nt = want[r.doc_id]
+        assert r.n_words == nw and r.n_bpe_tokens == nt, r.doc_id
+    assert (got["n_bpe_tokens"] >= got["n_words"]).all()
