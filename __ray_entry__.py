@@ -458,6 +458,20 @@ def _q_order_revenue_left(sf_dir: str):
     return order_revenue_left(sf_dir)
 
 
+def _q_nation_revenue(sf_dir: str):
+    """TPC-H Q5-shape multi-way join: lineitem partials |><| orders
+    (partitioned hash join) |><| customer+nation (broadcast dims)."""
+    from raytiles.ops.relational import nation_revenue
+    return nation_revenue(sf_dir)
+
+
+def _q_group_stats(sf_dir: str):
+    """Grouped moment sketch: count / covariance / correlation of
+    (quantity, price) per returnflag via (n,Sx,Sy,Sxx,Syy,Sxy)."""
+    from raytiles.ops.relational import group_stats
+    return group_stats(sf_dir)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL approximate count-distinct (no SQL twin — approximate by
     design; pytest pins accuracy vs exact and merge invariance)."""
@@ -1047,6 +1061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
+        "nation_revenue": _q_nation_revenue,
+        "group_stats": _q_group_stats,
         "user_features": _q_user_features,
         "funnel_conversion": _q_funnel,
         "urgent_revenue": _q_urgent_revenue,
@@ -1183,6 +1199,8 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,
+        "nation_revenue": oracles.NATION_REVENUE_SQL,
+        "group_stats": oracles.GROUP_STATS_SQL,
         "user_features": oracles.USER_FEATURES_SQL,
         "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,
         "urgent_revenue": oracles.URGENT_REVENUE_SQL,

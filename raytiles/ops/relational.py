@@ -479,6 +479,200 @@ def order_revenue_left(sf_dir: str, status: str = "O",
     return j.map_batches(finalize, batch_format="pandas")
 
 
+def nation_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                   date_hi: str = "1997-01-01",
+                   n_buckets: int = 256) -> ray.data.Dataset:
+    """Multi-way join (TPC-H Q5 shape): yearly revenue per nation =
+    lineitem |><| orders |><| customer |><| nation.
+
+    The join pipeline mixes both distributed-join idioms by side size:
+
+    - lineitem (the biggest table) never reaches the join at raw
+      cardinality — it collapses to exact per-order revenue partials
+      (per-batch Arrow hash aggregate, ONE bounded-bucket groupby on
+      splitmix(orderkey)) exactly like ``order_revenue``;
+    - per-order revenue |><| date-filtered orders is a partitioned
+      BIG x BIG hash join (explicit bounded num_partitions);
+    - customer and nation are DIMENSIONS: joined driver-side into one
+      custkey -> n_name map, ray.put once, looked up per batch — a
+      broadcast join, never a shuffle.
+
+    Exactness: per-order revenue (<= ~13 float64 addends, engine and
+    oracle agree far past cents) is quantized half-away-from-zero to
+    INT64 cents BEFORE the per-nation sum, so the wide aggregation is
+    an order-free integer sum — bit-stable under any block layout, and
+    the oracle's SUM over identically quantized cents matches exactly."""
+    import pyarrow.parquet as pq
+    from .dedup import _join_partitions
+    from ..util import bucket_of
+
+    lo = np.datetime64(date_lo).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(date_hi).astype("datetime64[us]").astype(np.int64)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate([("rev", "sum")])
+        g = g.rename_columns(["l_orderkey", "rev"])
+        return g.append_column(
+            "bucket", pa.array(bucket_of(g["l_orderkey"].to_numpy(), n_buckets)))
+
+    def li_merge(g: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(g.select(["l_orderkey", "rev"]), "l_orderkey") \
+            .aggregate([("rev", "sum")])
+        t = t.rename_columns(["l_orderkey", "rev"])
+        # exact per-order revenue -> int64 cents, half-away-from-zero
+        # (revenue >= 0 so floor(x*100 + 0.5) IS half-away-from-zero;
+        # the oracle quantizes with the identical expression)
+        cents = np.floor(t["rev"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"], "cents": cents})
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        d = pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")), pa.int64())
+        m = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        b = b.filter(m)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"]})
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(li_merge, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_filter, batch_format="pyarrow")
+
+    n_part = _join_partitions()
+    li = li.repartition(n_part)
+    j = li.join(orders, "inner", n_part,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    # dimension side: customer |><| nation folded to ONE broadcast map
+    cust = pq.read_table(_p(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(_p(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"])
+    dim = cust.to_pandas().merge(
+        nat.to_pandas(), left_on="c_nationkey", right_on="n_nationkey")
+    dim_ref = ray.put((dim["c_custkey"].to_numpy(np.int64),
+                       dim["n_name"].to_numpy()))
+
+    class NationPartial:
+        """Broadcast custkey -> n_name lookup + per-batch partial sum:
+        each batch leaves as <= 25 (nation, cents, n) rows."""
+
+        def __init__(self, ref):
+            keys, names = ray.get(ref)
+            order = np.argsort(keys, kind="stable")
+            self.keys = keys[order]
+            self.names = names[order]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            # synth FKs are complete; guard anyway (drop misses)
+            ok = self.keys[pos] == ck
+            t = pa.table({"n_name": pa.array(self.names[pos][ok]),
+                          "cents": pa.array(
+                              b["cents"].to_numpy(zero_copy_only=False)[ok]),
+                          "one": pa.array(np.ones(int(ok.sum()), np.int64))})
+            g = pa.TableGroupBy(t, "n_name").aggregate(
+                [("cents", "sum"), ("one", "sum")])
+            return g.rename_columns(["n_name", "cents", "n"])
+
+    partials = j.map_batches(NationPartial, batch_format="pyarrow",
+                             concurrency=2,
+                             fn_constructor_kwargs={"ref": dim_ref})
+
+    # <= 25 rows per block after the partial: a third hash-shuffle's
+    # aggregator-actor spin-up would dominate — coalesce + one narrow
+    # merge instead (the sketch-family tiny-merge idiom)
+    def finalize(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, "n_name").aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        g = g.rename_columns(["n_name", "revenue_cents", "n_orders"])
+        order = pc.sort_indices(g["n_name"])
+        return pa.table({
+            "n_name": pc.take(g["n_name"], order),
+            "revenue_cents": pc.cast(pc.take(g["revenue_cents"], order),
+                                     pa.int64()),
+            "n_orders": pc.cast(pc.take(g["n_orders"], order), pa.int64())})
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow")
+
+
+def group_stats(sf_dir: str) -> ray.data.Dataset:
+    """Grouped second-moment statistics: per (l_returnflag): count,
+    covariance and Pearson correlation of (l_quantity,
+    l_extendedprice) — the moment-sketch shape (n, Sx, Sy, Sxx, Syy,
+    Sxy) every distributed stats library builds on: per-batch partial
+    moment rows (one Arrow hash aggregate per batch, <= 3 rows out),
+    an order-free Sum merge over the tiny bounded key domain, and a
+    closed-form finalizer.
+
+    Parity: the six moment sums are float64 on both sides (addition
+    order differs engine vs oracle, relative noise ~1e-12); the
+    finalizer applies the IDENTICAL double op sequence as the oracle
+    SQL and floor-quantizes cov/corr to micro units, 4+ orders of
+    magnitude above the noise floor."""
+    _EMPTY = pa.schema([
+        ("l_returnflag", pa.string()), ("n", pa.int64()),
+        ("sx", pa.float64()), ("sy", pa.float64()), ("sxx", pa.float64()),
+        ("syy", pa.float64()), ("sxy", pa.float64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if b.num_rows == 0:
+            return _EMPTY.empty_table()
+        x = b["l_quantity"]
+        y = b["l_extendedprice"]
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y)})
+        g = pa.TableGroupBy(t, "l_returnflag").aggregate(
+            [("one", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(
+            ["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        # identical double op sequence as the oracle SQL twin
+        n = b["n"].to_numpy(np.float64)
+        sx = b["sx"].to_numpy(np.float64)
+        sy = b["sy"].to_numpy(np.float64)
+        cov = (b["sxy"].to_numpy(np.float64) - sx * sy / n) / n
+        vx = (b["sxx"].to_numpy(np.float64) - sx * sx / n) / n
+        vy = (b["syy"].to_numpy(np.float64) - sy * sy / n) / n
+        corr = cov / np.sqrt(vx * vy)
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"].astype(np.int64),
+            "mean_qty_micro": np.floor(sx / n * 1e6).astype(np.int64),
+            "cov_micro": np.floor(cov * 1e6).astype(np.int64),
+            "corr_micro": np.floor(corr * 1e6).astype(np.int64),
+        }).sort_values("l_returnflag")
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

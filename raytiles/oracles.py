@@ -561,6 +561,54 @@ WHERE o.o_orderstatus = 'O'
 GROUP BY 1, 2, 3"""
 
 
+# Twin of ops.relational.nation_revenue (TPC-H Q5 shape). Per-order
+# revenue is quantized to INT64 cents with the engine's identical
+# half-away-from-zero expression (revenue >= 0) BEFORE the per-nation
+# sum, so the wide aggregate is an exact integer sum on both sides.
+NATION_REVENUE_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_name,
+       CAST(sum(li.cents) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM li
+JOIN orders   ON o_orderkey = li.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name"""
+
+
+# Twin of ops.relational.group_stats: six float64 moment sums, then
+# the IDENTICAL double op sequence as the engine finalizer (left-assoc
+# division/multiplication order), floor-quantized to micro units —
+# 4+ orders of magnitude above the sum-order noise floor.
+GROUP_STATS_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS nd,
+         sum(CAST(l_quantity AS DOUBLE)) AS sx,
+         sum(l_extendedprice) AS sy,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sxx,
+         sum(l_extendedprice * l_extendedprice) AS syy,
+         sum(CAST(l_quantity AS DOUBLE) * l_extendedprice) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(floor(sx / nd * 1e6) AS BIGINT) AS mean_qty_micro,
+       CAST(floor((sxy - sx * sy / nd) / nd * 1e6) AS BIGINT) AS cov_micro,
+       CAST(floor(((sxy - sx * sy / nd) / nd)
+                  / sqrt(((sxx - sx * sx / nd) / nd)
+                         * ((syy - sy * sy / nd) / nd)) * 1e6)
+            AS BIGINT) AS corr_micro
+FROM m"""
+
+
 def tile_neighborhood_sql(webpages_parquet: str, zoom: int = 12) -> str:
     """Stencil twin: counts-per-tile self-joined on the 3x3 BETWEEN
     box (edge tiles clip — no wraparound, same as the engine)."""

@@ -1258,3 +1258,45 @@ def test_bpe_train_and_encode_reference():
         nw, nt = want[r.doc_id]
         assert r.n_words == nw and r.n_bpe_tokens == nt, r.doc_id
     assert (got["n_bpe_tokens"] >= got["n_words"]).all()
+
+
+def test_nation_revenue_pandas_oracle():
+    from raytiles.ops.relational import nation_revenue
+    df = nation_revenue(SF_SMOKE).to_pandas() \
+        .sort_values("n_name").reset_index(drop=True)
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    o = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+    c = pq.read_table(f"{SF_SMOKE}/customer.parquet").to_pandas()
+    n = pq.read_table(f"{SF_SMOKE}/nation.parquet").to_pandas()
+    li = li.assign(rev=li.l_extendedprice * (1 - li.l_discount))
+    per_order = li.groupby("l_orderkey")["rev"].sum()
+    cents = np.floor(per_order * 100.0 + 0.5).astype(np.int64).rename("cents")
+    od = pd.to_datetime(o.o_orderdate)
+    o = o[(od >= "1996-01-01") & (od < "1997-01-01")]
+    j = o.merge(cents, left_on="o_orderkey", right_index=True) \
+        .merge(c, left_on="o_custkey", right_on="c_custkey") \
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    want = j.groupby("n_name")["cents"].agg(["sum", "count"]).sort_index()
+    assert len(df) == len(want) > 1
+    assert np.array_equal(df["revenue_cents"].to_numpy(),
+                          want["sum"].to_numpy())
+    assert np.array_equal(df["n_orders"].to_numpy(),
+                          want["count"].to_numpy())
+
+
+def test_group_stats_pandas_oracle():
+    from raytiles.ops.relational import group_stats
+    df = group_stats(SF_SMOKE).to_pandas() \
+        .sort_values("l_returnflag").reset_index(drop=True)
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    got = {r.l_returnflag: r for r in df.itertuples()}
+    for flag, g in li.groupby("l_returnflag"):
+        x = g.l_quantity.to_numpy(np.float64)
+        y = g.l_extendedprice.to_numpy(np.float64)
+        r = got[flag]
+        assert r.n == len(g)
+        assert abs(r.mean_qty_micro / 1e6 - x.mean()) < 1e-4
+        cov = ((x * y).sum() - x.sum() * y.sum() / len(x)) / len(x)
+        corr = cov / np.sqrt(x.var() * y.var())
+        assert abs(r.cov_micro / 1e6 - cov) < max(1e-3, abs(cov) * 1e-6)
+        assert abs(r.corr_micro / 1e6 - corr) < 1e-4
