@@ -545,6 +545,14 @@ def _q_cell_pagerank(sf_dir: str):
     return cell_pagerank(webpages_path(sf_dir))
 
 
+def _q_cell_triangles(sf_dir: str):
+    """Triangle counting over the co-mention cell graph (broadcast
+    forward-adjacency CSR, shuffle-free edge-iterator pass)."""
+    from raytiles.ops.graph import cell_triangles
+    from raytiles.pipeline.synth import webpages_path
+    return cell_triangles(webpages_path(sf_dir))
+
+
 def _q_trajectory_lengths(sf_dir: str):
     """Per-url great-circle polyline length (haversine, floor-mm
     per leg so distributed sums are order-free exact)."""
@@ -1101,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geofence_join": _q_geofence_join,
         "comention_edges": _q_comention_edges,
         "cell_pagerank": _q_cell_pagerank,
+        "cell_triangles": _q_cell_triangles,
         "trajectory_lengths": _q_trajectory_lengths,
         "nearest_city": _q_nearest_city,
         "host_bbox": _q_host_bbox,
@@ -1222,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),
         "geofence_join": oracles.geofence_join_sql(wp),
         "comention_edges": oracles.comention_edges_sql(wp),
+        "cell_triangles": oracles.cell_triangles_sql(wp),
         "trajectory_lengths": oracles.trajectory_lengths_sql(wp),
         "nearest_city": oracles.nearest_city_sql(wp),
         "host_bbox": oracles.host_bbox_sql(wp),

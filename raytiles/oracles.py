@@ -1300,6 +1300,26 @@ SELECT a.cell AS cell_a, b.cell AS cell_b, count(*) AS n_docs
 FROM cells a JOIN cells b ON a.url = b.url AND a.cell < b.cell
 GROUP BY 1, 2"""
 
+def cell_triangles_sql(webpages_parquet: str, res: int = 5) -> str:
+    """Twin of ops.graph.cell_triangles: the co-mention edge set
+    (distinct a < b pairs) three-way self-joined so each triangle
+    {a < b < c} is counted once at its smallest-vertex edge (a, b)."""
+    return f"""
+WITH {mentions_cte(webpages_parquet)},
+cells AS (
+  SELECT DISTINCT url, {_cell_expr(res)} AS cell FROM mentions),
+e AS (
+  SELECT a.cell AS cell_a, b.cell AS cell_b
+  FROM cells a JOIN cells b ON a.url = b.url AND a.cell < b.cell
+  GROUP BY 1, 2)
+SELECT e1.cell_a AS cell_a, e1.cell_b AS cell_b,
+       CAST(count(*) AS BIGINT) AS n_tri
+FROM e e1
+JOIN e e2 ON e2.cell_a = e1.cell_b
+JOIN e e3 ON e3.cell_a = e1.cell_a AND e3.cell_b = e2.cell_b
+GROUP BY 1, 2"""
+
+
 def token_entropy_sql() -> str:
     """Twin of ops.text.token_entropy: per-(doc, token) counts, each
     c*ln(c) term floor-quantized to INT64 micro-nats before the

@@ -275,3 +275,29 @@ def test_cell_pagerank_matches_power_iteration():
     assert abs(got["rank_micro"].sum() / 1e9 - 1.0) < 1e-6
     assert np.allclose(got["rank_micro"].to_numpy() / 1e9, p,
                        rtol=1e-9, atol=1e-9)
+
+
+def test_cell_triangles_matches_bruteforce():
+    """Engine edge-iterator triangle counts vs itertools over the
+    same edge list: every triangle {a<b<c} counted once at (a, b)."""
+    from itertools import combinations
+    from raytiles.ops.graph import cell_triangles
+    from raytiles.ops.spatial import comention_edges
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    got = cell_triangles(wp).to_pandas() \
+        .sort_values(["cell_a", "cell_b"]).reset_index(drop=True)
+    edges = comention_edges(wp).to_pandas()
+    eset = {(r.cell_a, r.cell_b) for r in edges.itertuples()}
+    adj = {}
+    for a, b in eset:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for a in sorted(adj):
+        for b, c in combinations(sorted(x for x in adj[a] if x > a), 2):
+            if (b, c) in eset:
+                want[(a, b)] = want.get((a, b), 0) + 1
+    assert len(got) == len(want) > 0
+    for r in got.itertuples():
+        assert want[(r.cell_a, r.cell_b)] == r.n_tri
