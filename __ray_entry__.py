@@ -472,6 +472,14 @@ def _q_group_stats(sf_dir: str):
     return group_stats(sf_dir)
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event streams (bounded
+    user-bucket shuffle; bucket reduces to the 25-cell type-pair
+    domain before leaving the reducer)."""
+    from raytiles.ops.relational import event_transitions
+    return event_transitions(sf_dir)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL approximate count-distinct (no SQL twin — approximate by
     design; pytest pins accuracy vs exact and merge invariance)."""
@@ -1139,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": _q_bigram_pmi,
         "events_range_window": _q_events_range_window,
         "events_lag": _q_events_lag,
+        "event_transitions": _q_event_transitions,
         "events_moving_sum": _q_events_moving_sum,
         "group_mode": _q_group_mode,
         "feature_hashing": _q_feature_hashing,
@@ -1257,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": oracles.bigram_pmi_sql(),
         "events_range_window": oracles.events_range_window_sql(),
         "events_lag": oracles.events_lag_sql(),
+        "event_transitions": oracles.EVENT_TRANSITIONS_SQL,
         "events_moving_sum": oracles.events_moving_sum_sql(),
         "group_mode": oracles.GROUP_MODE_SQL,
         "feature_hashing": oracles.feature_hashing_sql(),

@@ -97,6 +97,7 @@ def _decode_feature_raw(buf, start: int, end: int):
     geom_parts: list = []
     pos = start
     uvarint = wire.uvarint_decode
+    W_VARINT, W_LEN, W_I32, W_I64 = wire.VARINT, wire.LEN, wire.I32, wire.I64
     # single-byte varints are inlined (the overwhelmingly common case
     # for keys and small values — a function call per varint is the
     # dominant cost of tiny-tile decode); multi-byte falls back to the
@@ -110,7 +111,7 @@ def _decode_feature_raw(buf, start: int, end: int):
                 key, pos = uvarint(buf, pos - 1)
             fno = key >> 3
             wtype = key & 7
-            if wtype == wire.VARINT:
+            if wtype == W_VARINT:
                 val = buf[pos]
                 pos += 1
                 if val & 0x80:
@@ -123,7 +124,7 @@ def _decode_feature_raw(buf, start: int, end: int):
                     geom_type = val
                 elif fno == 4:
                     geom_parts.append([val])
-            elif wtype == wire.LEN:
+            elif wtype == W_LEN:
                 ln = buf[pos]
                 pos += 1
                 if ln & 0x80:
@@ -148,10 +149,14 @@ def _decode_feature_raw(buf, start: int, end: int):
                             else wire.uvarint_decode_list(seg))
                     else:
                         geom_parts.append(wire.uvarint_decode_array(seg))
-            elif wtype == wire.I32:
+            elif wtype == W_I32:
                 pos += 4
-            elif wtype == wire.I64:
+                if pos > end:
+                    raise wire.WireError("scan_fields: truncated I32 field")
+            elif wtype == W_I64:
                 pos += 8
+                if pos > end:
+                    raise wire.WireError("scan_fields: truncated I64 field")
             else:
                 raise wire.WireError(f"scan_fields: unsupported wire type {wtype}")
     except IndexError:
@@ -221,6 +226,7 @@ def _decode_layer_exact(buf, start: int, end: int) -> Layer:
     # the per-tile hot loops for small tiles
     pos = start
     uvarint = wire.uvarint_decode
+    W_VARINT, W_LEN, W_I32, W_I64 = wire.VARINT, wire.LEN, wire.I32, wire.I64
     # inline single-byte varint fast path — see _decode_feature_raw
     try:
         while pos < end:
@@ -230,7 +236,7 @@ def _decode_layer_exact(buf, start: int, end: int) -> Layer:
                 key, pos = uvarint(buf, pos - 1)
             fno = key >> 3
             wtype = key & 7
-            if wtype == wire.LEN:
+            if wtype == W_LEN:
                 ln = buf[pos]
                 pos += 1
                 if ln & 0x80:
@@ -247,7 +253,7 @@ def _decode_layer_exact(buf, start: int, end: int) -> Layer:
                     keys.append(bytes(buf[span[0]:span[1]]))
                 elif fno == 4:
                     value_spans.append(span)
-            elif wtype == wire.VARINT:
+            elif wtype == W_VARINT:
                 val = buf[pos]
                 pos += 1
                 if val & 0x80:
@@ -256,10 +262,14 @@ def _decode_layer_exact(buf, start: int, end: int) -> Layer:
                     version = val
                 elif fno == 5:
                     extent = val
-            elif wtype == wire.I32:
+            elif wtype == W_I32:
                 pos += 4
-            elif wtype == wire.I64:
+                if pos > end:
+                    raise wire.WireError("scan_fields: truncated I32 field")
+            elif wtype == W_I64:
                 pos += 8
+                if pos > end:
+                    raise wire.WireError("scan_fields: truncated I64 field")
             else:
                 raise wire.WireError(f"scan_fields: unsupported wire type {wtype}")
     except IndexError:
@@ -294,6 +304,8 @@ def decode_tile(buf: bytes) -> VectorTile:
         # field headers; non-layer fields are skipped by wire type
         pos, n = 0, len(buf)
         uvarint = wire.uvarint_decode
+        W_VARINT, W_LEN, W_I32, W_I64 = (
+            wire.VARINT, wire.LEN, wire.I32, wire.I64)
         try:
             while pos < n:
                 key = buf[pos]
@@ -301,7 +313,7 @@ def decode_tile(buf: bytes) -> VectorTile:
                 if key & 0x80:
                     key, pos = uvarint(buf, pos - 1)
                 wtype = key & 7
-                if wtype == wire.LEN:
+                if wtype == W_LEN:
                     ln = buf[pos]
                     pos += 1
                     if ln & 0x80:
@@ -313,14 +325,20 @@ def decode_tile(buf: bytes) -> VectorTile:
                     if key >> 3 == 3:
                         layer = _decode_layer(buf, s, e)
                         tile.layers[layer.name] = layer  # dup name: last wins
-                elif wtype == wire.VARINT:
+                elif wtype == W_VARINT:
                     while buf[pos] & 0x80:
                         pos += 1
                     pos += 1
-                elif wtype == wire.I32:
+                elif wtype == W_I32:
                     pos += 4
-                elif wtype == wire.I64:
+                    if pos > n:
+                        raise wire.WireError(
+                            "scan_fields: truncated I32 field")
+                elif wtype == W_I64:
                     pos += 8
+                    if pos > n:
+                        raise wire.WireError(
+                            "scan_fields: truncated I64 field")
                 else:
                     raise wire.WireError(
                         f"scan_fields: unsupported wire type {wtype}")

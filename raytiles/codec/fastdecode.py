@@ -99,8 +99,12 @@ def _scan_features(buf, spans):
                     gspans.append((s, e))
             elif wtype == wire.I32:
                 pos += 4
+                if pos > end:
+                    raise FallbackDecode("truncated I32")
             elif wtype == wire.I64:
                 pos += 8
+                if pos > end:
+                    raise FallbackDecode("truncated I64")
             else:
                 raise FallbackDecode(f"wire type {wtype}")
         if geom_type not in (GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON):
@@ -207,8 +211,12 @@ def decode_layer_batched(buf, start: int, end: int,
                     extent = val
             elif wtype == wire.I32:
                 pos += 4
+                if pos > end:
+                    raise FallbackDecode("truncated I32")
             elif wtype == wire.I64:
                 pos += 8
+                if pos > end:
+                    raise FallbackDecode("truncated I64")
             else:
                 raise FallbackDecode(f"wire type {wtype}")
         if not feature_spans:

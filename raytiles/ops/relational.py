@@ -1139,6 +1139,81 @@ def events_watermark(sf_dir: str, lateness_s: int = 300,
         .groupby("shard").map_groups(scan, batch_format="pyarrow")
 
 
+def event_transitions(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Markov transition counts over per-user event streams: how many
+    times event type A is immediately followed by type B for the same
+    user in (ts, event_id) order — the session-path / next-action
+    model every clickstream pipeline trains.
+
+    Shape: the ``events_lag`` bucket pattern (one bounded
+    splitmix(user) shuffle keeps each user whole) but the bucket
+    REDUCES to the bounded (from_type, to_type) domain (<= |types|^2
+    = 25 rows) before leaving the reducer: lexsort, adjacent-pair
+    mask, then one np.unique over packed type-index pairs. The tiny
+    partials coalesce to a single narrow merge — no second shuffle."""
+    from ..util import bucket_of
+
+    k = len(EVENT_TYPES)
+    type_arr = pa.array(EVENT_TYPES)
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        ti = pc.cast(pc.index_in(b["event_type"], value_set=type_arr),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": uid.astype(np.int64),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "ti": ti,
+            "bucket": bucket_of(uid, n_buckets)})
+
+    def pairs_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ti = g["ti"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ti = uid[order], ti[order]
+        empty = pa.table({"pair": np.empty(0, np.int64),
+                          "n": np.empty(0, np.int64)})
+        if len(uid) < 2:
+            return empty
+        has_prev = uid[1:] == uid[:-1]
+        li = np.flatnonzero(has_prev) + 1
+        if not len(li):
+            return empty
+        pair = ti[li - 1] * k + ti[li]
+        vals, counts = np.unique(pair, return_counts=True)
+        return pa.table({"pair": vals, "n": counts.astype(np.int64)})
+
+    def finalize(b: pa.Table) -> pa.Table:
+        vals = b["pair"].to_numpy()
+        ns = b["n"].to_numpy()
+        order = np.argsort(vals, kind="stable")
+        vals, ns = vals[order], ns[order]
+        new = np.empty(len(vals), dtype=bool)
+        if not len(vals):
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": np.empty(0, np.int64)})
+        new[0] = True
+        new[1:] = vals[1:] != vals[:-1]
+        st = np.flatnonzero(new)
+        vals = vals[st]
+        total = np.add.reduceat(ns, st).astype(np.int64)
+        types = np.asarray(EVENT_TYPES)
+        return pa.table({"from_type": pa.array(types[vals // k]),
+                         "to_type": pa.array(types[vals % k]),
+                         "n": total})
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type"])
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs_bucket, batch_format="pyarrow") \
+        .repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
 def events_gapfill(sf_dir: str) -> ray.data.Dataset:
     """Time-series densification (gap filling): the hourly tumbling
     aggregate per event_type with EVERY hour between that type's

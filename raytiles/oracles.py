@@ -1255,6 +1255,18 @@ SELECT doc_id,
 FROM h GROUP BY 1, 2
 HAVING sum(CASE WHEN hv >= 9223372036854775808 THEN -1 ELSE 1 END) <> 0"""
 
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1, 2"""
+
+
 def events_lag_sql() -> str:
     """Twin of ops.relational.events_lag: lag() over (user, ts,
     event_id) order; values quantized to INT64 micro-units with the

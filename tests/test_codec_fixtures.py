@@ -285,3 +285,25 @@ def test_arrowio_coordinate_overflow_is_error_row():
     assert "int32" in err_rows["error"][0].as_py()
     live = out.filter(out["error"].is_null())
     assert live.num_rows >= 1  # the good tile survived
+
+
+def test_truncated_fixed_field_is_error_on_every_path():
+    """A truncated trailing I64/I32 field must error on the main
+    decode path exactly like the wire.scan_fields lazy path — the
+    inlined scanners must not silently accept it (path parity)."""
+    from raytiles.codec.decode import decode_tile_safe, layer_names
+    import pytest as _pt
+    # tile level: unknown field 19, wire type I64, only 3 payload bytes
+    t, err = decode_tile_safe(b"\x99\x01bad")
+    assert t is None and "truncated" in err
+    # layer level: wrap the truncated field inside a layer message
+    inner = b"\x0a\x01L" + b"\x99\x01bad"          # name "L", bad I64
+    buf = b"\x1a" + bytes([len(inner)]) + inner
+    t, err = decode_tile_safe(buf)
+    assert t is None and "truncated" in err
+    # feature level: feature message with truncated I32 field
+    feat = b"\x9d\x01ab"                            # field 19, I32, 2 bytes
+    inner = b"\x0a\x01L" + b"\x12" + bytes([len(feat)]) + feat
+    buf = b"\x1a" + bytes([len(inner)]) + inner
+    t, err = decode_tile_safe(buf)
+    assert t is None and "truncated" in err

@@ -1300,3 +1300,18 @@ def test_group_stats_pandas_oracle():
         corr = cov / np.sqrt(x.var() * y.var())
         assert abs(r.cov_micro / 1e6 - cov) < max(1e-3, abs(cov) * 1e-6)
         assert abs(r.corr_micro / 1e6 - corr) < 1e-4
+
+
+def test_event_transitions_pandas_oracle():
+    from raytiles.ops.relational import event_transitions
+    df = event_transitions(SF_SMOKE).to_pandas() \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas() \
+        .sort_values(["user_id", "ts", "event_id"], kind="stable")
+    prev = ev.groupby("user_id")["event_type"].shift()
+    want = pd.DataFrame({"from_type": prev, "to_type": ev.event_type}) \
+        .dropna().groupby(["from_type", "to_type"]).size()
+    assert len(df) == len(want) > 1
+    for r in df.itertuples():
+        assert want[(r.from_type, r.to_type)] == r.n
+    assert df["n"].sum() == want.sum()
