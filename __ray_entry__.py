@@ -458,6 +458,13 @@ def _q_order_revenue_left(sf_dir: str):
     return order_revenue_left(sf_dir)
 
 
+def _q_cohort_revenue_full(sf_dir: str):
+    """FULL OUTER join of two buying-cohort years (churned, new, and
+    retained customers all preserved; both null directions live)."""
+    from raytiles.ops.relational import cohort_revenue_full
+    return cohort_revenue_full(sf_dir)
+
+
 def _q_nation_revenue(sf_dir: str):
     """TPC-H Q5-shape multi-way join: lineitem partials |><| orders
     (partitioned hash join) |><| customer+nation (broadcast dims)."""
@@ -1078,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
         "nation_revenue": _q_nation_revenue,
+        "cohort_revenue_full": _q_cohort_revenue_full,
         "group_stats": _q_group_stats,
         "user_features": _q_user_features,
         "funnel_conversion": _q_funnel,
@@ -1218,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,
         "nation_revenue": oracles.NATION_REVENUE_SQL,
+        "cohort_revenue_full": oracles.COHORT_REVENUE_FULL_SQL,
         "group_stats": oracles.GROUP_STATS_SQL,
         "user_features": oracles.USER_FEATURES_SQL,
         "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,

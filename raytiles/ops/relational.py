@@ -607,6 +607,92 @@ def nation_revenue(sf_dir: str, date_lo: str = "1996-01-01",
         finalize, batch_format="pyarrow")
 
 
+def cohort_revenue_full(sf_dir: str, year_a: int = 1996,
+                        year_b: int = 1999,
+                        n_buckets: int = 256) -> ray.data.Dataset:
+    """FULL OUTER join: one row per customer active in EITHER buying
+    cohort (year_a or year_b), with both sides' revenue — the
+    year-over-year retention/churn report shape where neither side
+    may be dropped (customers who churned, customers newly acquired,
+    and retained customers all appear).
+
+    Each side collapses to exact per-customer partials first (per-row
+    INT64-cent quantization -> per-batch hash-agg -> ONE bounded
+    splitmix(custkey) bucket merge), so the full_outer hash join sees
+    one row per (customer, side); the finalizer coalesces the two key
+    columns and null-fills the missing side with zeros. Both null
+    directions are exercised by construction (disjoint cohort members
+    exist on each side)."""
+    from .dedup import _join_partitions
+    from ..util import bucket_of
+
+    def window(year: int):
+        lo = np.datetime64(f"{year}-01-01").astype("datetime64[us]") \
+            .astype(np.int64)
+        hi = np.datetime64(f"{year + 1}-01-01").astype("datetime64[us]") \
+            .astype(np.int64)
+        return lo, hi
+
+    def side(year: int, key: str, cents_col: str, n_col: str):
+        lo, hi = window(year)
+
+        def partial(b: pa.Table) -> pa.Table:
+            d = pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                        pa.int64())
+            b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+            # per-ROW exact quantization (identical op in the oracle),
+            # then integer sums — order-free exact end-to-end
+            cents = np.floor(
+                b["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+            t = pa.table({key: b["o_custkey"],
+                          cents_col: cents,
+                          n_col: np.ones(b.num_rows, np.int64)})
+            g = pa.TableGroupBy(t, key).aggregate(
+                [(cents_col, "sum"), (n_col, "sum")])
+            g = g.rename_columns([key, cents_col, n_col])
+            return g.append_column(
+                "bucket", pa.array(bucket_of(g[key].to_numpy(), n_buckets)))
+
+        def merge(g: pa.Table) -> pa.Table:
+            t = pa.TableGroupBy(g.select([key, cents_col, n_col]), key) \
+                .aggregate([(cents_col, "sum"), (n_col, "sum")])
+            t = t.rename_columns([key, cents_col, n_col])
+            return pa.table({key: t[key],
+                             cents_col: pc.cast(t[cents_col], pa.int64()),
+                             n_col: pc.cast(t[n_col], pa.int64())})
+
+        return ray.data.read_parquet(
+            _p(sf_dir, "orders"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+    a = side(year_a, "ck_a", "cents_a", "n_a")
+    b = side(year_b, "ck_b", "cents_b", "n_b")
+    n_part = _join_partitions()
+    a = a.repartition(n_part)
+    b = b.repartition(n_part)
+    j = a.join(b, "full_outer", n_part, on=("ck_a",), right_on=("ck_b",))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's full_outer emits the join key ONCE, coalesced into the
+        # left key column — ck_a is already non-null for every row
+        out = pd.DataFrame({
+            "o_custkey": df["ck_a"].to_numpy(dtype=np.float64)
+                .astype(np.int64),
+            "cents_a": df["cents_a"].to_numpy(dtype=np.float64,
+                                              na_value=0.0).astype(np.int64),
+            "n_a": df["n_a"].to_numpy(dtype=np.float64,
+                                      na_value=0.0).astype(np.int64),
+            "cents_b": df["cents_b"].to_numpy(dtype=np.float64,
+                                              na_value=0.0).astype(np.int64),
+            "n_b": df["n_b"].to_numpy(dtype=np.float64,
+                                      na_value=0.0).astype(np.int64)})
+        return out
+
+    return j.map_batches(finalize, batch_format="pandas")
+
+
 def group_stats(sf_dir: str) -> ray.data.Dataset:
     """Grouped second-moment statistics: per (l_returnflag): count,
     covariance and Pearson correlation of (l_quantity,

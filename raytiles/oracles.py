@@ -583,6 +583,32 @@ WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
 GROUP BY n_name"""
 
 
+# Twin of ops.relational.cohort_revenue_full: per-row INT64-cent
+# quantization (identical floor(x*100+0.5), o_totalprice >= 0) then
+# integer sums per cohort year, FULL JOIN, zero-fill both directions.
+COHORT_REVENUE_FULL_SQL = """
+WITH a AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents_a,
+         CAST(count(*) AS BIGINT) AS n_a
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1),
+b AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents_b,
+         CAST(count(*) AS BIGINT) AS n_b
+  FROM orders
+  WHERE o_orderdate >= DATE '1999-01-01' AND o_orderdate < DATE '2000-01-01'
+  GROUP BY 1)
+SELECT CAST(coalesce(a.o_custkey, b.o_custkey) AS BIGINT) AS o_custkey,
+       coalesce(cents_a, 0) AS cents_a, coalesce(n_a, 0) AS n_a,
+       coalesce(cents_b, 0) AS cents_b, coalesce(n_b, 0) AS n_b
+FROM a FULL JOIN b ON a.o_custkey = b.o_custkey"""
+
+
 # Twin of ops.relational.group_stats: six float64 moment sums, then
 # the IDENTICAL double op sequence as the engine finalizer (left-assoc
 # division/multiplication order), floor-quantized to micro units —

@@ -1315,3 +1315,25 @@ def test_event_transitions_pandas_oracle():
     for r in df.itertuples():
         assert want[(r.from_type, r.to_type)] == r.n
     assert df["n"].sum() == want.sum()
+
+
+def test_cohort_revenue_full_outer_pandas_oracle():
+    from raytiles.ops.relational import cohort_revenue_full
+    df = cohort_revenue_full(SF_SMOKE).to_pandas() \
+        .sort_values("o_custkey").reset_index(drop=True)
+    o = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+    o = o.assign(cents=np.floor(o.o_totalprice * 100 + 0.5).astype(np.int64),
+                 year=pd.to_datetime(o.o_orderdate).dt.year)
+    a = o[o.year == 1996].groupby("o_custkey")["cents"].agg(["sum", "count"])
+    b = o[o.year == 1999].groupby("o_custkey")["cents"].agg(["sum", "count"])
+    want = a.join(b, how="outer", lsuffix="_a", rsuffix="_b").fillna(0)
+    assert len(df) == len(want)
+    # both null directions must be live in the fixture
+    assert (df["n_a"] == 0).any() and (df["n_b"] == 0).any()
+    got = df.set_index("o_custkey")
+    assert np.array_equal(got["cents_a"].to_numpy(),
+                          want["sum_a"].to_numpy(np.int64))
+    assert np.array_equal(got["cents_b"].to_numpy(),
+                          want["sum_b"].to_numpy(np.int64))
+    assert np.array_equal(got["n_a"].to_numpy(),
+                          want["count_a"].to_numpy(np.int64))
