@@ -919,6 +919,26 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return geoparse(read_webpages_jsonl(root))
 
 
+def _q_hive_partition(sf_dir: str):
+    """Hive-partitioned sink + partition-PRUNED read: webpages written
+    as <root>/lang=<v>/*.parquet, then ONLY the lang=en directory is
+    listed and geoparsed — the predicate-to-directory translation.
+    Value-checked against the geoparse twin restricted to lang='en'."""
+    import tempfile
+
+    import ray.data as _rd
+
+    from raytiles.pipeline.flagship import geoparse
+    from raytiles.pipeline.sources import (read_webpages_hive,
+                                           write_webpages_hive)
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    root = tempfile.mkdtemp(prefix="raytiles_hive_")
+    write_webpages_hive(
+        _rd.read_parquet(wp, columns=["url", "text", "lang"]), root)
+    return geoparse(read_webpages_hive(root, lang="en"))
+
+
 def _q_warc_roundtrip(sf_dir: str):
     """WARC source/sink roundtrip: parquet webpages -> WARC/1.0 shards
     (html only — the crawl-native contract) -> re-derive text from the
@@ -1066,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_files": _q_mvt_files,
         "mvt_ingest": _q_mvt_ingest,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "hive_partition": _q_hive_partition,
         "warc_roundtrip": _q_warc_roundtrip,
         "ipc_roundtrip": _q_ipc_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -1206,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         "geoparse": oracles.geoparse_sql(wp),
         # the JSONL path must parse to the same mentions as parquet
         "jsonl_roundtrip": oracles.geoparse_sql(wp),
+        "hive_partition": oracles.geoparse_lang_sql(wp),
         "warc_roundtrip": oracles.geoparse_sql(wp),
         "ipc_roundtrip": oracles.geoparse_sql(wp),
         "csv_roundtrip": oracles.geoparse_sql(wp),

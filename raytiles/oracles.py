@@ -87,6 +87,18 @@ def geoparse_sql(webpages_parquet: str) -> str:
             "SELECT url, mention_idx, lon, lat FROM mentions")
 
 
+def geoparse_lang_sql(webpages_parquet: str, lang: str = "en") -> str:
+    """Twin of the hive-partitioned pruned read: the geoparse twin
+    restricted to one partition value (the engine never reads the
+    other partitions' bytes; the oracle filters)."""
+    return (f"WITH {mentions_cte(webpages_parquet)}, "
+            "langs AS (SELECT url, lang FROM "
+            f"read_parquet('{webpages_parquet}/*.parquet')) "
+            "SELECT m.url, m.mention_idx, m.lon, m.lat "
+            "FROM mentions m JOIN langs l ON m.url = l.url "
+            f"WHERE l.lang = '{lang}'")
+
+
 def tile_assign_sql(webpages_parquet: str) -> str:
     cells = ",\n    ".join(f"{_cell_expr(r)} AS cell_r{r}" for r in range(10))
     return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs()} "

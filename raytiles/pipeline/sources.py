@@ -318,3 +318,39 @@ def read_webpages_ipc(root: str, columns=None) -> ray.data.Dataset:
         return pa.concat_tables(tables)
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def write_webpages_hive(ds: ray.data.Dataset, root: str,
+                        partition_col: str = "lang") -> None:
+    """Hive-partitioned parquet sink: ``<root>/<col>=<value>/*.parquet``
+    — the warehouse layout that makes partition PRUNING a filesystem
+    operation. Ray's write_parquet fans rows into one directory per
+    partition value; at 100 TB this is also the resumable-output
+    shape (a failed run re-lists finished partition dirs and skips)."""
+    ds.write_parquet(root, partition_cols=[partition_col])
+
+
+def read_webpages_hive(root: str, lang: str | None = None,
+                       columns=("url", "text")) -> ray.data.Dataset:
+    """Hive-partitioned source with PATH-LEVEL partition pruning: when
+    ``lang`` is given, only ``<root>/lang=<lang>/`` is listed and read
+    — bytes from every other partition never leave storage (the
+    predicate-to-directory translation a lakehouse query planner
+    performs). The partition column is not stored in the files; it is
+    re-attached as a constant when requested."""
+    import pyarrow.compute as pc
+
+    want = [c for c in columns if c != "lang"]
+    if lang is not None:
+        ds = ray.data.read_parquet(f"{root}/lang={lang}", columns=want)
+        if "lang" in columns:
+            const = lang
+
+            def attach(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "lang", pa.array([const] * t.num_rows, pa.string()))
+
+            ds = ds.map_batches(attach, batch_format="pyarrow")
+        return ds
+    # full-table read: hive discovery re-materializes the column
+    return ray.data.read_parquet(root, columns=list(columns))

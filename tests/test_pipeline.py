@@ -836,3 +836,33 @@ def test_ipc_source_roundtrips_parquet(tmp_path):
             == want["warc_ts"].astype("datetime64[us]")).all()
     pruned = read_webpages_ipc(root, columns=("url",)).to_pandas()
     assert list(pruned.columns) == ["url"] and len(pruned) == len(want)
+
+
+def test_hive_partition_sink_prunes_and_roundtrips(tmp_path):
+    """Hive sink writes one dir per lang; the pruned read lists ONLY
+    the requested partition and re-attaches the partition column."""
+    import os
+    import ray.data as rd
+    from raytiles.pipeline.sources import (read_webpages_hive,
+                                           write_webpages_hive)
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    import pyarrow.parquet as pq
+    wp = webpages_path(SF_SMOKE)
+    root = str(tmp_path / "hive")
+    write_webpages_hive(
+        rd.read_parquet(wp, columns=["url", "text", "lang"]), root)
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("lang="))
+    assert len(dirs) > 1  # really partitioned
+    full = pq.read_table(wp, columns=["url", "lang"]).to_pandas()
+    want = full[full.lang == "en"]
+    got = read_webpages_hive(root, lang="en",
+                             columns=("url", "text", "lang")).to_pandas()
+    assert len(got) == len(want)
+    assert (got["lang"] == "en").all()
+    assert set(got["url"]) == set(want["url"])
+    # partition column is NOT duplicated inside the data files
+    part_file = next(
+        os.path.join(root, dirs[0], f)
+        for f in os.listdir(os.path.join(root, dirs[0])))
+    assert "lang" not in pq.read_schema(part_file).names
