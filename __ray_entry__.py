@@ -919,6 +919,25 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return geoparse(read_webpages_jsonl(root))
 
 
+def _q_jsonl_gz_roundtrip(sf_dir: str):
+    """Gzipped JSONL source/sink roundtrip (crawl-dump exchange form:
+    decompression inside each read task's input stream) -> geoparse;
+    value-checked against the same geoparse twin as parquet."""
+    import tempfile
+
+    import ray.data as _rd
+
+    from raytiles.pipeline.flagship import geoparse
+    from raytiles.pipeline.sources import (read_webpages_jsonl,
+                                           write_webpages_jsonl)
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    root = tempfile.mkdtemp(prefix="raytiles_jsonlgz_")
+    write_webpages_jsonl(
+        _rd.read_parquet(wp, columns=["url", "text"]), root, gz=True)
+    return geoparse(read_webpages_jsonl(root, gz=True))
+
+
 def _q_hive_partition(sf_dir: str):
     """Hive-partitioned sink + partition-PRUNED read: webpages written
     as <root>/lang=<v>/*.parquet, then ONLY the lang=en directory is
@@ -1086,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_files": _q_mvt_files,
         "mvt_ingest": _q_mvt_ingest,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "jsonl_gz_roundtrip": _q_jsonl_gz_roundtrip,
         "hive_partition": _q_hive_partition,
         "warc_roundtrip": _q_warc_roundtrip,
         "ipc_roundtrip": _q_ipc_roundtrip,
@@ -1227,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "geoparse": oracles.geoparse_sql(wp),
         # the JSONL path must parse to the same mentions as parquet
         "jsonl_roundtrip": oracles.geoparse_sql(wp),
+        "jsonl_gz_roundtrip": oracles.geoparse_sql(wp),
         "hive_partition": oracles.geoparse_lang_sql(wp),
         "warc_roundtrip": oracles.geoparse_sql(wp),
         "ipc_roundtrip": oracles.geoparse_sql(wp),

@@ -64,7 +64,8 @@ def read_mvt_dir(root: str) -> ray.data.Dataset:
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
-def read_webpages_jsonl(root: str, columns=("url", "text")) -> ray.data.Dataset:
+def read_webpages_jsonl(root: str, columns=("url", "text"),
+                        gz: bool = False) -> ray.data.Dataset:
     """JSONL webpages source: newline-delimited JSON shards with the
     same logical schema as the parquet table (url, warc_ts, html-b64,
     text, lang) — the interchange format crawls actually arrive in.
@@ -72,10 +73,20 @@ def read_webpages_jsonl(root: str, columns=("url", "text")) -> ray.data.Dataset:
     column pruning happens in a projection pass right after the read
     (JSON has no column pushdown — documented storage-format cost vs
     parquet, not an engine limitation). Binary html travels base64
-    (JSON has no bytes type) and is decoded only when requested."""
+    (JSON has no bytes type) and is decoded only when requested.
+
+    ``gz=True`` reads ``.jsonl.gz`` shards (the compressed form
+    crawl dumps actually ship in — e.g. WET/WAT-style gzip members):
+    decompression happens inside each read task's input stream, so
+    compressed bytes are what cross storage and the wire."""
     import base64
 
-    ds = ray.data.read_json(root)
+    if gz:
+        ds = ray.data.read_json(
+            root, arrow_open_stream_args={"compression": "gzip"},
+            file_extensions=["gz"])
+    else:
+        ds = ray.data.read_json(root)
     want = list(columns)
 
     def project(t: pa.Table) -> pa.Table:
@@ -96,8 +107,11 @@ def read_webpages_jsonl(root: str, columns=("url", "text")) -> ray.data.Dataset:
     return ds.map_batches(project, batch_format="pyarrow")
 
 
-def write_webpages_jsonl(ds: ray.data.Dataset, root: str) -> None:
-    """Inverse sink (one .jsonl file per block; base64 for binary)."""
+def write_webpages_jsonl(ds: ray.data.Dataset, root: str,
+                         gz: bool = False) -> None:
+    """Inverse sink (one .jsonl[.gz] file per block; base64 for
+    binary). ``gz=True`` writes gzip members (deterministic: mtime=0,
+    no filename in the header) — the crawl-dump exchange form."""
     import base64
     import json as _json
     import os
@@ -105,7 +119,9 @@ def write_webpages_jsonl(ds: ray.data.Dataset, root: str) -> None:
     os.makedirs(root, exist_ok=True)
 
     def dump(t: pa.Table) -> pa.Table:
+        import gzip
         import hashlib
+        import io
         rows = []
         names = t.column_names
         for i in range(t.num_rows):
@@ -120,7 +136,13 @@ def write_webpages_jsonl(ds: ray.data.Dataset, root: str) -> None:
             rows.append(_json.dumps(row, sort_keys=True))
         payload = ("\n".join(rows) + "\n").encode()
         name = hashlib.md5(payload).hexdigest()[:16]
-        with open(os.path.join(root, f"part-{name}.jsonl"), "wb") as fh:
+        if gz:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as zf:
+                zf.write(payload)
+            payload = buf.getvalue()
+        ext = "jsonl.gz" if gz else "jsonl"
+        with open(os.path.join(root, f"part-{name}.{ext}"), "wb") as fh:
             fh.write(payload)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
