@@ -458,6 +458,13 @@ def _q_order_revenue_left(sf_dir: str):
     return order_revenue_left(sf_dir)
 
 
+def _q_small_quantity_revenue(sf_dir: str):
+    """Correlated-aggregate join (Q17 shape) decorrelated into a
+    broadcast two-pass plan (per-part thresholds broadcast back)."""
+    from raytiles.ops.relational import small_quantity_revenue
+    return small_quantity_revenue(sf_dir)
+
+
 def _q_cohort_revenue_full(sf_dir: str):
     """FULL OUTER join of two buying-cohort years (churned, new, and
     retained customers all preserved; both null directions live)."""
@@ -1127,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_left": _q_order_revenue_left,
         "nation_revenue": _q_nation_revenue,
         "cohort_revenue_full": _q_cohort_revenue_full,
+        "small_quantity_revenue": _q_small_quantity_revenue,
         "group_stats": _q_group_stats,
         "user_features": _q_user_features,
         "funnel_conversion": _q_funnel,
@@ -1270,6 +1278,7 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,
         "nation_revenue": oracles.NATION_REVENUE_SQL,
         "cohort_revenue_full": oracles.COHORT_REVENUE_FULL_SQL,
+        "small_quantity_revenue": oracles.SMALL_QUANTITY_REVENUE_SQL,
         "group_stats": oracles.GROUP_STATS_SQL,
         "user_features": oracles.USER_FEATURES_SQL,
         "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,

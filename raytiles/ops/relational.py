@@ -607,6 +607,102 @@ def nation_revenue(sf_dir: str, date_lo: str = "1996-01-01",
         finalize, batch_format="pyarrow")
 
 
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#4",
+                           factor: float = 0.5,
+                           n_buckets: int = 256) -> ray.data.Dataset:
+    """Correlated-aggregate join (TPC-H Q17 shape): revenue from
+    lineitems of one brand's parts whose quantity is below
+    ``factor * (that part's own average quantity)`` — the correlated
+    subquery ``l_quantity < f * (SELECT avg(l_quantity) ... WHERE
+    l2.l_partkey = l_partkey)`` DECORRELATED into a two-pass
+    broadcast plan:
+
+    pass 1: brand partkeys (dimension, driver-read, ray.put) prune
+    lineitem BEFORE the per-part aggregate, so the bounded-bucket
+    shuffle moves only the brand's rows; the resulting per-part
+    (sum_qty, n) table is model-sized and broadcasts back;
+    pass 2: a shuffle-free scan compares each row against its part's
+    threshold via searchsorted lookup and folds exact integer-cent
+    partials.
+
+    Parity: the threshold ``factor * (sq / n)`` is the identical
+    double op sequence as the oracle; revenue is per-row quantized to
+    INT64 cents before summing (order-free exact)."""
+    import pyarrow.parquet as pq
+    from ..util import bucket_of
+
+    part_keys = np.sort(pq.read_table(
+        _p(sf_dir, "part"),
+        columns=["p_partkey", "p_brand"],
+        filters=[("p_brand", "=", brand)])["p_partkey"].to_numpy())
+    keys_ref = ray.put(part_keys)
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        pk = ray.get(keys_ref)
+        lk = b["l_partkey"].to_numpy()
+        if len(pk):
+            pos = np.clip(np.searchsorted(pk, lk), 0, len(pk) - 1)
+            mask = pk[pos] == lk
+        else:
+            mask = np.zeros(len(lk), bool)
+        b = b.filter(pa.array(mask))
+        t = pa.table({"l_partkey": b["l_partkey"],
+                      "sq": b["l_quantity"],
+                      "n": np.ones(b.num_rows, np.int64)})
+        g = pa.TableGroupBy(t, "l_partkey").aggregate(
+            [("sq", "sum"), ("n", "sum")])
+        g = g.rename_columns(["l_partkey", "sq", "n"])
+        return g.append_column(
+            "bucket", pa.array(bucket_of(g["l_partkey"].to_numpy(),
+                                         n_buckets)))
+
+    def qty_merge(g: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(g.select(["l_partkey", "sq", "n"]),
+                            "l_partkey") \
+            .aggregate([("sq", "sum"), ("n", "sum")])
+        return t.rename_columns(["l_partkey", "sq", "n"])
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    agg = ray.data.read_parquet(_p(sf_dir, "lineitem"),
+                                columns=["l_partkey", "l_quantity"]) \
+        .map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(qty_merge, batch_format="pyarrow") \
+        .to_pandas()  # bounded: <= |brand parts| rows (a dimension)
+    order = np.argsort(agg["l_partkey"].to_numpy(), kind="stable")
+    thr = (factor * (agg["sq"].to_numpy(np.float64)
+                     / agg["n"].to_numpy(np.float64)))[order]
+    thr_ref = ray.put((agg["l_partkey"].to_numpy(np.int64)[order], thr))
+
+    def score(b: pa.Table) -> pa.Table:
+        pk, th = ray.get(thr_ref)
+        lk = b["l_partkey"].to_numpy()
+        if len(pk) == 0:
+            return pa.table({"n_items": np.zeros(1, np.int64),
+                             "sum_cents": np.zeros(1, np.int64)})
+        pos = np.searchsorted(pk, lk)
+        pos = np.clip(pos, 0, len(pk) - 1)
+        hit = pk[pos] == lk
+        q = b["l_quantity"].to_numpy()
+        keep = hit & (q < th[pos])
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy()[keep] * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "n_items": np.array([int(keep.sum())], np.int64),
+            "sum_cents": np.array([int(cents.sum())], np.int64)})
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_items": pa.array(
+                [pc.sum(b["n_items"]).as_py() or 0], pa.int64()),
+            "sum_cents": pa.array(
+                [pc.sum(b["sum_cents"]).as_py() or 0], pa.int64())})
+
+    return ray.data.read_parquet(_p(sf_dir, "lineitem"), columns=li_cols) \
+        .map_batches(score, batch_format="pyarrow") \
+        .repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
 def cohort_revenue_full(sf_dir: str, year_a: int = 1996,
                         year_b: int = 1999,
                         n_buckets: int = 256) -> ray.data.Dataset:

@@ -595,6 +595,25 @@ WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
 GROUP BY n_name"""
 
 
+# Twin of ops.relational.small_quantity_revenue (TPC-H Q17 shape):
+# correlated avg-per-part subquery written as an explicit per-part
+# (sum, count) aggregate; the threshold 0.5 * (sq / n) is the engine
+# finalizer's identical double op sequence, and revenue quantizes to
+# INT64 cents per row before the sum.
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+ag AS (
+  SELECT l_partkey, sum(l_quantity) AS sq,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM lineitem JOIN pk ON p_partkey = l_partkey
+  GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                               AS BIGINT)), 0) AS BIGINT) AS sum_cents
+FROM lineitem l JOIN ag ON ag.l_partkey = l.l_partkey
+WHERE l.l_quantity < 0.5 * (sq / n)"""
+
+
 # Twin of ops.relational.cohort_revenue_full: per-row INT64-cent
 # quantization (identical floor(x*100+0.5), o_totalprice >= 0) then
 # integer sums per cohort year, FULL JOIN, zero-fill both directions.

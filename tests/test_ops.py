@@ -1337,3 +1337,18 @@ def test_cohort_revenue_full_outer_pandas_oracle():
                           want["sum_b"].to_numpy(np.int64))
     assert np.array_equal(got["n_a"].to_numpy(),
                           want["count_a"].to_numpy(np.int64))
+
+
+def test_small_quantity_revenue_pandas_oracle():
+    from raytiles.ops.relational import small_quantity_revenue
+    df = small_quantity_revenue(SF_SMOKE).to_pandas()
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    part = pq.read_table(f"{SF_SMOKE}/part.parquet").to_pandas()
+    keys = set(part[part.p_brand == "Brand#4"].p_partkey)
+    sel = li[li.l_partkey.isin(keys)]
+    thr = 0.5 * sel.groupby("l_partkey")["l_quantity"].mean()
+    small = sel[sel.l_quantity < sel.l_partkey.map(thr)]
+    assert len(df) == 1
+    assert df["n_items"].iloc[0] == len(small) > 0
+    want = np.floor(small.l_extendedprice * 100 + 0.5).astype(np.int64).sum()
+    assert df["sum_cents"].iloc[0] == want
