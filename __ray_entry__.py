@@ -486,6 +486,20 @@ def _q_group_stats(sf_dir: str):
     return group_stats(sf_dir)
 
 
+def _q_user_value_history(sf_dir: str):
+    """SCD-2 validity intervals from the purchase change log
+    (lead()-by-shift inside user-complete buckets)."""
+    from raytiles.ops.relational import user_value_history
+    return user_value_history(sf_dir)
+
+
+def _q_events_ohlc(sf_dir: str):
+    """OHLC resample per (type, 6h bucket) on mergeable first/last
+    aggregates (argmin-key partials; layout-independent by proof)."""
+    from raytiles.ops.relational import events_ohlc
+    return events_ohlc(sf_dir)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition counts over per-user event streams (bounded
     user-bucket shuffle; bucket reduces to the 25-cell type-pair
@@ -1205,6 +1219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_window": _q_events_range_window,
         "events_lag": _q_events_lag,
         "event_transitions": _q_event_transitions,
+        "events_ohlc": _q_events_ohlc,
+        "user_value_history": _q_user_value_history,
         "events_moving_sum": _q_events_moving_sum,
         "group_mode": _q_group_mode,
         "feature_hashing": _q_feature_hashing,
@@ -1328,6 +1344,8 @@ def oracle_sql() -> dict[str, str]:
         "events_range_window": oracles.events_range_window_sql(),
         "events_lag": oracles.events_lag_sql(),
         "event_transitions": oracles.EVENT_TRANSITIONS_SQL,
+        "events_ohlc": oracles.EVENTS_OHLC_SQL,
+        "user_value_history": oracles.USER_VALUE_HISTORY_SQL,
         "events_moving_sum": oracles.events_moving_sum_sql(),
         "group_mode": oracles.GROUP_MODE_SQL,
         "feature_hashing": oracles.feature_hashing_sql(),

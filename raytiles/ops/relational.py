@@ -1396,6 +1396,172 @@ def event_transitions(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
         .repartition(1).map_batches(finalize, batch_format="pyarrow")
 
 
+def user_value_history(sf_dir: str, event_type: str = "purchase",
+                       n_buckets: int = 256) -> ray.data.Dataset:
+    """SCD-2 history build: turn a change log into validity INTERVALS
+    — for each user's ``event_type`` events in (ts, event_id) order,
+    emit (user_id, vm, valid_from_us, valid_to_us) where valid_to is
+    the next change's timestamp and the current (latest) row is open
+    (valid_to = -1, SQL NULL) — the slowly-changing-dimension type-2
+    table a warehouse builds from CDC streams.
+
+    Shape: the events_lag bucket pattern (splitmix(user) keeps each
+    user whole in one bucket) with a lead()-by-shift: after the
+    bucket lexsort, a row's valid_to is simply the NEXT row's ts when
+    it shares the user. One bounded shuffle, no window machinery."""
+    from ..util import bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], event_type))
+        uid = b["user_id"].to_numpy()
+        return pa.table({
+            "user_id": uid.astype(np.int64),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "vm": np.floor(b["value"].to_numpy() * 1e6).astype(np.int64),
+            "bucket": bucket_of(uid, n_buckets)})
+
+    def history_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        vm = g["vm"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, vm = uid[order], ts[order], eid[order], vm[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table({"user_id": np.empty(0, np.int64),
+                             "event_id": np.empty(0, np.int64),
+                             "vm": np.empty(0, np.int64),
+                             "valid_from_us": np.empty(0, np.int64),
+                             "valid_to_us": np.empty(0, np.int64)})
+        valid_to = np.full(n, -1, np.int64)
+        same_next = uid[:-1] == uid[1:]
+        valid_to[:-1][same_next] = ts[1:][same_next]
+        return pa.table({"user_id": uid, "event_id": eid, "vm": vm,
+                         "valid_from_us": ts, "valid_to_us": valid_to})
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(history_bucket,
+                                      batch_format="pyarrow")
+
+
+def events_ohlc(sf_dir: str, bucket_hours: int = 6) -> ray.data.Dataset:
+    """OHLC resample (open / high / low / close per (event_type,
+    time bucket)) — the financial-downsample shape, built on MERGEABLE
+    first/last aggregates: a "first" is (argmin key, value-at-argmin)
+    and two such partials merge by keeping the smaller key, so unlike
+    a naive ``first()`` the result is provably independent of block
+    layout and merge order.
+
+    Per batch: one lexsort per (type, bucket) run emits a single
+    partial row carrying open/close WITH their (ts, event_id) keys
+    plus high/low/sum/n; the (type x bucket) domain is bounded
+    (|types| x hours/bucket_hours), so ONE direct groupby merges.
+    Values are micro-quantized to INT64 (identical floor op as the
+    oracle) so every output column is exact."""
+    bucket_us = np.int64(bucket_hours) * 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy()
+        eid = pc.cast(b["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = pc.index_in(b["event_type"],
+                         value_set=pa.array(EVENT_TYPES))
+        et = pc.cast(et, pa.int64()).to_numpy(zero_copy_only=False)
+        vm = np.floor(b["value"].to_numpy() * 1e6).astype(np.int64)
+        bk = (ts // bucket_us).astype(np.int64)
+        order = np.lexsort((eid, ts, bk, et))
+        et, bk, ts, eid, vm = (et[order], bk[order], ts[order],
+                               eid[order], vm[order])
+        n = len(et)
+        if n == 0:
+            return pa.table({
+                "et": np.empty(0, np.int64), "bk": np.empty(0, np.int64),
+                "o_ts": np.empty(0, np.int64), "o_id": np.empty(0, np.int64),
+                "open_vm": np.empty(0, np.int64),
+                "c_ts": np.empty(0, np.int64), "c_id": np.empty(0, np.int64),
+                "close_vm": np.empty(0, np.int64),
+                "high_vm": np.empty(0, np.int64),
+                "low_vm": np.empty(0, np.int64),
+                "n": np.empty(0, np.int64), "sum_vm": np.empty(0, np.int64)})
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (et[1:] != et[:-1]) | (bk[1:] != bk[:-1])
+        st = np.flatnonzero(new)
+        en = np.append(st[1:], n) - 1
+        return pa.table({
+            "et": et[st], "bk": bk[st],
+            "o_ts": ts[st], "o_id": eid[st], "open_vm": vm[st],
+            "c_ts": ts[en], "c_id": eid[en], "close_vm": vm[en],
+            "high_vm": np.maximum.reduceat(vm, st),
+            "low_vm": np.minimum.reduceat(vm, st),
+            "n": (en - st + 1).astype(np.int64),
+            "sum_vm": np.add.reduceat(vm, st)})
+
+    def merge(g: pa.Table) -> pa.Table:
+        et = g["et"].to_numpy()
+        bk = g["bk"].to_numpy()
+        if len(et) == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "bucket_id": np.empty(0, np.int64),
+                "open_vm": np.empty(0, np.int64),
+                "high_vm": np.empty(0, np.int64),
+                "low_vm": np.empty(0, np.int64),
+                "close_vm": np.empty(0, np.int64),
+                "n": np.empty(0, np.int64),
+                "sum_vm": np.empty(0, np.int64)})
+        ots, oid, ovm = (g["o_ts"].to_numpy(), g["o_id"].to_numpy(),
+                         g["open_vm"].to_numpy())
+        cts, cid, cvm = (g["c_ts"].to_numpy(), g["c_id"].to_numpy(),
+                         g["close_vm"].to_numpy())
+        # merge rule: open = value at the (ts, event_id)-smallest
+        # partial, close = at the largest — pick via lexsort ends
+        oorder = np.lexsort((oid, ots, bk, et))
+        et_o, bk_o = et[oorder], bk[oorder]
+        new = np.empty(len(et), dtype=bool)
+        new[0] = True
+        new[1:] = (et_o[1:] != et_o[:-1]) | (bk_o[1:] != bk_o[:-1])
+        st = np.flatnonzero(new)
+        corder = np.lexsort((cid, cts, bk, et))
+        en_keys = np.append(np.flatnonzero(
+            (et[corder][1:] != et[corder][:-1])
+            | (bk[corder][1:] != bk[corder][:-1])), len(et) - 1)
+        hi = pa.TableGroupBy(
+            g.select(["et", "bk", "high_vm", "low_vm", "n", "sum_vm"]),
+            ["et", "bk"]).aggregate(
+            [("high_vm", "max"), ("low_vm", "min"),
+             ("n", "sum"), ("sum_vm", "sum")])
+        hi = hi.rename_columns(["et", "bk", "high_vm", "low_vm",
+                                "n", "sum_vm"])
+        agg_order = np.lexsort((hi["bk"].to_numpy(), hi["et"].to_numpy()))
+        types = np.asarray(EVENT_TYPES)
+        return pa.table({
+            "event_type": pa.array(types[hi["et"].to_numpy()[agg_order]]),
+            "bucket_id": pc.take(hi["bk"], pa.array(agg_order)),
+            "open_vm": ovm[oorder][st],
+            "high_vm": pc.take(hi["high_vm"], pa.array(agg_order)),
+            "low_vm": pc.take(hi["low_vm"], pa.array(agg_order)),
+            "close_vm": cvm[corder][en_keys],
+            "n": pc.cast(pc.take(hi["n"], pa.array(agg_order)), pa.int64()),
+            "sum_vm": pc.cast(pc.take(hi["sum_vm"], pa.array(agg_order)),
+                              pa.int64())})
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "event_type", "ts", "value"])
+    # (type x bucket) key domain is bounded -> single direct merge
+    # group (the whole partial table is tiny); repartition(1) + one
+    # vectorized merge keeps key-pairing between open/close picks and
+    # the hash-agg trivially aligned
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow")
+
+
 def events_gapfill(sf_dir: str) -> ray.data.Dataset:
     """Time-series densification (gap filling): the hourly tumbling
     aggregate per event_type with EVERY hour between that type's

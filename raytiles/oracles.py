@@ -1312,6 +1312,48 @@ SELECT doc_id,
 FROM h GROUP BY 1, 2
 HAVING sum(CASE WHEN hv >= 9223372036854775808 THEN -1 ELSE 1 END) <> 0"""
 
+# Twin of ops.relational.user_value_history (SCD-2 build): lead(ts)
+# per user over the filtered change log; open rows carry -1 (the
+# engine's NULL sentinel, coalesced identically here).
+USER_VALUE_HISTORY_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events WHERE event_type = 'purchase')
+SELECT user_id, event_id, vm,
+       ts_us AS valid_from_us,
+       coalesce(lead(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id),
+                -1) AS valid_to_us
+FROM e"""
+
+
+# Twin of ops.relational.events_ohlc: first/last via row_number over
+# (ts, event_id) both directions; values micro-quantized with the
+# engine's identical floor op so every column is exact INT64.
+EVENTS_OHLC_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm,
+         epoch_us(ts) // 21600000000 AS bk
+  FROM events),
+w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bk
+                            ORDER BY ts_us, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, bk
+                            ORDER BY ts_us DESC, event_id DESC) AS rd
+  FROM e)
+SELECT event_type, bk AS bucket_id,
+       max(CASE WHEN ra = 1 THEN vm END) AS open_vm,
+       max(vm) AS high_vm,
+       min(vm) AS low_vm,
+       max(CASE WHEN rd = 1 THEN vm END) AS close_vm,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vm) AS BIGINT) AS sum_vm
+FROM w GROUP BY 1, 2"""
+
+
 EVENT_TRANSITIONS_SQL = """
 WITH s AS (
   SELECT user_id, event_type,

@@ -1352,3 +1352,49 @@ def test_small_quantity_revenue_pandas_oracle():
     assert df["n_items"].iloc[0] == len(small) > 0
     want = np.floor(small.l_extendedprice * 100 + 0.5).astype(np.int64).sum()
     assert df["sum_cents"].iloc[0] == want
+
+
+def test_events_ohlc_pandas_oracle():
+    from raytiles.ops.relational import events_ohlc
+    df = events_ohlc(SF_SMOKE).to_pandas() \
+        .sort_values(["event_type", "bucket_id"]).reset_index(drop=True)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    ev = ev.assign(
+        ts_us=ev.ts.astype("datetime64[us]").astype(np.int64),
+        vm=np.floor(ev.value * 1e6).astype(np.int64))
+    ev = ev.assign(bk=ev.ts_us // 21600000000) \
+        .sort_values(["event_type", "bk", "ts_us", "event_id"],
+                     kind="stable")
+    g = ev.groupby(["event_type", "bk"])["vm"]
+    want = pd.DataFrame({
+        "open": g.first(), "high": g.max(), "low": g.min(),
+        "close": g.last(), "n": g.size(), "s": g.sum()})
+    assert len(df) == len(want) > 5
+    got = df.set_index(["event_type", "bucket_id"])
+    assert np.array_equal(got["open_vm"].to_numpy(), want["open"].to_numpy())
+    assert np.array_equal(got["close_vm"].to_numpy(), want["close"].to_numpy())
+    assert np.array_equal(got["high_vm"].to_numpy(), want["high"].to_numpy())
+    assert np.array_equal(got["low_vm"].to_numpy(), want["low"].to_numpy())
+    assert np.array_equal(got["sum_vm"].to_numpy(), want["s"].to_numpy())
+
+
+def test_user_value_history_pandas_oracle():
+    from raytiles.ops.relational import user_value_history
+    df = user_value_history(SF_SMOKE).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    ev = ev[ev.event_type == "purchase"].assign(
+        ts_us=lambda d: d.ts.astype("datetime64[us]").astype(np.int64),
+        vm=lambda d: np.floor(d.value * 1e6).astype(np.int64)) \
+        .sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+    nxt = ev.groupby("user_id")["ts_us"].shift(-1).fillna(-1).astype(np.int64)
+    want = ev.assign(valid_to=nxt).sort_values("event_id")
+    assert len(df) == len(want) > 10
+    assert np.array_equal(df["valid_from_us"].to_numpy(),
+                          want["ts_us"].to_numpy())
+    assert np.array_equal(df["valid_to_us"].to_numpy(),
+                          want["valid_to"].to_numpy())
+    assert np.array_equal(df["vm"].to_numpy(), want["vm"].to_numpy())
+    # exactly one open interval per user
+    open_rows = df[df.valid_to_us == -1]
+    assert len(open_rows) == want.user_id.nunique()
