@@ -581,6 +581,14 @@ def _q_cell_pagerank(sf_dir: str):
     return cell_pagerank(webpages_path(sf_dir))
 
 
+def _q_hotspot_regions(sf_dir: str):
+    """Spatial hotspot detection: 8-adjacency connected components of
+    dense grid cells (distributed density pass, bounded driver fold)."""
+    from raytiles.ops.spatial import hotspot_regions
+    from raytiles.pipeline.synth import webpages_path
+    return hotspot_regions(webpages_path(sf_dir))
+
+
 def _q_cell_triangles(sf_dir: str):
     """Triangle counting over the co-mention cell graph (broadcast
     forward-adjacency CSR, shuffle-free edge-iterator pass)."""
@@ -1189,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "comention_edges": _q_comention_edges,
         "cell_pagerank": _q_cell_pagerank,
         "cell_triangles": _q_cell_triangles,
+        "hotspot_regions": _q_hotspot_regions,
         "trajectory_lengths": _q_trajectory_lengths,
         "nearest_city": _q_nearest_city,
         "host_bbox": _q_host_bbox,
@@ -1318,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "geofence_join": oracles.geofence_join_sql(wp),
         "comention_edges": oracles.comention_edges_sql(wp),
         "cell_triangles": oracles.cell_triangles_sql(wp),
+        "hotspot_regions": oracles.hotspot_regions_sql(wp),
         "trajectory_lengths": oracles.trajectory_lengths_sql(wp),
         "nearest_city": oracles.nearest_city_sql(wp),
         "host_bbox": oracles.host_bbox_sql(wp),

@@ -566,3 +566,73 @@ def comention_edges(webpages_path: str, res: int = 5,
     return _mentions(webpages_path) \
         .map_batches(expand, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def hotspot_regions(webpages_path: str, res: int = 5,
+                    threshold: int = 8) -> ray.data.Dataset:
+    """Spatial hotspot detection: connected components of DENSE grid
+    cells (>= threshold mentions) under 8-adjacency — the
+    DBSCAN-on-a-grid shape (density filter, then flood-fill) a
+    geo-analytics pipeline uses to turn point clouds into regions.
+
+    Scale shape: the density pass is the distributed cell_counts
+    pipeline (bounded cell domain); the dense-cell table is a
+    model-sized REDUCTION (<= grid cells at res), so the component
+    fold runs driver-side on that bounded table — the
+    pagerank/triangles precedent — via path-compressed union-find
+    over neighbor pairs found with one sorted searchsorted sweep (8
+    probes per dense cell, no quadratic pairing). No longitude
+    wrap-around: cx 0 and cx max are NOT adjacent (both sides treat
+    the grid as a flat rectangle).
+
+    Output: one row per dense cell — (cell_r{res}, region_id,
+    n_mentions) with region_id = the component's minimum cell id."""
+    from ..pipeline.flagship import cell_counts_pipeline
+
+    counts = cell_counts_pipeline(webpages_path, res).to_pandas()
+    counts = counts[counts["n_mentions"] >= threshold]
+    cells = np.sort(counts[f"cell_r{res}"].to_numpy(np.int64))
+    n = len(cells)
+    out_schema = {
+        f"cell_r{res}": np.empty(0, np.int64),
+        "region_id": np.empty(0, np.int64),
+        "n_mentions": np.empty(0, np.int64)}
+    if n == 0:
+        return ray.data.from_arrow(pa.table(out_schema))
+
+    # packed id: res * 2^56 + cx * 2^28 + cy  (tilemath.cell_id layout)
+    XMUL = np.int64(1 << 28)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:          # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nb = cells + np.int64(dx) * XMUL + np.int64(dy)
+            pos = np.searchsorted(cells, nb)
+            pos = np.clip(pos, 0, n - 1)
+            # no aliasing guard needed: real cy < 2^res << 2^28, so a
+            # packed id that borrows/carries across the cx field can
+            # never equal a real cell id — a hit IS a true neighbor
+            hit = np.flatnonzero(cells[pos] == nb)
+            for i in hit:
+                ra, rb = find(int(i)), find(int(pos[i]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    roots = np.array([find(int(i)) for i in range(n)], dtype=np.int64)
+    region = cells[roots]
+    nm = counts.set_index(f"cell_r{res}").loc[cells, "n_mentions"] \
+        .to_numpy(np.int64)
+    return ray.data.from_arrow(pa.table({
+        f"cell_r{res}": cells,
+        "region_id": region,
+        "n_mentions": nm}))

@@ -1411,6 +1411,36 @@ SELECT a.cell AS cell_a, b.cell AS cell_b, count(*) AS n_docs
 FROM cells a JOIN cells b ON a.url = b.url AND a.cell < b.cell
 GROUP BY 1, 2"""
 
+def hotspot_regions_sql(webpages_parquet: str, res: int = 5,
+                        threshold: int = 8) -> str:
+    """Twin of ops.spatial.hotspot_regions: dense cells, 8-adjacency
+    edges via decoded (cx, cy) deltas (no longitude wrap), recursive
+    reachability -> min-label components (the dup_clusters walk)."""
+    return f"""
+WITH RECURSIVE {mentions_cte(webpages_parquet)},
+counts AS (
+  SELECT {_cell_expr(res)} AS cell, count(*) AS n
+  FROM mentions GROUP BY 1),
+dense AS (SELECT cell, n FROM counts WHERE n >= {threshold}),
+coords AS (
+  SELECT cell, n, (cell % 72057594037927936) // 268435456 AS cx,
+         cell % 268435456 AS cy
+  FROM dense),
+edges AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM coords a JOIN coords b
+  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+     AND a.cell != b.cell),
+walk(cell, label) AS (
+  SELECT cell, cell FROM dense
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.cell)
+SELECT d.cell AS cell_r{res}, min(w.label) AS region_id,
+       CAST(d.n AS BIGINT) AS n_mentions
+FROM walk w JOIN dense d ON d.cell = w.cell
+GROUP BY 1, 3"""
+
+
 def cell_triangles_sql(webpages_parquet: str, res: int = 5) -> str:
     """Twin of ops.graph.cell_triangles: the co-mention edge set
     (distinct a < b pairs) three-way self-joined so each triangle

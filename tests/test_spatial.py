@@ -301,3 +301,41 @@ def test_cell_triangles_matches_bruteforce():
     assert len(got) == len(want) > 0
     for r in got.itertuples():
         assert want[(r.cell_a, r.cell_b)] == r.n_tri
+
+
+def test_hotspot_regions_matches_bruteforce_flood_fill():
+    """Engine union-find components vs a BFS flood fill over the same
+    dense-cell set; region ids are component minima."""
+    from collections import deque
+    from raytiles.ops.spatial import hotspot_regions
+    from raytiles.pipeline.flagship import cell_counts_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    thr = 3  # smoke tier is sparse; keep several multi-cell regions
+    got = hotspot_regions(wp, threshold=thr).to_pandas() \
+        .sort_values("cell_r5").reset_index(drop=True)
+    counts = cell_counts_pipeline(wp, 5).to_pandas()
+    dense = set(counts[counts.n_mentions >= thr]["cell_r5"]
+                .astype(np.int64))
+    assert len(got) == len(dense) > 3
+    XMUL = 1 << 28
+    seen, want = set(), {}
+    for start in sorted(dense):
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        seen.add(start)
+        while q:
+            c = q.popleft()
+            comp.append(c)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = c + dx * XMUL + dy
+                    if nb in dense and nb not in seen:
+                        seen.add(nb)
+                        q.append(nb)
+        for c in comp:
+            want[c] = min(comp)
+    assert {int(r.cell_r5): int(r.region_id) for r in got.itertuples()} \
+        == want
+    assert len(set(want.values())) > 1  # multiple regions live
