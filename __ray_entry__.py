@@ -508,6 +508,14 @@ def _q_event_transitions(sf_dir: str):
     return event_transitions(sf_dir)
 
 
+def _q_train_quality_lr(sf_dir: str):
+    """Distributed logistic-regression training (broadcast weights,
+    per-batch gradient partials, driver step — iterative ML, no SQL
+    twin; pytest pins single-process-GD parity + AUC floor)."""
+    from raytiles.ops.cluster import train_quality_lr
+    return train_quality_lr(sf_dir)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL approximate count-distinct (no SQL twin — approximate by
     design; pytest pins accuracy vs exact and merge invariance)."""
@@ -1258,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": _q_knn_pq,
         "lsh_neardup": _q_lsh_neardup,
         "kmeans_clusters": _q_kmeans,
+        "train_quality_lr": _q_train_quality_lr,
         "pca_project": _q_pca,
         "semantic_dedup": _q_semantic_dedup,
         # fingerprints / multimodal

@@ -37,6 +37,7 @@ import ray
 import ray.data
 
 from .similarity import _cached_stage, _emb, _stack
+from .text import LANG_MARKERS, STOP_RE, TOKEN_RE
 
 MAX_SEM_CLUSTER = 4096  # pairwise-compare cap per k-means cluster
 
@@ -257,3 +258,95 @@ def semantic_dedup(sf_dir: str, k: int = 16, iters: int = 3,
     # repartition(1) merge emits the stats row exactly once
     return pairs.repartition(1).map_batches(
         dedupe_and_stats, batch_format="pandas")
+
+
+def _lr_features(b: pa.Table):
+    """Deterministic per-doc feature matrix + language label for the
+    quality classifier: x = [1, min(n_tok/50,1), stop_ratio,
+    min(avg_len/8,1)], y = 1.0 iff the lang_id marker heuristic says
+    'en'. All Arrow kernels — no Python per row."""
+    import pyarrow.compute as pc
+
+    text = b["text"]
+    n_tok = pc.count_substring_regex(text, TOKEN_RE).to_numpy() \
+        .astype(np.float64)
+    n_stop = pc.count_substring_regex(text, STOP_RE).to_numpy() \
+        .astype(np.float64)
+    tok_chars = pc.utf8_length(
+        pc.replace_substring_regex(text, "[^0-9A-Za-z_]", "")
+    ).to_numpy().astype(np.float64)
+    denom = np.maximum(n_tok, 1.0)
+    lower = pc.utf8_lower(text)
+    en = pc.count_substring_regex(lower, LANG_MARKERS["en"]).to_numpy()
+    de = pc.count_substring_regex(lower, LANG_MARKERS["de"]).to_numpy()
+    fr = pc.count_substring_regex(lower, LANG_MARKERS["fr"]).to_numpy()
+    y = ((en >= de) & (en >= fr) & (en > 0)).astype(np.float64)
+    x = np.column_stack([
+        np.ones(len(y)),
+        np.minimum(n_tok / 50.0, 1.0),
+        n_stop / denom,
+        np.minimum(tok_chars / denom / 8.0, 1.0),
+        np.minimum(en.astype(np.float64) / denom * 5.0, 1.0)])
+    return x, y
+
+
+def train_quality_lr(sf_dir: str, n_iters: int = 40,
+                     step: float = 2.0) -> ray.data.Dataset:
+    """DISTRIBUTED MODEL TRAINING: full-batch gradient descent for a
+    logistic-regression quality/language classifier — the
+    kmeans/PageRank broadcast-model pattern applied to learning: per
+    iteration the weight vector (a model-sized constant) broadcasts
+    via ray.put, each batch emits ONE partial row (gradient-sum
+    vector + count), and the driver applies the step. N iterations
+    touch the corpus N times and the driver only ever folds
+    #blocks-many tiny rows — how large-scale linear-model training
+    actually distributes (parameter broadcast + gradient all-reduce).
+
+    Deterministic up to float summation order across blocks (the
+    kmeans discipline); the pytest oracle runs single-process GD and
+    compares with tolerance, plus an AUC floor proving the model
+    learned. Output: per-doc (doc_id, label, score_micro) under the
+    final weights."""
+    def read():
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+    d = 5
+    w = np.zeros(d)
+    for _ in range(n_iters):
+        w_ref = ray.put(w.copy())
+
+        def grad_partial(b: pa.Table, _ref=w_ref) -> pa.Table:
+            wv = ray.get(_ref)
+            x, y = _lr_features(b)
+            p = 1.0 / (1.0 + np.exp(-(x @ wv)))
+            g = x.T @ (p - y)
+            return pa.table({"g": [g.tolist()],
+                             "n": np.array([len(y)], np.int64)})
+
+        parts = []
+        for t in read().map_batches(grad_partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            gs = t["g"].to_pylist()      # iter_batches may coalesce
+            ns = t["n"].to_pylist()      # blocks: take EVERY row
+            parts.extend((np.asarray(g), int(nn))
+                         for g, nn in zip(gs, ns))
+        # deterministic fold: sort partials by their bytes
+        parts.sort(key=lambda p: (p[0].tobytes(), p[1]))
+        grad = np.sum([p[0] for p in parts], axis=0)
+        n_total = sum(p[1] for p in parts)
+        w = w - step * grad / max(n_total, 1)
+
+    w_ref = ray.put(w)
+
+    def score(b: pa.Table, _ref=w_ref) -> pa.Table:
+        wv = ray.get(_ref)
+        x, y = _lr_features(b)
+        p = 1.0 / (1.0 + np.exp(-(x @ wv)))
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "label": y.astype(np.int64),
+            "score_micro": np.floor(p * 1e6).astype(np.int64)})
+
+    return read().map_batches(score, batch_format="pyarrow")

@@ -1398,3 +1398,32 @@ def test_user_value_history_pandas_oracle():
     # exactly one open interval per user
     open_rows = df[df.valid_to_us == -1]
     assert len(open_rows) == want.user_id.nunique()
+
+
+def test_train_quality_lr_matches_single_process_gd():
+    """Distributed full-batch GD vs the identical single-process loop;
+    the trained model must actually separate the language classes."""
+    from raytiles.ops.cluster import _lr_features, train_quality_lr
+    df = train_quality_lr(SF_SMOKE).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"])
+    x, y = _lr_features(docs)
+    w = np.zeros(5)
+    for _ in range(40):
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        w = w - 2.0 * (x.T @ (p - y)) / len(y)
+    p = 1.0 / (1.0 + np.exp(-(x @ w)))
+    order = np.argsort(docs["doc_id"].to_numpy())
+    want = np.floor(p[order] * 1e6)
+    got = df["score_micro"].to_numpy().astype(np.float64)
+    assert len(df) == len(y)
+    assert np.array_equal(df["label"].to_numpy(), y[order].astype(np.int64))
+    # parity up to float-summation order across blocks (micro units)
+    assert np.abs(got - want).max() <= 2
+    # the model learned: ranking AUC over the held-in set
+    lab = y[order]
+    ranks = np.argsort(np.argsort(got, kind="stable"), kind="stable") + 1
+    n_pos, n_neg = lab.sum(), (1 - lab).sum()
+    auc = (ranks[lab == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert auc > 0.9, auc
