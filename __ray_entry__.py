@@ -888,6 +888,16 @@ def _q_mvt_overlay(sf_dir: str):
     return mvt_overlay(tiles_pipeline(wp, 12), heatmap_pipeline(wp, 12))
 
 
+def _q_mvt_rescale(sf_dir: str):
+    """Re-extent the flagship tile set 4096 -> 8192 (exact integer
+    2x upscale). Rows-only: binary output; exactness pinned by the
+    fixture pytest (every decoded coordinate exactly doubles)."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_rescale
+    from raytiles.pipeline.synth import webpages_path
+    return mvt_rescale(tiles_pipeline(webpages_path(sf_dir), 12))
+
+
 def _q_mvt_filter(sf_dir: str):
     """Feature filtering inside encoded tiles: keep each document's
     FIRST mention (mention_idx == 0), drop emptied layers/tiles.
@@ -1197,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hulls": _q_host_hulls,
         "mvt_overlay": _q_mvt_overlay,
         "mvt_filter": _q_mvt_filter,
+        "mvt_rescale": _q_mvt_rescale,
         "mvt_diff": _q_mvt_diff,
         "pyramid_mvt": _q_pyramid_mvt,
         "mvt_enrich": _q_mvt_enrich,

@@ -33,7 +33,7 @@ import ray.data
 
 from ..codec.decode import decode_tile
 from ..codec.encode import encode_tile
-from ..codec.model import Layer, VectorTile
+from ..codec.model import Feature, Layer, VectorTile
 from ..util import bucket_of
 
 _N_BUCKETS = 512
@@ -252,3 +252,49 @@ def mvt_enrich(tiles: ray.data.Dataset, dim_ref, key_meta: bytes,
     return tiles.map_batches(Enrich, batch_format="pyarrow",
                              concurrency=(1, 8),
                              fn_constructor_kwargs={"ref": dim_ref})
+
+
+def mvt_rescale(tiles: ray.data.Dataset,
+                new_extent: int = 8192) -> ray.data.Dataset:
+    """Re-extent a tile set: scale every coordinate of every feature
+    from the layer's extent grid to ``new_extent`` (the transform a
+    server applies when switching tile resolutions, e.g. 4096 -> 8192
+    for retina rendering). Scaling is exact rational arithmetic
+    (x * new // old with round-half-away-from-zero, vectorized), so
+    upscaling by an integer factor is losslessly invertible; ring
+    closure, hole-attachment sign, and cursor semantics are preserved
+    because every point of a feature maps through the same monotone
+    transform. Shuffle-free per-batch decode -> scale -> re-encode."""
+
+    def scale_arr(a: np.ndarray, old: int) -> np.ndarray:
+        v = a.astype(np.float64) * (new_extent / old)
+        return np.where(v >= 0, np.floor(v + 0.5),
+                        np.ceil(v - 0.5)).astype(np.int64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        mvts = t["mvt"].to_pylist()
+        out = []
+        for raw in mvts:
+            tile = decode_tile(raw)
+            new_layers = {}
+            for name, lay in tile.layers.items():
+                old = lay.extent
+                pts = [Feature(f.fid, f.metadata,
+                               scale_arr(f.geometry, old))
+                       for f in lay.points]
+                lns = [Feature(f.fid, f.metadata,
+                               [scale_arr(s, old) for s in f.geometry])
+                       for f in lay.linestrings]
+                pgs = [Feature(f.fid, f.metadata,
+                               [[scale_arr(r, old) for r in rings]
+                                for rings in f.geometry])
+                       for f in lay.polygons]
+                new_layers[name] = Layer(
+                    name=lay.name, version=lay.version,
+                    extent=new_extent, points=pts,
+                    linestrings=lns, polygons=pgs)
+            out.append(encode_tile(VectorTile(new_layers)))
+        res = t.drop_columns(["mvt"])
+        return res.append_column("mvt", pa.array(out, pa.binary()))
+
+    return tiles.map_batches(fn, batch_format="pyarrow")

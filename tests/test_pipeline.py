@@ -891,3 +891,37 @@ def test_jsonl_gz_roundtrip_matches_plain(tmp_path):
     b = read_webpages_jsonl(gz, gz=True).to_pandas() \
         .sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mvt_rescale_doubles_every_coordinate():
+    """2x re-extent of a REAL reference fixture: every decoded
+    coordinate exactly doubles, extents update, meta/fids survive."""
+    import ray.data as rd
+    from raytiles.codec.decode import decode_tile
+    from raytiles.pipeline.overlay import mvt_rescale
+    raw = open("/root/reference/test/roads.mvt", "rb").read()
+    src = rd.from_arrow(pa.table({
+        "z": pa.array([0], pa.int64()), "x": pa.array([0], pa.int64()),
+        "y": pa.array([0], pa.int64()),
+        "mvt": pa.array([raw], pa.binary())}))
+    out = mvt_rescale(src, new_extent=8192).to_pandas()
+    a = decode_tile(raw)
+    b = decode_tile(out["mvt"].iloc[0])
+    assert set(a.layers) == set(b.layers)
+    for name, la in a.layers.items():
+        lb = b.layers[name]
+        assert la.extent == 4096 and lb.extent == 8192
+        for attr in ("points", "linestrings", "polygons"):
+            fa, fb = getattr(la, attr), getattr(lb, attr)
+            assert len(fa) == len(fb)
+            for f1, f2 in zip(fa, fb):
+                assert f1.fid == f2.fid and f1.metadata == f2.metadata
+                if attr == "points":
+                    assert np.array_equal(f1.geometry * 2, f2.geometry)
+                elif attr == "linestrings":
+                    for s1, s2 in zip(f1.geometry, f2.geometry):
+                        assert np.array_equal(s1 * 2, s2)
+                else:
+                    for r1, r2 in zip(f1.geometry, f2.geometry):
+                        for q1, q2 in zip(r1, r2):
+                            assert np.array_equal(q1 * 2, q2)
