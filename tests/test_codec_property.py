@@ -138,3 +138,44 @@ def test_linestring_commands_roundtrip(segs):
     assert len(got) == len(lines)
     for a, b in zip(got, lines):
         assert np.array_equal(a, b)
+
+
+def test_mutated_fixture_path_parity_and_fixpoint():
+    """Seeded fuzz: random byte mutations of the real fixtures must
+    (a) decode to the SAME outcome — tile structure AND error message
+    — on the batched and exact paths (the class of bug the truncated
+    fixed-field fix closed), and (b) keep the encode-decode fixpoint
+    for every mutant that still decodes."""
+    import random
+    from raytiles.codec import decode as D
+    from raytiles.codec.decode import decode_tile_safe
+    from raytiles.codec.encode import encode_tile
+    from raytiles.codec.model import tiles_equal
+
+    fixtures = [open(f"/root/reference/test/{f}.mvt", "rb").read()
+                for f in ("onepoint", "linestring", "polygon",
+                          "roads", "clearlake")]
+    rng = random.Random(20260819)
+    decodable = 0
+    for _ in range(400):
+        b = bytearray(rng.choice(fixtures))
+        for _ in range(rng.randint(1, 3)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        raw = bytes(b)
+        ta, ea = decode_tile_safe(raw)
+        saved = D.LAYER_BATCH_BYTES
+        D.LAYER_BATCH_BYTES = 1 << 30       # force the exact path
+        try:
+            tb, eb = decode_tile_safe(raw)
+        finally:
+            D.LAYER_BATCH_BYTES = saved
+        assert (ta is None) == (tb is None)
+        if ta is None:
+            assert ea == eb
+        else:
+            assert tiles_equal(ta, tb)
+            decodable += 1
+            enc = encode_tile(ta)
+            t2, _ = decode_tile_safe(enc)
+            assert t2 is not None and tiles_equal(ta, t2)
+    assert decodable > 50  # the fuzz actually exercises the happy path
