@@ -425,6 +425,41 @@ def _q_events_gapfill(sf_dir: str):
     return events_gapfill(sf_dir)
 
 
+def _q_events_pivot(sf_dir: str):
+    """Hourly cross-tab: one count column per event_type (bounded
+    pivot domain) plus the hour's value sum."""
+    from raytiles.ops.relational import events_pivot
+    return events_pivot(sf_dir)
+
+
+def _q_value_outliers(sf_dir: str):
+    """Per-type z-score anomaly filter (two-phase: bounded moment
+    reduce, broadcast stats, streaming filter)."""
+    from raytiles.ops.relational import value_outliers
+    return value_outliers(sf_dir)
+
+
+def _q_interval_coverage(sf_dir: str):
+    """Merged-interval activity coverage per user (int64-us exact
+    interval union via bucketed grouped scan)."""
+    from raytiles.ops.relational import interval_coverage
+    return interval_coverage(sf_dir)
+
+
+def _q_rolling_dau(sf_dir: str):
+    """Exact DAU + trailing-7-day distinct users via user-hash-
+    partitioned presence matrices (distinct decomposes by user)."""
+    from raytiles.ops.relational import rolling_dau
+    return rolling_dau(sf_dir)
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic Efraimidis-Spirakis weighted sample (md5-derived
+    priorities, partial top-k per batch)."""
+    from raytiles.ops.groupops import weighted_sample
+    return weighted_sample(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1169,6 +1204,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark": _q_events_watermark,
         "events_gapfill": _q_events_gapfill,
         "events_rollup": _q_events_rollup,
+        "events_pivot": _q_events_pivot,
+        "value_outliers": _q_value_outliers,
+        "interval_coverage": _q_interval_coverage,
+        "rolling_dau": _q_rolling_dau,
+        "weighted_sample": _q_weighted_sample,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1318,6 +1358,11 @@ def oracle_sql() -> dict[str, str]:
         "events_watermark": oracles.events_watermark_sql(),
         "events_gapfill": oracles.EVENTS_GAPFILL_SQL,
         "events_rollup": oracles.EVENTS_ROLLUP_SQL,
+        "events_pivot": oracles.EVENTS_PIVOT_SQL,
+        "value_outliers": oracles.value_outliers_sql(),
+        "interval_coverage": oracles.interval_coverage_sql(),
+        "rolling_dau": oracles.rolling_dau_sql(),
+        "weighted_sample": oracles.weighted_sample_sql(),
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

@@ -454,3 +454,49 @@ def group_mode(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(bucket_best, batch_format="pyarrow") \
         .groupby("g").map_groups(final, batch_format="pyarrow")
+
+
+def weighted_sample(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (the A-ES /
+    Efraimidis-Spirakis scheme): each doc draws priority u^(1/w) from
+    a uniform u derived from md5(doc_id) (the repo's md5-derived-hash
+    parity rule) with weight w = n_chars, and the global top-k
+    priorities form the sample — longer documents are proportionally
+    likelier, and the draw is reproducible run-to-run and in the
+    DuckDB twin (same md5 -> u64 -> double -> pow chain).
+
+    Shape: each batch collapses to its local top-k (one vectorized
+    argpartition-free sort over <= batch rows), the tiny partials are
+    sorted once globally (k rows per batch in flight, never the
+    input), and the final limit emits k rows. The float priority is
+    used ONLY for ordering (ties broken by doc_id) and is not an
+    output column, so cross-libm pow ulp differences cannot produce a
+    value mismatch; an ordering flip would need two priorities within
+    one ulp of each other across a continuous hash domain."""
+    TWO64 = 18446744073709551616.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "prio": pa.array([], pa.float64())})
+        ids = batch["doc_id"].to_numpy()
+        w = batch["n_chars"].to_numpy().astype(np.float64)
+        u64 = np.array(
+            [int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+             for i in ids], dtype=np.uint64)
+        u = u64.astype(np.float64) / TWO64
+        prio = np.power(u, 1.0 / w)
+        # local top-k: sort by (-prio, doc_id), keep k
+        order = np.lexsort((ids, -prio))[:k]
+        return pa.table({
+            "doc_id": ids[order].astype(np.int64),
+            "n_chars": batch["n_chars"].to_numpy()[order].astype(np.int64),
+            "prio": prio[order]})
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"),
+                               columns=["doc_id", "n_chars"])
+    top = ds.map_batches(partial, batch_format="pyarrow") \
+        .sort(["prio", "doc_id"], descending=[True, False]) \
+        .limit(k)
+    return top.drop_columns(["prio"])

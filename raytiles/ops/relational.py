@@ -1882,3 +1882,299 @@ def events_moving_sum(sf_dir: str, k_preceding: int = 3,
                                columns=["event_id", "ts", "user_id", "value"])
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("bucket").map_groups(window_bucket, batch_format="pyarrow")
+
+
+def events_pivot(sf_dir: str,
+                 types: tuple = ("click", "error", "purchase",
+                                 "signup", "view")) -> ray.data.Dataset:
+    """Hourly pivot (cross-tab) of events: one row per hour with a
+    count column per event_type plus the hour's total value sum — the
+    wide layout BI layers want. The pivoted domain must be a KNOWN
+    bounded set (here the 5 event types); an unknown type raises so
+    the operator never silently drops data.
+
+    Shape: the per-batch partial runs ONE C++ hash aggregate on
+    (hour, type) and scatters it into the wide (hours x types) matrix
+    with numpy indexing, so the shuffle moves one already-wide row per
+    (hour, batch); the global groupby key (window_start) is bounded by
+    the time range. SQL twin: count(*) FILTER (WHERE event_type = t)
+    GROUP BY hour."""
+    from ray.data.aggregate import Sum
+
+    tlist = list(types)
+    tarr = np.sort(np.asarray(tlist))
+    ncols = [f"n_{t}" for t in tlist]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        w = pc.strftime(pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                                pa.timestamp("s")),
+                        format="%Y-%m-%d %H:%M:%S")
+        t = pa.table({"w": w, "et": batch["event_type"],
+                      "value": batch["value"]})
+        g = pa.TableGroupBy(t, ["w", "et"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        g = g.rename_columns(["w", "et", "n", "s"])
+        if g.num_rows == 0:
+            cols = {"window_start": pa.array([], pa.string())}
+            for t_name in tlist:
+                cols[f"n_{t_name}"] = pa.array([], pa.int64())
+            cols["s_value"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        wv = np.asarray(g["w"].to_numpy(zero_copy_only=False), dtype=object)
+        et = np.asarray(g["et"].to_numpy(zero_copy_only=False), dtype="U")
+        ti = np.searchsorted(tarr, et)
+        bad = (ti >= len(tarr)) | (tarr[np.minimum(ti, len(tarr) - 1)] != et)
+        if bad.any():
+            raise ValueError(f"unknown event_type {et[bad][0]!r}")
+        w_uniq, w_code = np.unique(wv, return_inverse=True)
+        mat = np.zeros((len(w_uniq), len(tarr)), np.int64)
+        mat[w_code, ti] = g["n"].to_numpy()
+        sv = np.zeros(len(w_uniq), np.float64)
+        np.add.at(sv, w_code, g["s"].to_numpy())
+        cols = {"window_start": pa.array(w_uniq, pa.string())}
+        for j, t_name in enumerate(tlist):
+            cols[f"n_{t_name}"] = pa.array(
+                mat[:, np.searchsorted(tarr, t_name)], pa.int64())
+        cols["s_value"] = pa.array(sv, pa.float64())
+        return pa.table(cols)
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["ts", "event_type", "value"])
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("window_start").aggregate(
+            *[Sum(c, alias_name=c + "_t") for c in ncols],
+            Sum("s_value", alias_name="s_value_t"))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"window_start": b["window_start"]}
+        for c in ncols:
+            out[c] = b[c + "_t"].astype(np.int64)
+        out["sum_value"] = _fq(b["s_value_t"], 6)
+        return pd.DataFrame(out)
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def value_outliers(sf_dir: str, z_thresh: float = 3.0) -> ray.data.Dataset:
+    """Per-type z-score outlier detection over events.value — the
+    anomaly/quality filter a training-data pipeline runs before
+    ingesting metrics (drop or flag rows > z_thresh population sigmas
+    from their group mean).
+
+    Shape: pass 1 reduces to per-type (n, sum, sumsq) via per-batch
+    partials + ONE bounded groupby (event_type is a bounded domain);
+    the 5-row stats table is collected and BROADCAST into the pass-2
+    filter closure (ray.put once per run, never a shuffle join), so
+    pass 2 is a pure streaming filter. z is rounded to 4 decimals
+    (mean/std derive from float sums whose addition order differs from
+    the SQL twin by ulps)."""
+    from ray.data.aggregate import Sum
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = pa.table({"event_type": batch["event_type"],
+                      "v": batch["value"],
+                      "v2": pc.multiply(batch["value"], batch["value"])})
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "s2"])
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["event_type", "value"])
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2")).to_pandas()
+    et = stats["event_type"].to_numpy()
+    order = np.argsort(et)
+    et_sorted = et[order]
+    n = stats["n"].to_numpy().astype(np.float64)[order]
+    mu = (stats["s"].to_numpy() / stats["n"].to_numpy())[order]
+    sd = np.sqrt(np.maximum(
+        stats["s2"].to_numpy()[order] / n - mu * mu, 0.0))
+    state = ray.put((et_sorted, mu, sd))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ets, mus, sds = ray.get(state)
+        # vectorized type->stats lookup via Arrow's hash index kernel
+        ti = pc.index_in(batch["event_type"],
+                         value_set=pa.array(list(ets))).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        z = (v - mus[ti]) / sds[ti]
+        keep = np.abs(z) > z_thresh
+        return pa.table({
+            "event_id": batch["event_id"].to_numpy(
+                zero_copy_only=False)[keep],
+            "event_type": batch["event_type"].filter(
+                pa.array(keep)).combine_chunks(),
+            "value": v[keep],
+            "z": _fq(z[keep], 4)})
+
+    full = ray.data.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "event_type", "value"])
+    return full.map_batches(flag, batch_format="pyarrow")
+
+
+def interval_coverage(sf_dir: str, duration_s: int = 300,
+                      n_buckets: int = 512) -> ray.data.Dataset:
+    """Interval-union coverage per user: each event opens a
+    [ts, ts + duration_s) activity interval; overlapping/touching
+    intervals merge, and the operator reports the merged-interval
+    count and total covered microseconds per user — the classic
+    "active time" computation (sessionization's measure-theoretic
+    cousin: coverage is invariant to double-counting overlaps).
+
+    Shape: user_id is high-cardinality, so the shuffle key is a
+    bounded splitmix bucket (CLAUDE.md discipline); within a bucket
+    the merge is one lexsort + a grouped running max (vectorized,
+    O(n log n)), and all arithmetic stays int64 microseconds so the
+    DuckDB island-detection twin matches EXACTLY (no float rounding).
+    Touching intervals (next.start == prev.end) merge, mirroring the
+    SQL's strict `s > prev_max` island break."""
+    from raytiles.util import bucket_of
+
+    dur_us = duration_s * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "bucket": bucket_of(uid, n_buckets),
+            "user_id": uid, "s": ts, "e": ts + dur_us})
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        s = g["s"].to_numpy()
+        e = g["e"].to_numpy()
+        order = np.lexsort((e, s, uid))
+        uid, s, e = uid[order], s[order], e[order]
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame({
+                "user_id": np.empty(0, np.int64),
+                "n_intervals": np.empty(0, np.int64),
+                "covered_us": np.empty(0, np.int64)})
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        # running max of e within each user segment, EXCLUSIVE of the
+        # current row (pandas grouped cummax is the correct restart-
+        # per-segment scan; an offset-and-accumulate trick would
+        # overflow int64 at epoch-microsecond magnitudes)
+        seg_id = np.cumsum(new_user) - 1
+        cmax = pd.Series(e).groupby(seg_id).cummax().to_numpy()
+        prev_max = np.empty(n, np.int64)
+        prev_max[0] = np.iinfo(np.int64).min
+        prev_max[1:] = cmax[:-1]
+        prev_max[new_user] = np.iinfo(np.int64).min
+        new_island = new_user | (s > prev_max)
+        # per-island span: first s (sorted, so first row of island),
+        # max e within island
+        isl_first = np.flatnonzero(new_island)
+        isl_s = s[isl_first]
+        isl_e = np.maximum.reduceat(e, isl_first)
+        isl_uid = uid[isl_first]
+        # per-user rollup over islands
+        u_first = np.flatnonzero(
+            np.concatenate(([True], isl_uid[1:] != isl_uid[:-1])))
+        covered = np.add.reduceat(isl_e - isl_s, u_first)
+        counts = np.diff(np.concatenate((u_first, [len(isl_uid)])))
+        return pd.DataFrame({
+            "user_id": isl_uid[u_first],
+            "n_intervals": counts.astype(np.int64),
+            "covered_us": covered.astype(np.int64)})
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["user_id", "ts"])
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def rolling_dau(sf_dir: str, window_days: int = 7,
+                n_buckets: int = 256) -> ray.data.Dataset:
+    """Daily active users + trailing-N-day distinct users for every
+    day in the data's [min_day, max_day] range — the engagement
+    metric family (DAU / WAU) computed EXACTLY at scale.
+
+    Shape: rolling COUNT(DISTINCT) does not decompose by time, but it
+    DOES decompose by user: partition users into bounded splitmix
+    buckets, compute each bucket's per-day distinct and rolling-window
+    distinct counts over its own (users x days) presence matrix
+    (prefix-sum along days; a user counts in window d iff it has any
+    presence in [d-N+1, d]), and SUM the per-bucket partials — buckets
+    partition the user space, so the sums are exact. The global day
+    range is resolved first with a trivial min/max aggregate and
+    passed into every bucket so all buckets emit the same day axis.
+    Per-batch distinct (day, user) partials bound the shuffle at one
+    row per (day, user, batch)."""
+    from ray.data.aggregate import Max, Min, Sum
+    from raytiles.util import bucket_of
+
+    DAY_US = 86_400_000_000
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["user_id", "ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        if len(d) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    rng = ds.map_batches(day_partial, batch_format="pyarrow") \
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    lo_day, hi_day = int(rng["lo"]), int(rng["hi"])
+    n_days = hi_day - lo_day + 1
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        d = (batch["ts"].cast(pa.int64()).to_numpy() // DAY_US) - lo_day
+        # distinct (day, user) pairs without packing uid into 32 bits
+        # (user_id is a full int64 at scale): lexsort + first-flag
+        order = np.lexsort((uid, d))
+        d, uid = d[order], uid[order]
+        if len(d):
+            first = np.empty(len(d), dtype=bool)
+            first[0] = True
+            first[1:] = (d[1:] != d[:-1]) | (uid[1:] != uid[:-1])
+            d, uid = d[first], uid[first]
+        return pa.table({
+            "bucket": bucket_of(uid, n_buckets),
+            "day_i": d.astype(np.int64), "user_id": uid})
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        day_i = g["day_i"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        u_uniq, u_code = np.unique(uid, return_inverse=True)
+        pres = np.zeros((len(u_uniq), n_days), np.int32)
+        pres[u_code, day_i] = 1
+        cs = np.cumsum(pres, axis=1)
+        dau = pres.sum(axis=0).astype(np.int64)
+        w = window_days
+        # window presence count for day d = cs[d] - cs[d-w]: pad w
+        # zero-columns on the left, keep the first n_days columns
+        shifted = np.pad(cs, ((0, 0), (w, 0)))[:, :n_days]
+        win = cs - shifted
+        dau_w = (win > 0).sum(axis=0).astype(np.int64)
+        return pd.DataFrame({"day_i": np.arange(n_days, dtype=np.int64),
+                             "p_dau": dau, "p_dau_w": dau_w})
+
+    agg = ds.map_batches(distinct_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_counts, batch_format="pandas") \
+        .groupby("day_i").aggregate(Sum("p_dau", alias_name="dau"),
+                                    Sum("p_dau_w", alias_name="dau_w"))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        day_us = ((b["day_i"].to_numpy() + lo_day) * DAY_US)
+        day = pd.Series(day_us.astype("datetime64[us]"))
+        return pd.DataFrame({
+            "day": day.dt.strftime("%Y-%m-%d"),
+            "dau": b["dau"].astype(np.int64),
+            "dau_window": b["dau_w"].astype(np.int64)})
+
+    return agg.map_batches(finalize, batch_format="pandas")

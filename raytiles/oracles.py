@@ -1545,3 +1545,90 @@ WITH {mentions_cte(webpages_parquet)}, xy AS (
   FROM mentions
 ), gh AS (SELECT url, mention_idx, {terms} AS g FROM xy)
 SELECT url, mention_idx, {chars} AS geohash FROM gh"""
+
+
+EVENTS_PIVOT_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def value_outliers_sql(z_thresh: float = 3.0) -> str:
+    """Twin computes mean/std from the same (n, sum, sumsq) moments
+    the engine reduces to, so both sides apply identical formulas to
+    float sums that differ only in addition order (z rounds to 4)."""
+    return f"""
+WITH st AS (SELECT event_type, count(*) AS n, sum(value) AS s,
+                   sum(value * value) AS s2
+            FROM events GROUP BY 1),
+m AS (SELECT event_type, s / n AS mu,
+             sqrt(greatest(s2 / n - (s / n) * (s / n), 0)) AS sd
+      FROM st)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - m.mu) / m.sd, 4) AS z
+FROM events e JOIN m USING (event_type)
+WHERE abs((e.value - m.mu) / m.sd) > {z_thresh}
+"""
+
+
+def interval_coverage_sql(duration_s: int = 300) -> str:
+    """Island detection twin, all int64 microseconds (exact): strict
+    `s > prev_max` break means touching intervals merge."""
+    dur_us = duration_s * 1_000_000
+    return f"""
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {dur_us} AS e FROM events),
+m AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv),
+g AS (SELECT user_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS isl
+      FROM m),
+islands AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1
+            FROM g GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_intervals,
+       CAST(sum(e1 - s0) AS BIGINT) AS covered_us
+FROM islands GROUP BY 1
+"""
+
+
+def rolling_dau_sql(window_days: int = 7) -> str:
+    return f"""
+WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+            FROM events),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM du),
+days AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b)
+SELECT strftime(make_timestamp(days.d * 86400000000), '%Y-%m-%d') AS day,
+       (SELECT count(DISTINCT user_id) FROM du WHERE du.d = days.d)
+         AS dau,
+       (SELECT count(DISTINCT user_id) FROM du
+        WHERE du.d BETWEEN days.d - {window_days - 1} AND days.d)
+         AS dau_window
+FROM days
+"""
+
+
+def weighted_sample_sql(k: int = 100) -> str:
+    """A-ES twin: identical md5 -> u64 -> double -> pow priority chain;
+    the float priority orders but is not output (see ops.groupops)."""
+    return f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                    ::UBIGINT AS DOUBLE) / 18446744073709551616.0,
+             1.0 / n_chars) AS prio
+  FROM documents
+  ORDER BY prio DESC, doc_id
+  LIMIT {k})
+"""

@@ -1427,3 +1427,77 @@ def test_train_quality_lr_matches_single_process_gd():
     n_pos, n_neg = lab.sum(), (1 - lab).sum()
     auc = (ranks[lab == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
     assert auc > 0.9, auc
+
+
+def test_events_pivot_counts_partition_events():
+    from raytiles.ops.relational import events_pivot
+    df = events_pivot(SF_SMOKE).to_pandas()
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    ncols = [c for c in df.columns if c.startswith("n_")]
+    assert int(df[ncols].to_numpy().sum()) == len(ev)
+    hours = ev["ts"].dt.floor("h").nunique()
+    assert len(df) == hours
+
+
+def test_value_outliers_single_process_oracle():
+    from raytiles.ops.relational import value_outliers
+    df = value_outliers(SF_SMOKE).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    st = ev.groupby("event_type")["value"].agg(
+        n="size", s="sum", s2=lambda v: float((v * v).sum()))
+    mu = st["s"] / st["n"]
+    sd = np.sqrt(np.maximum(st["s2"] / st["n"] - mu * mu, 0.0))
+    z = (ev["value"] - ev["event_type"].map(mu)) / ev["event_type"].map(sd)
+    want = ev[np.abs(z) > 3.0]
+    assert set(df["event_id"]) == set(want["event_id"])
+
+
+def test_interval_coverage_merges_exactly():
+    from raytiles.ops.relational import interval_coverage
+    df = interval_coverage(SF_SMOKE).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    dur = 300 * 1_000_000
+    for uid, g in ev.groupby("user_id"):
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        n_isl, covered, cur_s, cur_e = 0, 0, None, None
+        for t in ts:
+            s, e = t, t + dur
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                n_isl += 1
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        assert df.loc[uid, "n_intervals"] == n_isl
+        assert df.loc[uid, "covered_us"] == covered
+
+
+def test_rolling_dau_matches_pandas():
+    from raytiles.ops.relational import rolling_dau
+    df = rolling_dau(SF_SMOKE).to_pandas().set_index("day")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    day = ev["ts"].dt.floor("d")
+    for d in pd.date_range(day.min(), day.max(), freq="D"):
+        key = d.strftime("%Y-%m-%d")
+        assert df.loc[key, "dau"] == ev.loc[day == d, "user_id"].nunique()
+        in_w = (day >= d - pd.Timedelta(days=6)) & (day <= d)
+        assert df.loc[key, "dau_window"] == \
+            ev.loc[in_w, "user_id"].nunique()
+
+
+def test_weighted_sample_is_topk_by_priority():
+    from raytiles.ops.groupops import weighted_sample
+    df = weighted_sample(SF_SMOKE, k=25).to_pandas()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    u = np.array([int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[:8], "big")
+        for i in docs["doc_id"]], dtype=np.uint64).astype(np.float64) \
+        / 18446744073709551616.0
+    prio = np.power(u, 1.0 / docs["n_chars"].to_numpy())
+    want = docs.assign(prio=prio).sort_values(
+        ["prio", "doc_id"], ascending=[False, True]).head(25)
+    assert list(df["doc_id"]) == list(want["doc_id"])
+    assert list(df["n_chars"]) == list(want["n_chars"])
