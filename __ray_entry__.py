@@ -460,6 +460,27 @@ def _q_weighted_sample(sf_dir: str):
     return weighted_sample(sf_dir)
 
 
+def _q_events_deciles(sf_dir: str):
+    """Exact rank-based decile stats from the bounded cent-quantized
+    count table (domain-bounded, not row-bounded)."""
+    from raytiles.ops.relational import events_deciles
+    return events_deciles(sf_dir)
+
+
+def _q_user_journeys(sf_dir: str):
+    """Ordered per-user event-sequence strings (bucketed lexsort +
+    buffer-slice concat)."""
+    from raytiles.ops.relational import user_journeys
+    return user_journeys(sf_dir)
+
+
+def _q_fuzzy_search(sf_dir: str):
+    """Typo-tolerant corpus search: batch-vectorized wavefront
+    Levenshtein DP + partial top-k."""
+    from raytiles.ops.text import fuzzy_search
+    return fuzzy_search(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1209,6 +1230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": _q_interval_coverage,
         "rolling_dau": _q_rolling_dau,
         "weighted_sample": _q_weighted_sample,
+        "events_deciles": _q_events_deciles,
+        "user_journeys": _q_user_journeys,
+        "fuzzy_search": _q_fuzzy_search,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1363,6 +1387,9 @@ def oracle_sql() -> dict[str, str]:
         "interval_coverage": oracles.interval_coverage_sql(),
         "rolling_dau": oracles.rolling_dau_sql(),
         "weighted_sample": oracles.weighted_sample_sql(),
+        "events_deciles": oracles.EVENTS_DECILES_SQL,
+        "user_journeys": oracles.USER_JOURNEYS_SQL,
+        "fuzzy_search": oracles.fuzzy_search_sql(),
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

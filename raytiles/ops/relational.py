@@ -2178,3 +2178,108 @@ def rolling_dau(sf_dir: str, window_days: int = 7,
             "dau_window": b["dau_w"].astype(np.int64)})
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def events_deciles(sf_dir: str) -> pd.DataFrame:
+    """Exact rank-based decile statistics per event_type (decile =
+    ((rank-1)*10) // n with ties sharing the lower rank): row count,
+    min and max value per (type, decile) — the distribution summary a
+    feature-engineering pass bins continuous columns with.
+
+    Shape: a global per-type rank normally needs a distributed sort,
+    but events.value is cent-quantized (exact 2-decimal money), so the
+    FIXED quantization domain — not the row count — bounds the state:
+    per-batch partials count (type, cent) occurrences, one bounded
+    512-bucket groupby merges them, and the driver finalizes deciles
+    from the O(domain) count table (cumulative counts give every
+    distinct value's exact rank). At 100 TB the collected table is
+    still |types| x |cents| regardless of input size."""
+    from raytiles.util import bucket_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "cent": cents,
+                      "one": pa.array(np.ones(len(cents), np.int64))})
+        g = pa.TableGroupBy(t, ["event_type", "cent"]).aggregate(
+            [("one", "sum")])
+        g = g.rename_columns(["event_type", "cent", "n"])
+        cent = g["cent"].to_numpy()
+        return pa.table({
+            "bucket": bucket_of(cent, 512),
+            "event_type": g["event_type"], "cent": cent, "n": g["n"]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["event_type", "cent"], as_index=False)["n"].sum()
+        return out
+
+    counts = ray.data.read_parquet(_p(sf_dir, "events"),
+                                   columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+
+    rows = []
+    for et, grp in counts.groupby("event_type"):
+        grp = grp.sort_values("cent")
+        c = grp["n"].to_numpy().astype(np.int64)
+        cents = grp["cent"].to_numpy().astype(np.int64)
+        n = int(c.sum())
+        before = np.concatenate(([0], np.cumsum(c)[:-1]))
+        decile = (before * 10) // n
+        for d in np.unique(decile):
+            m = decile == d
+            rows.append({
+                "event_type": et, "decile": int(d),
+                "n_events": int(c[m].sum()),
+                "min_value": cents[m].min() / 100.0,
+                "max_value": cents[m].max() / 100.0})
+    return pd.DataFrame(rows)
+
+
+def user_journeys(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
+    """Per-user event-sequence string ("journey"): the first letter of
+    each event_type concatenated in (ts, event_id) order — the compact
+    behavioral encoding sequence-mining / markov features start from.
+
+    Shape: bucketed by splitmix(user_id) (bounded shuffle domain);
+    within a bucket one lexsort orders every user's events, the
+    single-char tokens collapse to one contiguous bytes buffer, and
+    each user's journey is a buffer slice — the only per-row Python is
+    the final per-USER string construction (one slice + decode per
+    user, not per event)."""
+    from raytiles.util import bucket_of
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uid = batch["user_id"].to_numpy()
+        return pa.table({
+            "bucket": bucket_of(uid, n_buckets),
+            "user_id": uid,
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "c": pc.utf8_slice_codeunits(batch["event_type"], 0, 1)})
+
+    def journeys(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        chars = np.asarray(g["c"].to_numpy()[order], dtype="S1")
+        buf = chars.tobytes()
+        u_first = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
+        bounds = np.concatenate((u_first, [len(uid)]))
+        return pd.DataFrame({
+            "user_id": uid[u_first],
+            "journey": [buf[bounds[i]:bounds[i + 1]].decode()
+                        for i in range(len(u_first))],
+            "n_events": np.diff(bounds).astype(np.int64)})
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(journeys, batch_format="pandas")

@@ -1232,3 +1232,66 @@ def bigram_logprob(sf_dir: str, vocab_k: int = 256,
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow")
+
+
+def fuzzy_search(sf_dir: str,
+                 query: str = "batch window spark order data",
+                 prefix_len: int = 32, k: int = 20) -> ray.data.Dataset:
+    """Fuzzy full-scan search: Levenshtein distance from each
+    document's first `prefix_len` characters to a query string, global
+    top-k by (distance, doc_id) — the approximate string-match lookup
+    (typo-tolerant title/dedup search) over the corpus. Distances are
+    small integers, so engine/oracle parity is exact.
+
+    Shape: the per-batch kernel is a WAVEFRONT edit-distance DP
+    vectorized ACROSS the batch — the DP state is an
+    (n_rows, len(query)+1) int32 matrix advanced once per string
+    position (prefix_len iterations, each a handful of whole-column
+    numpy mins), never a per-row Python DP. Rows shorter than
+    prefix_len freeze their final state via masking. Each batch emits
+    only its local top-k; the global sort touches k rows per batch."""
+    qb = query.encode()
+    m = len(qb)
+    qarr = np.frombuffer(qb, np.uint8)
+
+    def lev_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        col = batch["text"].combine_chunks()
+        if pa.types.is_large_string(col.type):
+            col = col.cast(pa.string())
+        # zero-copy (n, prefix_len) byte matrix from the Arrow buffers
+        bufs = col.buffers()
+        data = np.frombuffer(bufs[2], np.uint8)
+        offs = np.frombuffer(bufs[1], np.int32)[
+            col.offset:col.offset + len(col) + 1]
+        lens = np.minimum(offs[1:] - offs[:-1], prefix_len).astype(np.int64)
+        idx = offs[:-1, None].astype(np.int64) + np.arange(prefix_len)
+        mat = data[np.minimum(idx, len(data) - 1)]
+        n = len(col)
+        # DP rows: state[r, i] = edit distance between s[:j] and q[:i]
+        state = np.broadcast_to(np.arange(m + 1, dtype=np.int32),
+                                (n, m + 1)).copy()
+        new = np.empty_like(state)
+        for j in range(prefix_len):
+            active = j < lens
+            if not active.any():
+                break
+            sj = mat[:, j]
+            new[:, 0] = j + 1
+            neq = (sj[:, None] != qarr[None, :]).astype(np.int32)
+            for i in range(1, m + 1):
+                new[:, i] = np.minimum(
+                    np.minimum(state[:, i] + 1, new[:, i - 1] + 1),
+                    state[:, i - 1] + neq[:, i - 1])
+            state[active] = new[active]
+        dist = state[:, m].astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table({"doc_id": ids[order].astype(np.int64),
+                         "dist": dist[order]})
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(lev_partial, batch_format="pyarrow") \
+        .sort(["dist", "doc_id"]).limit(k)

@@ -1632,3 +1632,37 @@ SELECT doc_id, n_chars FROM (
   ORDER BY prio DESC, doc_id
   LIMIT {k})
 """
+
+
+EVENTS_DECILES_SQL = """
+WITH r AS (SELECT event_type, value,
+                  rank() OVER (PARTITION BY event_type
+                               ORDER BY value) AS rk,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+SELECT event_type, CAST(((rk - 1) * 10) // n AS BIGINT) AS decile,
+       count(*) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM r GROUP BY 1, 2
+"""
+
+
+USER_JOURNEYS_SQL = """
+SELECT user_id,
+       string_agg(substr(event_type, 1, 1), ''
+                  ORDER BY ts, event_id) AS journey,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def fuzzy_search_sql(query: str = "batch window spark order data",
+                     prefix_len: int = 32, k: int = 20) -> str:
+    """Levenshtein twin — integer distances, (dist, doc_id) total
+    order, so top-k is deterministic. ASCII corpus: byte prefixes
+    (engine) == character prefixes (substr)."""
+    return f"""
+SELECT doc_id, levenshtein(substr(text, 1, {prefix_len}),
+                           '{query}') AS dist
+FROM documents ORDER BY dist, doc_id LIMIT {k}
+"""

@@ -1501,3 +1501,55 @@ def test_weighted_sample_is_topk_by_priority():
         ["prio", "doc_id"], ascending=[False, True]).head(25)
     assert list(df["doc_id"]) == list(want["doc_id"])
     assert list(df["n_chars"]) == list(want["n_chars"])
+
+
+def test_events_deciles_rank_oracle():
+    from raytiles.ops.relational import events_deciles
+    df = events_deciles(SF_SMOKE)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        # rank of each row with ties-low = count of strictly smaller
+        rk = np.searchsorted(v, v, side="left")
+        dec = (rk * 10) // n
+        sub = df[df["event_type"] == et].set_index("decile")
+        for d in np.unique(dec):
+            m = dec == d
+            assert sub.loc[d, "n_events"] == int(m.sum())
+            assert sub.loc[d, "min_value"] == v[m].min()
+            assert sub.loc[d, "max_value"] == v[m].max()
+
+
+def test_user_journeys_ordered_concat():
+    from raytiles.ops.relational import user_journeys
+    df = user_journeys(SF_SMOKE).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    for uid, g in ev.groupby("user_id"):
+        want = "".join(s[0] for s in g["event_type"])
+        assert df.loc[uid, "journey"] == want
+        assert df.loc[uid, "n_events"] == len(g)
+
+
+def test_fuzzy_search_matches_python_levenshtein():
+    from raytiles.ops.text import fuzzy_search
+    q = "batch window spark order data"
+    df = fuzzy_search(SF_SMOKE, query=q, k=10).to_pandas()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    dist = docs["text"].str[:32].map(lambda s: lev(s, q))
+    want = docs.assign(dist=dist).sort_values(
+        ["dist", "doc_id"]).head(10)
+    assert list(df["doc_id"]) == list(want["doc_id"])
+    assert list(df["dist"]) == list(want["dist"])
