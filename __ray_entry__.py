@@ -481,6 +481,39 @@ def _q_fuzzy_search(sf_dir: str):
     return fuzzy_search(sf_dir)
 
 
+def _q_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT/melt of the four lineitem measures (shuffle-free x4
+    in-batch fan-out)."""
+    from raytiles.ops.relational import unpivot_lineitem
+    return unpivot_lineitem(sf_dir)
+
+
+def _q_props_extract(sf_dir: str):
+    """JSON scalar extraction (Arrow RE2 kernel) + bounded grouped
+    integer aggregate."""
+    from raytiles.ops.relational import props_extract
+    return props_extract(sf_dir)
+
+
+def _q_churned_users(sf_dir: str):
+    """EXCEPT set-op: first-window users absent from the last window
+    (bucketed flag OR-merge, no join). Returns pandas so an empty
+    churn set still carries the user_id column for the gate's schema
+    compare."""
+    from raytiles.ops.relational import churned_users
+    df = churned_users(sf_dir).to_pandas()
+    if "user_id" not in df.columns:
+        df = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64)})
+    return df
+
+
+def _q_value_time_corr(sf_dir: str):
+    """Grouped Pearson correlation from six raw moments (identical
+    formula in the twin)."""
+    from raytiles.ops.relational import value_time_corr
+    return value_time_corr(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1233,6 +1266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_deciles": _q_events_deciles,
         "user_journeys": _q_user_journeys,
         "fuzzy_search": _q_fuzzy_search,
+        "unpivot_lineitem": _q_unpivot_lineitem,
+        "props_extract": _q_props_extract,
+        "churned_users": _q_churned_users,
+        "value_time_corr": _q_value_time_corr,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1390,6 +1427,10 @@ def oracle_sql() -> dict[str, str]:
         "events_deciles": oracles.EVENTS_DECILES_SQL,
         "user_journeys": oracles.USER_JOURNEYS_SQL,
         "fuzzy_search": oracles.fuzzy_search_sql(),
+        "unpivot_lineitem": oracles.UNPIVOT_LINEITEM_SQL,
+        "props_extract": oracles.PROPS_EXTRACT_SQL,
+        "churned_users": oracles.churned_users_sql(),
+        "value_time_corr": oracles.VALUE_TIME_CORR_SQL,
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

@@ -2283,3 +2283,181 @@ def user_journeys(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
         columns=["event_id", "ts", "user_id", "event_type"])
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("bucket").map_groups(journeys, batch_format="pandas")
+
+
+def unpivot_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT / melt: the four lineitem measure columns turn into
+    (measure, value) long-format rows keyed by (l_orderkey,
+    l_linenumber) — the inverse of events_pivot and the reshape a
+    metrics store ingests. Values pass through untouched (exact
+    parity), and the x4 fan-out happens inside the batch — a pure
+    streaming transform with NO shuffle at any scale."""
+    MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = batch["l_orderkey"]
+        ln = batch["l_linenumber"].cast(pa.int64())
+        parts = []
+        for mname in MEASURES:
+            parts.append(pa.table({
+                "l_orderkey": ok, "l_linenumber": ln,
+                "measure": pa.array(np.repeat(mname, n), pa.string()),
+                "value": batch[mname]}))
+        return pa.concat_tables(parts)
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", *MEASURES])
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def props_extract(sf_dir: str) -> ray.data.Dataset:
+    """JSON scalar extraction + grouped aggregate: pull the integer
+    `k` out of the events.props JSON string with Arrow's RE2
+    extract kernel (no per-row json.loads) and reduce per event_type
+    to count / sum / min / max — the semi-structured-column pattern
+    (extract once, aggregate columnar).
+
+    Shape: extraction and the per-batch partial are one pass over the
+    zero-copy Arrow batch; the groupby key (event_type) is a bounded
+    domain. Integer sums are exact — no rounding needed."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kcol = pc.struct_field(
+            pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)'), "k")
+        k = pc.cast(kcol, pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return g.rename_columns(["event_type", "n", "s", "mn", "mx"])
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["event_type", "props"])
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_k"),
+            Min("mn", alias_name="min_k"), Max("mx", alias_name="max_k"))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n_events": b["n_events"].astype(np.int64),
+            "sum_k": b["sum_k"].astype(np.int64),
+            "min_k": b["min_k"].astype(np.int64),
+            "max_k": b["max_k"].astype(np.int64)})
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def churned_users(sf_dir: str, window_days: int = 1,
+                  n_buckets: int = 256) -> ray.data.Dataset:
+    """Churn set-difference: users active in the FIRST window_days of
+    the data's range but absent from the LAST window_days — the
+    EXCEPT / anti-membership shape over derived distinct sets.
+
+    Shape: the global day range comes from a trivial min/max reduce;
+    each batch then collapses to distinct (user, in_first, in_last)
+    flag rows, ONE bounded splitmix(user) bucket shuffle OR-merges the
+    flags per user (a user's whole truth lives in one bucket), and the
+    filter (first AND NOT last) is a vectorized mask — no join, no
+    second shuffle, output bounded by the churned-user count."""
+    from ray.data.aggregate import Max, Min
+    from raytiles.util import bucket_of
+
+    DAY_US = 86_400_000_000
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["user_id", "ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        if len(d) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    rng = ds.map_batches(day_partial, batch_format="pyarrow") \
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    lo_day, hi_day = int(rng["lo"]), int(rng["hi"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        d = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        in_first = (d < lo_day + window_days).astype(np.int64)
+        in_last = (d > hi_day - window_days).astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        f = in_first[order]
+        last = in_last[order]
+        u_first = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1]))) \
+            if len(uid) else np.empty(0, np.int64)
+        fmax = np.maximum.reduceat(f, u_first) if len(uid) else f
+        lmax = np.maximum.reduceat(last, u_first) if len(uid) else last
+        u = uid[u_first] if len(uid) else uid
+        return pa.table({
+            "bucket": bucket_of(u, n_buckets), "user_id": u,
+            "in_first": fmax, "in_last": lmax})
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", as_index=False).agg(
+            in_first=("in_first", "max"), in_last=("in_last", "max"))
+        keep = (m["in_first"] == 1) & (m["in_last"] == 0)
+        return pd.DataFrame({
+            "user_id": m.loc[keep, "user_id"].astype(np.int64)})
+
+    return ds.map_batches(flags, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(reduce_bucket, batch_format="pandas")
+
+
+def value_time_corr(sf_dir: str) -> ray.data.Dataset:
+    """Grouped Pearson correlation between events.value and
+    hour-of-day per event_type — the seasonality diagnostic. Both
+    engine and oracle assemble r from the SAME six raw moments
+    (n, Σx, Σy, Σxy, Σx², Σy²), so the only divergence is float
+    addition order (r rounds to 6 decimals; |r| <= 1 so absolute
+    rounding is well-conditioned). Hour-of-day is integer, value is
+    cent-quantized — the x moments are exact int64.
+
+    Shape: one per-batch moment partial, one bounded groupby, a
+    5-row finalize."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        x = ((batch["ts"].cast(pa.int64()).to_numpy()
+              // 3_600_000_000) % 24).astype(np.float64)
+        y = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": batch["event_type"],
+                      "x": x, "y": y, "xy": x * y,
+                      "x2": x * x, "y2": y * y})
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xy", "sum"), ("x2", "sum"), ("y2", "sum")])
+        return g.rename_columns(
+            ["event_type", "n", "sx", "sy", "sxy", "sx2", "sy2"])
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["ts", "event_type", "value"])
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sx2", alias_name="sx2"), Sum("sy2", alias_name="sy2"))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy().astype(np.float64)
+        sx, sy = b["sx"].to_numpy(), b["sy"].to_numpy()
+        sxy = b["sxy"].to_numpy()
+        sx2, sy2 = b["sx2"].to_numpy(), b["sy2"].to_numpy()
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n_events": b["n"].astype(np.int64),
+            "r": _fq(num / den, 6)})
+
+    return agg.map_batches(finalize, batch_format="pandas")

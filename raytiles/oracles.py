@@ -1666,3 +1666,57 @@ SELECT doc_id, levenshtein(substr(text, 1, {prefix_len}),
                            '{query}') AS dist
 FROM documents ORDER BY dist, doc_id LIMIT {k}
 """
+
+
+UNPIVOT_LINEITEM_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+       'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+       'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+       'l_tax', l_tax FROM lineitem
+"""
+
+
+PROPS_EXTRACT_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+         AS sum_k,
+       min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+         AS min_k,
+       max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+         AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def churned_users_sql(window_days: int = 1) -> str:
+    return f"""
+WITH b AS (SELECT min(epoch_us(ts) // 86400000000) AS lo,
+                  max(epoch_us(ts) // 86400000000) AS hi FROM events)
+SELECT DISTINCT user_id FROM events, b
+WHERE epoch_us(ts) // 86400000000 < b.lo + {window_days}
+EXCEPT
+SELECT DISTINCT user_id FROM events, b
+WHERE epoch_us(ts) // 86400000000 > b.hi - {window_days}
+"""
+
+
+VALUE_TIME_CORR_SQL = """
+WITH m AS (SELECT event_type,
+                  CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) AS x,
+                  value AS y
+           FROM events),
+s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+      FROM m GROUP BY 1)
+SELECT event_type, n AS n_events,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS r
+FROM s
+"""

@@ -1553,3 +1553,53 @@ def test_fuzzy_search_matches_python_levenshtein():
         ["dist", "doc_id"]).head(10)
     assert list(df["doc_id"]) == list(want["doc_id"])
     assert list(df["dist"]) == list(want["dist"])
+
+
+def test_unpivot_lineitem_is_exact_melt():
+    from raytiles.ops.relational import unpivot_lineitem
+    df = unpivot_lineitem(SF_SMOKE).to_pandas()
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    assert len(df) == 4 * len(li)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # compare each measure's (key, value) multiset
+    for meas in ("l_discount", "l_quantity", "l_extendedprice", "l_tax"):
+        cols = ["l_orderkey", "l_linenumber", "value"]
+        got = df[df["measure"] == meas][cols].sort_values(
+            cols).to_numpy()
+        want = li[["l_orderkey", "l_linenumber", meas]].rename(
+            columns={meas: "value"}).sort_values(cols).to_numpy()
+        assert np.array_equal(got, want)
+
+
+def test_props_extract_matches_json_loads():
+    import json
+    from raytiles.ops.relational import props_extract
+    df = props_extract(SF_SMOKE).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    ev["k"] = ev["props"].map(lambda s: json.loads(s)["k"])
+    for et, g in ev.groupby("event_type"):
+        assert df.loc[et, "n_events"] == len(g)
+        assert df.loc[et, "sum_k"] == g["k"].sum()
+        assert df.loc[et, "min_k"] == g["k"].min()
+        assert df.loc[et, "max_k"] == g["k"].max()
+
+
+def test_churned_users_set_difference():
+    from raytiles.ops.relational import churned_users
+    got = set(churned_users(SF_SMOKE).to_pandas()["user_id"])
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    day = (ev["ts"].astype("int64") // 86_400_000_000)
+    first = set(ev.loc[day < day.min() + 1, "user_id"])
+    last = set(ev.loc[day > day.max() - 1, "user_id"])
+    assert got == first - last
+    assert len(got) > 0  # live churn rows at sf0.001
+
+
+def test_value_time_corr_matches_numpy_corrcoef():
+    from raytiles.ops.relational import value_time_corr
+    df = value_time_corr(SF_SMOKE).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    x = (ev["ts"].astype("int64") // 3_600_000_000) % 24
+    for et, g in ev.assign(x=x).groupby("event_type"):
+        r = np.corrcoef(g["x"], g["value"])[0, 1]
+        assert abs(df.loc[et, "r"] - r) < 1e-4
