@@ -514,6 +514,27 @@ def _q_value_time_corr(sf_dir: str):
     return value_time_corr(sf_dir)
 
 
+def _q_quantile_cont(sf_dir: str):
+    """Interpolated per-type quantiles from the bounded cent-count
+    domain (PERCENTILE_CONT semantics, identical interpolation ops)."""
+    from raytiles.ops.relational import quantile_cont
+    return quantile_cont(sf_dir)
+
+
+def _q_journey_pattern(sf_dir: str):
+    """CEP-style sequence-pattern counts over ordered user journeys
+    (signup ->* purchase)."""
+    from raytiles.ops.relational import journey_pattern
+    return journey_pattern(sf_dir)
+
+
+def _q_new_users_curve(sf_dir: str):
+    """User-acquisition curve: first-seen-day histogram + running
+    cumulative over the dense day axis."""
+    from raytiles.ops.relational import new_users_curve
+    return new_users_curve(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1270,6 +1291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": _q_props_extract,
         "churned_users": _q_churned_users,
         "value_time_corr": _q_value_time_corr,
+        "quantile_cont": _q_quantile_cont,
+        "journey_pattern": _q_journey_pattern,
+        "new_users_curve": _q_new_users_curve,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1431,6 +1455,9 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": oracles.PROPS_EXTRACT_SQL,
         "churned_users": oracles.churned_users_sql(),
         "value_time_corr": oracles.VALUE_TIME_CORR_SQL,
+        "quantile_cont": oracles.quantile_cont_sql(),
+        "journey_pattern": oracles.journey_pattern_sql(),
+        "new_users_curve": oracles.NEW_USERS_CURVE_SQL,
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

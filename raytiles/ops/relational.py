@@ -2461,3 +2461,173 @@ def value_time_corr(sf_dir: str) -> ray.data.Dataset:
             "r": _fq(num / den, 6)})
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def quantile_cont(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)) -> pd.DataFrame:
+    """Interpolated (type-7 / SQL PERCENTILE_CONT) per-type quantiles
+    of events.value — the continuous counterpart of the discrete
+    groupops.group_quantiles rule. h = (n-1)*q; the result
+    interpolates between the values at 0-based ranks floor(h) and
+    ceil(h).
+
+    Shape: like events_deciles, the cent-quantized value DOMAIN (not
+    the row count) bounds the state: (type, cent) count partials
+    through one bounded bucket groupby, then the driver folds
+    cumulative counts to ranks and applies the interpolation formula —
+    the IDENTICAL double-op sequence the oracle SQL spells out, so
+    parity is exact after a round to 6."""
+    from raytiles.util import bucket_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "cent": cents,
+                      "one": pa.array(np.ones(len(cents), np.int64))})
+        g = pa.TableGroupBy(t, ["event_type", "cent"]).aggregate(
+            [("one", "sum")])
+        g = g.rename_columns(["event_type", "cent", "n"])
+        cent = g["cent"].to_numpy()
+        return pa.table({
+            "bucket": bucket_of(cent, 512),
+            "event_type": g["event_type"], "cent": cent, "n": g["n"]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "cent"], as_index=False)["n"].sum()
+
+    counts = ray.data.read_parquet(_p(sf_dir, "events"),
+                                   columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+
+    rows = []
+    for et, grp in counts.groupby("event_type"):
+        grp = grp.sort_values("cent")
+        c = grp["n"].to_numpy().astype(np.int64)
+        vals = grp["cent"].to_numpy().astype(np.int64) / 100.0
+        n = int(c.sum())
+        cum = np.cumsum(c)  # rank i (0-based) has value vals[searchsorted]
+        row = {"event_type": et, "n_events": n}
+        for q in qs:
+            h = (n - 1) * q
+            fl = np.floor(h)
+            lo = vals[np.searchsorted(cum, fl + 1)]
+            hi = vals[np.searchsorted(cum, np.ceil(h) + 1)]
+            row[f"p{int(q * 100)}"] = float(_fq(lo + (h - fl) * (hi - lo), 6))
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def journey_pattern(sf_dir: str, pattern: str = "s[cv]*p",
+                    n_buckets: int = 512) -> ray.data.Dataset:
+    """Sequence-pattern matching over per-user event journeys (the
+    MATCH_RECOGNIZE / CEP shape): count non-overlapping occurrences of
+    a regex over each user's ordered event-initial string — here
+    "signup, any clicks/views, then purchase". For patterns where
+    greedy == leftmost-longest (no alternation), Python re and the
+    oracle's RE2 agree match-for-match.
+
+    Shape: identical to user_journeys (bucketed lexsort + buffer
+    slices); the only added per-USER work is one compiled-regex
+    findall over a short string."""
+    import re as _re
+
+    from raytiles.util import bucket_of
+
+    rx = _re.compile(pattern)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uid = batch["user_id"].to_numpy()
+        return pa.table({
+            "bucket": bucket_of(uid, n_buckets),
+            "user_id": uid,
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "c": pc.utf8_slice_codeunits(batch["event_type"], 0, 1)})
+
+    def count_matches(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        chars = np.asarray(g["c"].to_numpy()[order], dtype="S1")
+        buf = chars.tobytes().decode()
+        u_first = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
+        bounds = np.concatenate((u_first, [len(uid)]))
+        return pd.DataFrame({
+            "user_id": uid[u_first],
+            "n_matches": np.array(
+                [len(rx.findall(buf[bounds[i]:bounds[i + 1]]))
+                 for i in range(len(u_first))], np.int64)})
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(count_matches, batch_format="pandas")
+
+
+def new_users_curve(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """User-acquisition curve: per day, how many users appear for the
+    FIRST time, plus the running cumulative — the growth metric
+    (cumsum of a grouped argmin).
+
+    Shape: per-batch (user, min_day) partials shuffle ONCE on
+    splitmix(user) (a user's true first day resolves inside its
+    bucket); per-bucket first-day histograms over the bounded day
+    domain sum exactly across buckets; the cumulative fold runs on the
+    driver over n_days rows."""
+    from ray.data.aggregate import Max, Min, Sum
+    from raytiles.util import bucket_of
+
+    DAY_US = 86_400_000_000
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["user_id", "ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        if len(d) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    rng = ds.map_batches(day_partial, batch_format="pyarrow") \
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    lo_day, hi_day = int(rng["lo"]), int(rng["hi"])
+    n_days = hi_day - lo_day + 1
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        d = (batch["ts"].cast(pa.int64()).to_numpy() // DAY_US) - lo_day
+        order = np.lexsort((d, uid))
+        uid, d = uid[order], d[order]
+        if len(uid):
+            first = np.empty(len(uid), dtype=bool)
+            first[0] = True
+            first[1:] = uid[1:] != uid[:-1]
+            uid, d = uid[first], d[first]
+        return pa.table({"bucket": bucket_of(uid, n_buckets),
+                         "user_id": uid, "d": d.astype(np.int64)})
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id")["d"].min()
+        hist = np.bincount(m.to_numpy(), minlength=n_days).astype(np.int64)
+        return pd.DataFrame({"day_i": np.arange(n_days, dtype=np.int64),
+                             "p_new": hist})
+
+    agg = ds.map_batches(first_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_hist, batch_format="pandas") \
+        .groupby("day_i").aggregate(Sum("p_new", alias_name="n_new")) \
+        .to_pandas().sort_values("day_i")
+
+    day_us = (agg["day_i"].to_numpy() + lo_day) * DAY_US
+    return pd.DataFrame({
+        "day": pd.Series(day_us.astype("datetime64[us]")).dt.strftime(
+            "%Y-%m-%d"),
+        "n_new": agg["n_new"].to_numpy().astype(np.int64),
+        "cum_users": np.cumsum(agg["n_new"].to_numpy()).astype(np.int64)})

@@ -1720,3 +1720,56 @@ SELECT event_type, n AS n_events,
              / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS r
 FROM s
 """
+
+
+def quantile_cont_sql(qs=(0.25, 0.5, 0.75, 0.9)) -> str:
+    """Interpolated-quantile twin spelling out the IDENTICAL
+    h = (n-1)*q double-op sequence (not DuckDB's quantile_cont
+    internals) so engine/oracle agree bit-for-bit before the round."""
+    cols = []
+    for q in qs:
+        cols.append(f"""
+       round(max(CASE WHEN i = CAST(floor((n - 1) * {q}) AS BIGINT)
+                      THEN value END)
+             + ((max(n) - 1) * {q} - floor((max(n) - 1) * {q}))
+               * (max(CASE WHEN i = CAST(ceil((n - 1) * {q}) AS BIGINT)
+                           THEN value END)
+                  - max(CASE WHEN i = CAST(floor((n - 1) * {q}) AS BIGINT)
+                             THEN value END)), 6) AS p{int(q * 100)}""")
+    return f"""
+WITH v AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) - 1 AS i,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,{','.join(cols)}
+FROM v GROUP BY event_type
+"""
+
+
+def journey_pattern_sql(pattern: str = "s[cv]*p") -> str:
+    return f"""
+WITH j AS (SELECT user_id,
+                  string_agg(substr(event_type, 1, 1), ''
+                             ORDER BY ts, event_id) AS journey
+           FROM events GROUP BY 1)
+SELECT user_id,
+       CAST(len(regexp_extract_all(journey, '{pattern}')) AS BIGINT)
+         AS n_matches
+FROM j
+"""
+
+
+NEW_USERS_CURVE_SQL = """
+WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS d
+           FROM events GROUP BY 1),
+b AS (SELECT min(epoch_us(ts) // 86400000000) AS lo,
+             max(epoch_us(ts) // 86400000000) AS hi FROM events),
+days AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b),
+c AS (SELECT d, count(*) AS n_new FROM f GROUP BY 1)
+SELECT strftime(make_timestamp(days.d * 86400000000), '%Y-%m-%d') AS day,
+       COALESCE(c.n_new, 0) AS n_new,
+       CAST(sum(COALESCE(c.n_new, 0))
+              OVER (ORDER BY days.d) AS BIGINT) AS cum_users
+FROM days LEFT JOIN c ON days.d = c.d
+"""

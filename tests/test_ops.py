@@ -1603,3 +1603,43 @@ def test_value_time_corr_matches_numpy_corrcoef():
     for et, g in ev.assign(x=x).groupby("event_type"):
         r = np.corrcoef(g["x"], g["value"])[0, 1]
         assert abs(df.loc[et, "r"] - r) < 1e-4
+
+
+def test_quantile_cont_matches_numpy_linear():
+    from raytiles.ops.relational import quantile_cont
+    df = quantile_cont(SF_SMOKE).set_index("event_type")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    for et, g in ev.groupby("event_type"):
+        for q in (0.25, 0.5, 0.75, 0.9):
+            want = np.quantile(g["value"].to_numpy(), q,
+                               method="linear")
+            assert abs(df.loc[et, f"p{int(q * 100)}"] - want) < 1e-6
+
+
+def test_journey_pattern_counts_regex_matches():
+    import re
+    from raytiles.ops.relational import journey_pattern
+    df = journey_pattern(SF_SMOKE).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas() \
+        .sort_values(["user_id", "ts", "event_id"])
+    rx = re.compile("s[cv]*p")
+    total = 0
+    for uid, g in ev.groupby("user_id"):
+        j = "".join(s[0] for s in g["event_type"])
+        n = len(rx.findall(j))
+        assert df.loc[uid, "n_matches"] == n
+        total += n
+    assert total > 0  # live matches at sf0.001
+
+
+def test_new_users_curve_cumulative():
+    from raytiles.ops.relational import new_users_curve
+    df = new_users_curve(SF_SMOKE)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    first = ev.groupby("user_id")["ts"].min().dt.strftime("%Y-%m-%d")
+    want = first.value_counts()
+    got = df.set_index("day")["n_new"]
+    for day, n in want.items():
+        assert got[day] == n
+    assert df["cum_users"].iloc[-1] == ev["user_id"].nunique()
+    assert (np.diff(df["cum_users"]) >= 0).all()
