@@ -535,6 +535,27 @@ def _q_new_users_curve(sf_dir: str):
     return new_users_curve(sf_dir)
 
 
+def _q_time_weighted_value(sf_dir: str):
+    """Time-weighted average value per user (exact int64
+    cent-microsecond integral, bucketed scan)."""
+    from raytiles.ops.relational import time_weighted_value
+    return time_weighted_value(sf_dir)
+
+
+def _q_audience_overlap(sf_dir: str):
+    """Pairwise distinct-user overlap + Jaccard between event-type
+    audiences (user-partitioned presence masks)."""
+    from raytiles.ops.relational import audience_overlap
+    return audience_overlap(sf_dir)
+
+
+def _q_mad_stats(sf_dir: str):
+    """Robust median + MAD per type from the bounded cent-count
+    domain."""
+    from raytiles.ops.relational import mad_stats
+    return mad_stats(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1294,6 +1315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_cont": _q_quantile_cont,
         "journey_pattern": _q_journey_pattern,
         "new_users_curve": _q_new_users_curve,
+        "time_weighted_value": _q_time_weighted_value,
+        "audience_overlap": _q_audience_overlap,
+        "mad_stats": _q_mad_stats,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1458,6 +1482,9 @@ def oracle_sql() -> dict[str, str]:
         "quantile_cont": oracles.quantile_cont_sql(),
         "journey_pattern": oracles.journey_pattern_sql(),
         "new_users_curve": oracles.NEW_USERS_CURVE_SQL,
+        "time_weighted_value": oracles.TIME_WEIGHTED_VALUE_SQL,
+        "audience_overlap": oracles.AUDIENCE_OVERLAP_SQL,
+        "mad_stats": oracles.MAD_STATS_SQL,
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

@@ -2631,3 +2631,188 @@ def new_users_curve(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
             "%Y-%m-%d"),
         "n_new": agg["n_new"].to_numpy().astype(np.int64),
         "cum_users": np.cumsum(agg["n_new"].to_numpy()).astype(np.int64)})
+
+
+def time_weighted_value(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
+    """Time-weighted average value per user (the IoT / finance TWA:
+    each event's value holds until the user's next event; integrate
+    over the user's [first, last] span). Users with a single event
+    have zero span and are omitted (HAVING n >= 2 in the twin).
+
+    Shape: bounded splitmix(user) bucket shuffle; per bucket one
+    lexsort + diff + reduceat. The integral accumulates as int64
+    cent-microseconds (exact: max cent 49k x 30-day span ~ 1.3e17 <
+    2^63), and BOTH sides convert the same exact int64 numerator to
+    double for the final division, so parity holds to the round."""
+    from raytiles.util import bucket_of
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uid = batch["user_id"].to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": bucket_of(uid, n_buckets), "user_id": uid,
+            "t": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"], "cent": cents})
+
+    def twa_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        cent = g["cent"].to_numpy()
+        order = np.lexsort((eid, t, uid))
+        uid, t, cent = uid[order], t[order], cent[order]
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame({"user_id": np.empty(0, np.int64),
+                                 "n_events": np.empty(0, np.int64),
+                                 "twa": np.empty(0, np.float64)})
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        # duration each value is held; a user's LAST event holds 0
+        dur = np.empty(n, np.int64)
+        dur[:-1] = t[1:] - t[:-1]
+        dur[-1] = 0
+        last_of_user = np.concatenate((new_user[1:], [True]))
+        dur[last_of_user] = 0
+        starts = np.flatnonzero(new_user)
+        num = np.add.reduceat(cent * dur, starts)
+        span = np.add.reduceat(dur, starts)  # == t_last - t_first
+        cnt = np.diff(np.concatenate((starts, [n])))
+        keep = cnt >= 2
+        return pd.DataFrame({
+            "user_id": uid[starts][keep],
+            "n_events": cnt[keep].astype(np.int64),
+            "twa": _fq(num[keep].astype(np.float64)
+                       / span[keep].astype(np.float64) / 100.0, 6)})
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "value"])
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(twa_bucket, batch_format="pandas")
+
+
+def audience_overlap(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Pairwise audience overlap between event types: for every
+    unordered type pair, the distinct-user intersection count and
+    Jaccard similarity — the segment-overlap matrix an audience /
+    targeting system computes.
+
+    Shape: distinct decomposes by USER (the rolling_dau insight): each
+    batch collapses to distinct (user, type) pairs, ONE bounded
+    splitmix(user) bucket shuffle co-locates each user's type set, and
+    per bucket a 5-bit presence mask per user folds to per-type and
+    per-pair partial counts (<= 5 + 10 rows per bucket) that SUM
+    exactly across buckets; the tiny finalize computes Jaccard."""
+    from ray.data.aggregate import Sum
+    from raytiles.util import bucket_of
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, uid))
+        uid, et = uid[order], et[order]
+        if len(uid):
+            first = np.empty(len(uid), dtype=bool)
+            first[0] = True
+            first[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+            uid, et = uid[first], et[first]
+        return pa.table({
+            "bucket": bucket_of(uid, n_buckets), "user_id": uid,
+            "event_type": pa.array(et, pa.string())})
+
+    def mask_counts(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        types, t_code = np.unique(et, return_inverse=True)
+        u_uniq, u_code = np.unique(uid, return_inverse=True)
+        pres = np.zeros((len(u_uniq), len(types)), bool)
+        pres[u_code, t_code] = True
+        rows = []
+        for a in range(len(types)):
+            rows.append((types[a], types[a], int(pres[:, a].sum())))
+            for b in range(a + 1, len(types)):
+                rows.append((types[a], types[b],
+                             int((pres[:, a] & pres[:, b]).sum())))
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "n"])
+
+    agg = ray.data.read_parquet(_p(sf_dir, "events"),
+                                columns=["user_id", "event_type"]) \
+        .map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(mask_counts, batch_format="pandas") \
+        .groupby(["type_a", "type_b"]).aggregate(Sum("n", alias_name="n"))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        # split singles (type_a == type_b) from pair rows
+        singles = b[b["type_a"] == b["type_b"]].set_index("type_a")["n"]
+        pairs = b[b["type_a"] != b["type_b"]]
+        na = pairs["type_a"].map(singles).to_numpy().astype(np.int64)
+        nb = pairs["type_b"].map(singles).to_numpy().astype(np.int64)
+        nboth = pairs["n"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "type_a": pairs["type_a"], "type_b": pairs["type_b"],
+            "n_a": na, "n_b": nb, "n_both": nboth,
+            "jaccard": _fq(nboth.astype(np.float64)
+                           / (na + nb - nboth), 6)})
+
+    # the aggregate result is tiny (<= types^2 rows) — finalize needs
+    # ALL singles to label every pair row, so repartition(1) first
+    return agg.repartition(1).map_batches(finalize, batch_format="pandas")
+
+
+def mad_stats(sf_dir: str) -> pd.DataFrame:
+    """Robust location/scale per event_type: discrete median (the
+    group_quantiles rule: min value whose cumulative count >=
+    ceil(n/2)) and MAD, the same-rule median of absolute deviations —
+    the outlier-resistant counterpart of value_outliers' mean/sigma.
+
+    Shape: everything folds from the bounded (type, cent) count table
+    (the events_deciles pattern); the deviation re-histogram is a
+    driver-side O(domain) regroup, exact integer arithmetic until the
+    final /100."""
+    from raytiles.util import bucket_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "cent": cents,
+                      "one": pa.array(np.ones(len(cents), np.int64))})
+        g = pa.TableGroupBy(t, ["event_type", "cent"]).aggregate(
+            [("one", "sum")])
+        g = g.rename_columns(["event_type", "cent", "n"])
+        cent = g["cent"].to_numpy()
+        return pa.table({
+            "bucket": bucket_of(cent, 512),
+            "event_type": g["event_type"], "cent": cent, "n": g["n"]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "cent"], as_index=False)["n"].sum()
+
+    counts = ray.data.read_parquet(_p(sf_dir, "events"),
+                                   columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+
+    def _median_of(cents: np.ndarray, c: np.ndarray) -> int:
+        order = np.argsort(cents, kind="stable")
+        cents, c = cents[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        target = -(-n // 2)  # ceil(n/2) in integer arithmetic
+        return int(cents[np.searchsorted(cum, target)])
+
+    rows = []
+    for et, grp in counts.groupby("event_type"):
+        cents = grp["cent"].to_numpy().astype(np.int64)
+        c = grp["n"].to_numpy().astype(np.int64)
+        med = _median_of(cents, c)
+        dev = np.abs(cents - med)
+        mad = _median_of(dev, c)
+        rows.append({"event_type": et, "n_events": int(c.sum()),
+                     "median_value": med / 100.0, "mad": mad / 100.0})
+    return pd.DataFrame(rows)

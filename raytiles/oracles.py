@@ -1773,3 +1773,62 @@ SELECT strftime(make_timestamp(days.d * 86400000000), '%Y-%m-%d') AS day,
               OVER (ORDER BY days.d) AS BIGINT) AS cum_users
 FROM days LEFT JOIN c ON days.d = c.d
 """
+
+
+TIME_WEIGHTED_VALUE_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+                  CAST(round(value * 100) AS BIGINT) AS cent,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT user_id, count(*) AS n_events,
+       round(CAST(sum(cent * (nxt - t)) AS DOUBLE)
+             / (max(t) - min(t)) / 100, 6) AS twa
+FROM e GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM du a JOIN du b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+c AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1)
+SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_both,
+       round(CAST(n_both AS DOUBLE) / (ca.n + cb.n - n_both), 6)
+         AS jaccard
+FROM p JOIN c ca ON ca.event_type = type_a
+       JOIN c cb ON cb.event_type = type_b
+"""
+
+
+MAD_STATS_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cent
+           FROM events),
+r AS (SELECT event_type, cent,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cent) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+m AS (SELECT event_type, max(n) AS n,
+             min(cent) FILTER (WHERE rn >= CAST(ceil(n / 2.0) AS BIGINT))
+               AS med
+      FROM r GROUP BY 1),
+d AS (SELECT r.event_type, abs(r.cent - m.med) AS dev
+      FROM r JOIN m USING (event_type)),
+r2 AS (SELECT event_type, dev,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY dev) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM d),
+m2 AS (SELECT event_type,
+              min(dev) FILTER (WHERE rn >= CAST(ceil(n / 2.0) AS BIGINT))
+                AS mad
+       FROM r2 GROUP BY 1)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n_events,
+       m.med / 100.0 AS median_value, m2.mad / 100.0 AS mad
+FROM m JOIN m2 USING (event_type)
+"""

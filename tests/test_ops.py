@@ -1643,3 +1643,49 @@ def test_new_users_curve_cumulative():
         assert got[day] == n
     assert df["cum_users"].iloc[-1] == ev["user_id"].nunique()
     assert (np.diff(df["cum_users"]) >= 0).all()
+
+
+def test_time_weighted_value_integral():
+    from raytiles.ops.relational import time_weighted_value
+    df = time_weighted_value(SF_SMOKE).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas() \
+        .sort_values(["user_id", "ts", "event_id"])
+    for uid, g in ev.groupby("user_id"):
+        if len(g) < 2:
+            assert uid not in df.index
+            continue
+        t = g["ts"].astype("int64").to_numpy()
+        cent = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        num = int((cent[:-1] * np.diff(t)).sum())
+        want = num / (t[-1] - t[0]) / 100.0
+        assert abs(df.loc[uid, "twa"] - want) < 1e-5
+        assert df.loc[uid, "n_events"] == len(g)
+
+
+def test_audience_overlap_jaccard():
+    from raytiles.ops.relational import audience_overlap
+    df = audience_overlap(SF_SMOKE).to_pandas()
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    sets = {et: set(g["user_id"]) for et, g in ev.groupby("event_type")}
+    assert len(df) == len(sets) * (len(sets) - 1) // 2
+    for _, row in df.iterrows():
+        a, b = sets[row["type_a"]], sets[row["type_b"]]
+        assert row["type_a"] < row["type_b"]
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        assert row["n_both"] == len(a & b)
+        assert abs(row["jaccard"] - len(a & b) / len(a | b)) < 1e-6
+
+
+def test_mad_stats_robust_rule():
+    from raytiles.ops.relational import mad_stats
+    df = mad_stats(SF_SMOKE).set_index("event_type")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    for et, g in ev.groupby("event_type"):
+        cent = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(cent)
+        target = -(-n // 2)
+        med = np.sort(cent)[target - 1]
+        mad = np.sort(np.abs(cent - med))[target - 1]
+        assert df.loc[et, "median_value"] == med / 100.0
+        assert df.loc[et, "mad"] == mad / 100.0
+        assert df.loc[et, "n_events"] == n
