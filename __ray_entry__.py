@@ -556,6 +556,27 @@ def _q_mad_stats(sf_dir: str):
     return mad_stats(sf_dir)
 
 
+def _q_loyal_users(sf_dir: str):
+    """Relational division: users with a purchase in EVERY week of
+    the range (bucketed distinct-set fold)."""
+    from raytiles.ops.relational import loyal_users
+    return loyal_users(sf_dir)
+
+
+def _q_wow_growth(sf_dir: str):
+    """Week-over-week growth per type: LAG + pct change over the
+    bounded weekly aggregate."""
+    from raytiles.ops.relational import wow_growth
+    return wow_growth(sf_dir)
+
+
+def _q_order_discount_factor(sf_dir: str):
+    """Multiplicative aggregate: compound discount factor per order
+    via segmented products."""
+    from raytiles.ops.relational import order_discount_factor
+    return order_discount_factor(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1318,6 +1339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_value": _q_time_weighted_value,
         "audience_overlap": _q_audience_overlap,
         "mad_stats": _q_mad_stats,
+        "loyal_users": _q_loyal_users,
+        "wow_growth": _q_wow_growth,
+        "order_discount_factor": _q_order_discount_factor,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1485,6 +1509,9 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_value": oracles.TIME_WEIGHTED_VALUE_SQL,
         "audience_overlap": oracles.AUDIENCE_OVERLAP_SQL,
         "mad_stats": oracles.MAD_STATS_SQL,
+        "loyal_users": oracles.loyal_users_sql(),
+        "wow_growth": oracles.WOW_GROWTH_SQL,
+        "order_discount_factor": oracles.ORDER_DISCOUNT_FACTOR_SQL,
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

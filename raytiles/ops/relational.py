@@ -2816,3 +2816,156 @@ def mad_stats(sf_dir: str) -> pd.DataFrame:
         rows.append({"event_type": et, "n_events": int(c.sum()),
                      "median_value": med / 100.0, "mad": mad / 100.0})
     return pd.DataFrame(rows)
+
+
+def loyal_users(sf_dir: str, event_type: str = "purchase",
+                n_buckets: int = 256) -> ray.data.Dataset:
+    """Relational DIVISION (the universal quantifier): users with at
+    least one `event_type` event in EVERY week of the data's range —
+    the "for all periods" loyalty query most engines express awkwardly
+    (HAVING count(DISTINCT week) = |weeks|). Selective by
+    construction: a user misses one week and drops out.
+
+    Shape: the divisor domain size (distinct weeks over ALL events)
+    comes from a bounded aggregate; each batch then collapses to
+    distinct (user, week) pairs for the filtered type; ONE bounded
+    splitmix(user) bucket shuffle co-locates a user's week set; the
+    bucket finalizer counts distinct weeks per user and keeps
+    full-coverage users."""
+    from ray.data.aggregate import Max
+    from raytiles.util import bucket_of
+
+    DAY_US = 86_400_000_000
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["user_id", "ts", "event_type"])
+
+    def week_partial(batch: pa.Table) -> pa.Table:
+        w = np.unique(batch["ts"].cast(pa.int64()).to_numpy()
+                      // DAY_US // 7)
+        return pa.table({"week": w.astype(np.int64),
+                         "one": np.ones(len(w), np.int64)})
+
+    n_weeks = ds.map_batches(week_partial, batch_format="pyarrow") \
+        .groupby("week").aggregate(Max("one", alias_name="one")).count()
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.equal(batch["event_type"], event_type)
+        batch = batch.filter(m)
+        uid = batch["user_id"].to_numpy()
+        w = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US // 7
+        order = np.lexsort((w, uid))
+        uid, w = uid[order], w[order]
+        if len(uid):
+            first = np.empty(len(uid), dtype=bool)
+            first[0] = True
+            first[1:] = (uid[1:] != uid[:-1]) | (w[1:] != w[:-1])
+            uid, w = uid[first], w[first]
+        return pa.table({
+            "bucket": bucket_of(uid, n_buckets), "user_id": uid,
+            "week": w.astype(np.int64)})
+
+    def divide(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("user_id")["week"].nunique()
+        keep = cnt[cnt == n_weeks]
+        return pd.DataFrame({
+            "user_id": keep.index.to_numpy().astype(np.int64)})
+
+    return ds.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(divide, batch_format="pandas")
+
+
+def wow_growth(sf_dir: str) -> ray.data.Dataset:
+    """Week-over-week growth per event_type: weekly value sums plus
+    the previous week's sum and the percent change — period-over-
+    period reporting (LAG over an AGGREGATED series, not over raw
+    rows).
+
+    Shape: the weekly aggregate is bounded (types x weeks), built with
+    per-batch partials + ONE bounded groupby; the lag/pct fold then
+    runs per event_type over a handful of rows. Weeks are epoch-day
+    // 7 (fixed Thursday-anchored weeks, mirrored in the twin);
+    pct rounds to 6."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US // 7
+        t = pa.table({"event_type": batch["event_type"],
+                      "week": w.astype(np.int64),
+                      "value": batch["value"]})
+        g = pa.TableGroupBy(t, ["event_type", "week"]).aggregate(
+            [("value", "sum")])
+        return g.rename_columns(["event_type", "week", "s"])
+
+    agg = ray.data.read_parquet(_p(sf_dir, "events"),
+                                columns=["ts", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "week"]).aggregate(
+            Sum("s", alias_name="sum_value"))
+
+    def growth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("week")
+        s = g["sum_value"].to_numpy()
+        prev = np.concatenate(([np.nan], s[:-1]))
+        pct = np.where(np.isnan(prev), np.nan, (s - prev) / prev)
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "week": g["week"].astype(np.int64),
+            "sum_value": _fq(s, 6),
+            "prev_value": _fq(prev, 6),
+            "pct_change": _fq(pct, 6)})
+
+    return agg.groupby("event_type").map_groups(
+        growth, batch_format="pandas")
+
+
+def order_discount_factor(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
+    """Multiplicative aggregate: per order, the compound discount
+    factor prod(1 - l_discount) over its lineitems, carried in the
+    LOG domain as integer micro-nats (the repo's entropy/logprob
+    pattern): each item contributes floor(ln(1 - d) * 1e6) and the
+    per-order sum is an order-free EXACT int64 — a raw float product
+    is addition(multiplication)-order-sensitive and a 13-item integer
+    numerator would overflow 2^53. The twin applies the identical
+    ln/floor sequence, so parity is bit-exact.
+
+    Shape: per-batch lexsort + segmented integer sums collapse each
+    batch to one partial per (order, batch); ONE bounded
+    splitmix(orderkey) bucket shuffle; in-bucket integer-sum merge."""
+    from raytiles.util import bucket_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        unat = np.floor(np.log(1.0 - d) * 1e6).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, unat = ok[order], unat[order]
+        if len(ok) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "l_orderkey": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        starts = np.flatnonzero(
+            np.concatenate(([True], ok[1:] != ok[:-1])))
+        s = np.add.reduceat(unat, starts)
+        cnt = np.diff(np.concatenate((starts, [len(ok)])))
+        keys = ok[starts]
+        return pa.table({
+            "bucket": bucket_of(keys, n_buckets),
+            "l_orderkey": keys.astype(np.int64),
+            "s": s.astype(np.int64), "n": cnt.astype(np.int64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("l_orderkey").agg(s=("s", "sum"), n=("n", "sum"))
+        return pd.DataFrame({
+            "l_orderkey": m.index.to_numpy().astype(np.int64),
+            "n_items": m["n"].to_numpy().astype(np.int64),
+            "log_factor_unat": m["s"].to_numpy().astype(np.int64)})
+
+    ds = ray.data.read_parquet(_p(sf_dir, "lineitem"),
+                               columns=["l_orderkey", "l_discount"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")

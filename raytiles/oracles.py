@@ -1832,3 +1832,38 @@ SELECT m.event_type, CAST(m.n AS BIGINT) AS n_events,
        m.med / 100.0 AS median_value, m2.mad / 100.0 AS mad
 FROM m JOIN m2 USING (event_type)
 """
+
+
+def loyal_users_sql(event_type: str = "purchase") -> str:
+    return f"""
+WITH d AS (SELECT count(DISTINCT epoch_us(ts) // 86400000000 // 7)
+             AS nw FROM events)
+SELECT user_id FROM events, d
+WHERE event_type = '{event_type}'
+GROUP BY user_id, d.nw
+HAVING count(DISTINCT epoch_us(ts) // 86400000000 // 7) = d.nw
+"""
+
+
+WOW_GROWTH_SQL = """
+WITH w AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 // 7 AS week,
+                  sum(value) AS s
+           FROM events GROUP BY 1, 2)
+SELECT event_type, CAST(week AS BIGINT) AS week,
+       round(s, 6) AS sum_value,
+       round(lag(s) OVER (PARTITION BY event_type ORDER BY week), 6)
+         AS prev_value,
+       round((s - lag(s) OVER (PARTITION BY event_type ORDER BY week))
+             / lag(s) OVER (PARTITION BY event_type ORDER BY week), 6)
+         AS pct_change
+FROM w
+"""
+
+
+ORDER_DISCOUNT_FACTOR_SQL = """
+SELECT l_orderkey, count(*) AS n_items,
+       CAST(sum(CAST(floor(ln(1 - l_discount) * 1000000) AS BIGINT))
+            AS BIGINT) AS log_factor_unat
+FROM lineitem GROUP BY 1
+"""

@@ -1689,3 +1689,44 @@ def test_mad_stats_robust_rule():
         assert df.loc[et, "median_value"] == med / 100.0
         assert df.loc[et, "mad"] == mad / 100.0
         assert df.loc[et, "n_events"] == n
+
+
+def test_loyal_users_division():
+    from raytiles.ops.relational import loyal_users
+    got = set(loyal_users(SF_SMOKE).to_pandas()["user_id"])
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    week = ev["ts"].astype("int64") // 86_400_000_000 // 7
+    n_weeks = week.nunique()
+    p = ev[ev["event_type"] == "purchase"].assign(week=week)
+    want = {u for u, g in p.groupby("user_id")
+            if g["week"].nunique() == n_weeks}
+    assert got == want
+    assert 0 < len(got) < ev["user_id"].nunique()  # selective
+
+
+def test_wow_growth_lag_over_aggregate():
+    from raytiles.ops.relational import wow_growth
+    df = wow_growth(SF_SMOKE).to_pandas()
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    ev["week"] = ev["ts"].astype("int64") // 86_400_000_000 // 7
+    w = ev.groupby(["event_type", "week"])["value"].sum()
+    for (et, wk), s in w.items():
+        row = df[(df["event_type"] == et) & (df["week"] == wk)].iloc[0]
+        assert abs(row["sum_value"] - s) < 1e-5
+        prev = w.get((et, wk - 1))
+        if prev is not None:
+            assert abs(row["pct_change"] - (s - prev) / prev) < 1e-5
+        else:
+            assert np.isnan(row["pct_change"])
+
+
+def test_order_discount_factor_micronat_sum():
+    from raytiles.ops.relational import order_discount_factor
+    df = order_discount_factor(SF_SMOKE).to_pandas() \
+        .set_index("l_orderkey")
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    li["unat"] = np.floor(
+        np.log(1.0 - li["l_discount"].to_numpy()) * 1e6).astype(np.int64)
+    for ok, g in li.groupby("l_orderkey"):
+        assert df.loc[ok, "log_factor_unat"] == g["unat"].sum()
+        assert df.loc[ok, "n_items"] == len(g)
