@@ -577,6 +577,13 @@ def _q_order_discount_factor(sf_dir: str):
     return order_discount_factor(sf_dir)
 
 
+def _q_char_trigrams(sf_dir: str):
+    """Per-lang character-trigram top-k profile (packed-int trigram
+    keys, vocabulary-bounded state)."""
+    from raytiles.ops.text import char_trigrams
+    return char_trigrams(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1342,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "loyal_users": _q_loyal_users,
         "wow_growth": _q_wow_growth,
         "order_discount_factor": _q_order_discount_factor,
+        "char_trigrams": _q_char_trigrams,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1512,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
         "loyal_users": oracles.loyal_users_sql(),
         "wow_growth": oracles.WOW_GROWTH_SQL,
         "order_discount_factor": oracles.ORDER_DISCOUNT_FACTOR_SQL,
+        "char_trigrams": oracles.char_trigrams_sql(),
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

@@ -1295,3 +1295,81 @@ def fuzzy_search(sf_dir: str,
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(lev_partial, batch_format="pyarrow") \
         .sort(["dist", "doc_id"]).limit(k)
+
+
+def char_trigrams(sf_dir: str, k: int = 20,
+                  n_buckets: int = 256) -> pd.DataFrame:
+    """Per-language character-trigram profile: the top-k most frequent
+    3-char substrings per lang with exact counts — the feature table a
+    statistical language-ID model trains on (document fingerprinting
+    at the character level). ASCII corpus: byte trigrams == the twin's
+    substr() character trigrams.
+
+    Shape: trigrams never exist as Python strings in the hot path —
+    each batch packs all 3-byte windows of the raw Arrow values buffer
+    into int32 keys with three shifted views and counts distinct
+    (lang, key) pairs via np.unique; ONE bounded splitmix(key) bucket
+    shuffle completes each key's global count (a key lives in exactly
+    ONE bucket, so per-bucket top-k candidates are globally sound);
+    the driver folds k*buckets candidate rows. State is bounded by
+    the trigram VOCABULARY, not the corpus size."""
+    from ray.data.aggregate import Sum
+
+    from raytiles.util import bucket_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["text"].combine_chunks()
+        if pa.types.is_large_string(col.type):
+            col = col.cast(pa.string())
+        bufs = col.buffers()
+        data = np.frombuffer(bufs[2], np.uint8)
+        offs = np.frombuffer(bufs[1], np.int32)[
+            col.offset:col.offset + len(col) + 1].astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        m = np.maximum(lens - 2, 0)
+        # ragged arange: every trigram start position across the batch
+        tot = int(m.sum())
+        if tot == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        rep = np.repeat(np.arange(len(m)), m)
+        base = np.concatenate(([0], np.cumsum(m)[:-1]))
+        pos = offs[:-1][rep] + (np.arange(tot) - base[rep])
+        key = (data[pos].astype(np.int64) << 16) \
+            | (data[pos + 1].astype(np.int64) << 8) \
+            | data[pos + 2].astype(np.int64)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        lcode, luniq = pd.factorize(lang[rep])
+        pair = key * np.int64(64) + lcode  # few langs; packed pair key
+        uniq, counts = np.unique(pair, return_counts=True)
+        ukey = uniq // 64
+        ulang = luniq[(uniq % 64).astype(np.int64)]
+        return pa.table({
+            "bucket": bucket_of(ukey, n_buckets),
+            "lang": pa.array(ulang, pa.string()),
+            "key": ukey, "n": counts.astype(np.int64)})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["lang", "key"], as_index=False)["n"].sum()
+        # per-lang local top-k candidates (globally sound: every key's
+        # count is complete inside its bucket)
+        m = m.sort_values(["lang", "n", "key"],
+                          ascending=[True, False, True])
+        return m.groupby("lang").head(k)
+
+    cand = _docs(sf_dir, ["lang", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_topk, batch_format="pandas") \
+        .to_pandas()
+
+    out = []
+    for lang, g in cand.groupby("lang"):
+        g = g.sort_values(["n", "key"], ascending=[False, True]).head(k)
+        tri = [bytes([ky >> 16, (ky >> 8) & 0xFF, ky & 0xFF]).decode()
+               for ky in g["key"]]
+        out.append(pd.DataFrame({
+            "lang": lang, "trigram": tri,
+            "n": g["n"].to_numpy().astype(np.int64)}))
+    return pd.concat(out, ignore_index=True)

@@ -1867,3 +1867,19 @@ SELECT l_orderkey, count(*) AS n_items,
             AS BIGINT) AS log_factor_unat
 FROM lineitem GROUP BY 1
 """
+
+
+def char_trigrams_sql(k: int = 20) -> str:
+    """Trigram-profile twin: packed-int key order == lexicographic
+    byte order for ASCII, so the (n DESC, trigram ASC) tie-break
+    agrees on both sides."""
+    return f"""
+WITH t AS (SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS trigram
+           FROM (SELECT lang, text,
+                        unnest(generate_series(1, length(text) - 2)) AS i
+                 FROM documents)),
+c AS (SELECT lang, trigram, count(*) AS n FROM t GROUP BY 1, 2)
+SELECT lang, trigram, n FROM c
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY n DESC, trigram) <= {k}
+"""

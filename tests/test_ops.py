@@ -1730,3 +1730,18 @@ def test_order_discount_factor_micronat_sum():
     for ok, g in li.groupby("l_orderkey"):
         assert df.loc[ok, "log_factor_unat"] == g["unat"].sum()
         assert df.loc[ok, "n_items"] == len(g)
+
+
+def test_char_trigrams_counter_oracle():
+    from collections import Counter
+    from raytiles.ops.text import char_trigrams
+    df = char_trigrams(SF_SMOKE, k=10)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    for lang, g in docs.groupby("lang"):
+        cnt = Counter()
+        for t in g["text"]:
+            for i in range(len(t) - 2):
+                cnt[t[i:i + 2 + 1]] += 1
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        sub = df[df["lang"] == lang]
+        assert list(zip(sub["trigram"], sub["n"])) == want
