@@ -2094,6 +2094,59 @@ def interval_coverage(sf_dir: str, duration_s: int = 300,
         .groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def _ts_day_range(path: str, ds: "ray.data.Dataset",
+                  day_us: int = 86_400_000_000) -> tuple:
+    """Global [min_day, max_day] of the ts column — from the parquet
+    FOOTER statistics when available (a metadata-only read: zero data
+    rows move, the correct cost at any scale), falling back to a
+    min/max Dataset aggregate when any row group lacks stats. `path`
+    may be a file or a glob-able directory of parquet parts."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    from ray.data.aggregate import Max, Min
+
+    files = [path]
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"),
+                                  recursive=True))
+    lo = hi = None
+    try:
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name
+                     for i in range(md.num_columns)]
+            idx = names.index("ts")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("missing ts stats")
+                mn, mx = st.min, st.max
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+        if lo is None:
+            raise ValueError("no row groups")
+
+        def _to_us(t):
+            return int(t.timestamp() * 1_000_000) \
+                if hasattr(t, "timestamp") else int(t)
+        return _to_us(lo) // day_us, _to_us(hi) // day_us
+    except (ValueError, KeyError):
+        pass
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].cast(pa.int64()).to_numpy() // day_us
+        if len(d) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    rng = ds.map_batches(day_partial, batch_format="pyarrow") \
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    return int(rng["lo"]), int(rng["hi"])
+
+
 def rolling_dau(sf_dir: str, window_days: int = 7,
                 n_buckets: int = 256) -> ray.data.Dataset:
     """Daily active users + trailing-N-day distinct users for every
@@ -2107,28 +2160,18 @@ def rolling_dau(sf_dir: str, window_days: int = 7,
     (prefix-sum along days; a user counts in window d iff it has any
     presence in [d-N+1, d]), and SUM the per-bucket partials — buckets
     partition the user space, so the sums are exact. The global day
-    range is resolved first with a trivial min/max aggregate and
-    passed into every bucket so all buckets emit the same day axis.
+    range comes from the parquet footer statistics (metadata-only) and
+    is passed into every bucket so all buckets emit the same day axis.
     Per-batch distinct (day, user) partials bound the shuffle at one
     row per (day, user, batch)."""
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Sum
     from raytiles.util import bucket_of
 
     DAY_US = 86_400_000_000
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"),
                                columns=["user_id", "ts"])
-
-    def day_partial(batch: pa.Table) -> pa.Table:
-        d = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
-        if len(d) == 0:
-            return pa.table({"lo": pa.array([], pa.int64()),
-                             "hi": pa.array([], pa.int64())})
-        return pa.table({"lo": [int(d.min())], "hi": [int(d.max())]})
-
-    rng = ds.map_batches(day_partial, batch_format="pyarrow") \
-        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
-    lo_day, hi_day = int(rng["lo"]), int(rng["hi"])
+    lo_day, hi_day = _ts_day_range(_p(sf_dir, "events"), ds)
     n_days = hi_day - lo_day + 1
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
@@ -2358,30 +2401,19 @@ def churned_users(sf_dir: str, window_days: int = 1,
     the data's range but absent from the LAST window_days — the
     EXCEPT / anti-membership shape over derived distinct sets.
 
-    Shape: the global day range comes from a trivial min/max reduce;
-    each batch then collapses to distinct (user, in_first, in_last)
+    Shape: the global day range comes from the parquet footer
+    statistics (metadata-only); each batch then collapses to distinct (user, in_first, in_last)
     flag rows, ONE bounded splitmix(user) bucket shuffle OR-merges the
     flags per user (a user's whole truth lives in one bucket), and the
     filter (first AND NOT last) is a vectorized mask — no join, no
     second shuffle, output bounded by the churned-user count."""
-    from ray.data.aggregate import Max, Min
     from raytiles.util import bucket_of
 
     DAY_US = 86_400_000_000
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"),
                                columns=["user_id", "ts"])
-
-    def day_partial(batch: pa.Table) -> pa.Table:
-        d = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
-        if len(d) == 0:
-            return pa.table({"lo": pa.array([], pa.int64()),
-                             "hi": pa.array([], pa.int64())})
-        return pa.table({"lo": [int(d.min())], "hi": [int(d.max())]})
-
-    rng = ds.map_batches(day_partial, batch_format="pyarrow") \
-        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
-    lo_day, hi_day = int(rng["lo"]), int(rng["hi"])
+    lo_day, hi_day = _ts_day_range(_p(sf_dir, "events"), ds)
 
     def flags(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy()
@@ -2588,17 +2620,7 @@ def new_users_curve(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"),
                                columns=["user_id", "ts"])
-
-    def day_partial(batch: pa.Table) -> pa.Table:
-        d = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
-        if len(d) == 0:
-            return pa.table({"lo": pa.array([], pa.int64()),
-                             "hi": pa.array([], pa.int64())})
-        return pa.table({"lo": [int(d.min())], "hi": [int(d.max())]})
-
-    rng = ds.map_batches(day_partial, batch_format="pyarrow") \
-        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
-    lo_day, hi_day = int(rng["lo"]), int(rng["hi"])
+    lo_day, hi_day = _ts_day_range(_p(sf_dir, "events"), ds)
     n_days = hi_day - lo_day + 1
 
     def first_partial(batch: pa.Table) -> pa.Table:
