@@ -1745,3 +1745,24 @@ def test_char_trigrams_counter_oracle():
         want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         sub = df[df["lang"] == lang]
         assert list(zip(sub["trigram"], sub["n"])) == want
+
+
+def test_ts_day_range_footer_stats_and_fallback(tmp_path):
+    import pyarrow.parquet as papq
+    import ray as _ray
+    from raytiles.ops.relational import _ts_day_range
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    want_lo = int(ev["ts"].cast(pa.int64()).to_numpy().min()
+                  // 86_400_000_000)
+    want_hi = int(ev["ts"].cast(pa.int64()).to_numpy().max()
+                  // 86_400_000_000)
+    # footer-stats path on the real file
+    ds = _ray.data.read_parquet(f"{SF_SMOKE}/events.parquet",
+                                columns=["user_id", "ts"])
+    assert _ts_day_range(f"{SF_SMOKE}/events.parquet", ds) == \
+        (want_lo, want_hi)
+    # fallback path: a file written WITHOUT statistics
+    nostats = str(tmp_path / "nostats.parquet")
+    papq.write_table(ev, nostats, write_statistics=False)
+    ds2 = _ray.data.read_parquet(nostats, columns=["user_id", "ts"])
+    assert _ts_day_range(nostats, ds2) == (want_lo, want_hi)
