@@ -584,6 +584,13 @@ def _q_char_trigrams(sf_dir: str):
     return char_trigrams(sf_dir)
 
 
+def _q_chi2_type_hour(sf_dir: str):
+    """Chi-square independence + Cramér's V over the bounded
+    (type x hour) contingency domain."""
+    from raytiles.ops.relational import chi2_type_hour
+    return chi2_type_hour(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1350,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wow_growth": _q_wow_growth,
         "order_discount_factor": _q_order_discount_factor,
         "char_trigrams": _q_char_trigrams,
+        "chi2_type_hour": _q_chi2_type_hour,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1521,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         "wow_growth": oracles.WOW_GROWTH_SQL,
         "order_discount_factor": oracles.ORDER_DISCOUNT_FACTOR_SQL,
         "char_trigrams": oracles.char_trigrams_sql(),
+        "chi2_type_hour": oracles.CHI2_TYPE_HOUR_SQL,
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

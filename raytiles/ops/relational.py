@@ -2991,3 +2991,46 @@ def order_discount_factor(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset
                                columns=["l_orderkey", "l_discount"])
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def chi2_type_hour(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence test (+ Cramér's V effect size)
+    between event_type and hour-of-day — the categorical drift /
+    association check a data-quality layer runs on incoming batches.
+
+    Shape: the contingency table is a BOUNDED domain (types x 24), so
+    per-batch C++ hash-aggregate partials + ONE bounded groupby reduce
+    any input size to <= types*24 rows; the driver folds chi2 from the
+    dense matrix INCLUDING unobserved cells (whose expected counts
+    still contribute). chi2 sums 120 double terms — addition order is
+    the only engine/oracle divergence, absorbed by the round to 6."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hr = ((batch["ts"].cast(pa.int64()).to_numpy()
+               // 3_600_000_000) % 24).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"], "hr": hr,
+                      "one": np.ones(len(hr), np.int64)})
+        g = pa.TableGroupBy(t, ["event_type", "hr"]).aggregate(
+            [("one", "sum")])
+        return g.rename_columns(["event_type", "hr", "n"])
+
+    counts = ray.data.read_parquet(_p(sf_dir, "events"),
+                                   columns=["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hr"]).aggregate(
+            Sum("n", alias_name="n")).to_pandas()
+
+    types, t_code = np.unique(counts["event_type"].to_numpy(),
+                              return_inverse=True)
+    obs = np.zeros((len(types), 24), np.float64)
+    obs[t_code, counts["hr"].to_numpy().astype(np.int64)] = \
+        counts["n"].to_numpy()
+    n = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    dof = (len(types) - 1) * (24 - 1)
+    v = float(np.sqrt(chi2 / (n * min(len(types) - 1, 23))))
+    return pd.DataFrame({
+        "n_events": [np.int64(n)], "dof": [np.int64(dof)],
+        "chi2": _fq([chi2], 6), "cramers_v": _fq([v], 6)})

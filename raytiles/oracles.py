@@ -1883,3 +1883,29 @@ SELECT lang, trigram, n FROM c
 QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY n DESC, trigram) <= {k}
 """
+
+
+CHI2_TYPE_HOUR_SQL = """
+WITH o AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS rn FROM o GROUP BY 1),
+h AS (SELECT unnest(generate_series(0, 23)) AS hr),
+c AS (SELECT hr, CAST(sum(n) AS DOUBLE) AS cn FROM o GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM o),
+cells AS (SELECT r.event_type, h.hr, r.rn,
+                 COALESCE(c.cn, 0) AS cn,
+                 COALESCE(o.n, 0) AS obs
+          FROM r CROSS JOIN h
+          LEFT JOIN c ON c.hr = h.hr
+          LEFT JOIN o ON o.event_type = r.event_type AND o.hr = h.hr)
+SELECT CAST(t.tot AS BIGINT) AS n_events,
+       (SELECT (count(*) - 1) * 23 FROM r) AS dof,
+       round(sum(pow(obs - rn * cn / t.tot, 2) / (rn * cn / t.tot)), 6)
+         AS chi2,
+       round(sqrt(sum(pow(obs - rn * cn / t.tot, 2)
+                      / (rn * cn / t.tot))
+                  / (t.tot * least((SELECT count(*) - 1 FROM r), 23))), 6)
+         AS cramers_v
+FROM cells, t GROUP BY t.tot
+"""

@@ -1766,3 +1766,19 @@ def test_ts_day_range_footer_stats_and_fallback(tmp_path):
     papq.write_table(ev, nostats, write_statistics=False)
     ds2 = _ray.data.read_parquet(nostats, columns=["user_id", "ts"])
     assert _ts_day_range(nostats, ds2) == (want_lo, want_hi)
+
+
+def test_chi2_type_hour_contingency():
+    from raytiles.ops.relational import chi2_type_hour
+    df = chi2_type_hour(SF_SMOKE)
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    hr = (ev["ts"].astype("int64") // 3_600_000_000) % 24
+    ct = pd.crosstab(ev["event_type"], hr)
+    obs = np.zeros((ct.shape[0], 24))
+    obs[:, ct.columns.to_numpy()] = ct.to_numpy()
+    n = obs.sum()
+    exp = obs.sum(1, keepdims=True) * obs.sum(0) / n
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert df["n_events"].iloc[0] == len(ev)
+    assert df["dof"].iloc[0] == (ct.shape[0] - 1) * 23
+    assert abs(df["chi2"].iloc[0] - chi2) < 1e-4
