@@ -1782,3 +1782,39 @@ def test_chi2_type_hour_contingency():
     assert df["n_events"].iloc[0] == len(ev)
     assert df["dof"].iloc[0] == (ct.shape[0] - 1) * 23
     assert abs(df["chi2"].iloc[0] - chi2) < 1e-4
+
+
+def test_interval_coverage_property_random(tmp_path):
+    """Seeded randomized check of the interval-union kernel: dense
+    timestamps force every merge case (overlap, touch at exactly
+    s == prev_end which must MERGE, nesting, disjoint)."""
+    rng = np.random.default_rng(20260819)
+    n, dur = 4000, 300 * 1_000_000
+    uid = rng.integers(0, 25, n)
+    base = np.datetime64("2024-03-01", "us").astype("int64")
+    # mixture: tight cluster spacing plus exact-touch offsets
+    ts = base + rng.integers(0, 3 * dur, n) * rng.integers(1, 30, n)
+    ts[::7] = base + (ts[::7] - base) // dur * dur  # exact multiples
+    tbl = pa.table({"user_id": uid.astype(np.int64),
+                    "ts": pa.array(np.sort(ts), pa.timestamp("us"))})
+    import pyarrow.parquet as papq
+    papq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from raytiles.ops.relational import interval_coverage
+    df = interval_coverage(str(tmp_path)).to_pandas().set_index("user_id")
+    t_all = tbl["ts"].cast(pa.int64()).to_numpy()
+    for u in np.unique(uid):
+        t = np.sort(t_all[uid == u])
+        n_isl, covered, cs, ce = 0, 0, None, None
+        for x in t:
+            s, e = x, x + dur
+            if ce is None or s > ce:
+                if ce is not None:
+                    covered += ce - cs
+                n_isl += 1
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        covered += ce - cs
+        assert df.loc[u, "n_intervals"] == n_isl
+        assert df.loc[u, "covered_us"] == covered
