@@ -134,6 +134,14 @@ def _q_mvt_roundtrip(sf_dir: str):
 # relational / text / dedup / similarity over the testdata tables
 # ---------------------------------------------------------------------------
 
+def _q_iceberg_cells(sf_dir: str):
+    """Iceberg query: grid cells above a global-share ppm threshold
+    (bounded cell table + driver total fold)."""
+    from raytiles.pipeline.flagship import iceberg_cells_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    return iceberg_cells_pipeline(webpages_path(sf_dir))
+
+
 def _q_pricing(sf_dir: str):
     from raytiles.ops.relational import pricing_summary
     return pricing_summary(sf_dir)
@@ -1314,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": _q_tile_assign,
         "tile_counts": _q_tile_counts,
         "cell_counts": _q_cell_counts,
+        "iceberg_cells": _q_iceberg_cells,
         "tiles_mvt": _q_tiles_mvt,
         "mvt_files": _q_mvt_files,
         "mvt_ingest": _q_mvt_ingest,
@@ -1497,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": oracles.tile_assign_sql(wp),
         "tile_counts": oracles.tile_counts_sql(wp),
         "cell_counts": oracles.cell_counts_sql(wp),
+        "iceberg_cells": oracles.iceberg_cells_sql(wp),
         # tiles_mvt / mvt_roundtrip: binary codec output, rows-only
         "pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1909,3 +1909,19 @@ SELECT CAST(t.tot AS BIGINT) AS n_events,
          AS cramers_v
 FROM cells, t GROUP BY t.tot
 """
+
+
+def iceberg_cells_sql(webpages_parquet: str,
+                      ppm_threshold: int = 5000) -> str:
+    """Iceberg twin: exact integer ppm shares (DuckDB // truncates
+    toward zero == floor on non-negative counts)."""
+    return f"""
+WITH {mentions_cte(webpages_parquet)},
+c AS (SELECT {_cell_expr(5)} AS cell_r5, count(*) AS n_mentions,
+             count(DISTINCT url) AS n_docs FROM mentions GROUP BY 1),
+t AS (SELECT CAST(sum(n_mentions) AS BIGINT) AS tot FROM c)
+SELECT cell_r5, n_mentions, n_docs,
+       CAST(n_mentions * 1000000 // t.tot AS BIGINT) AS share_ppm
+FROM c, t
+WHERE n_mentions * 1000000 // t.tot > {ppm_threshold}
+"""

@@ -297,3 +297,25 @@ def pyramid_mvt_pipeline(webpages_path: str, base_zoom: int = DEFAULT_ZOOM,
 
     rep = ds.map_batches(replicate, batch_format="pyarrow")
     return encode_tiles(aggregate_tiles(rep))
+
+
+def iceberg_cells_pipeline(webpages_path: str, res: int = 5,
+                           ppm_threshold: int = 5000) -> "pd.DataFrame":
+    """Iceberg query over the r-grid: cells holding MORE than
+    `ppm_threshold` parts-per-million of ALL mentions (default 0.5%) —
+    the hotspot-share report that needs a GLOBAL total before any
+    group can be admitted. Classic because naive SQL needs a
+    subquery/cross-join; here the bounded per-cell count table (the
+    cell_counts pipeline — distributed, exact-distinct) folds to the
+    total and the share filter on the driver at O(cells), not O(rows).
+    Shares are reported as exact integer ppm (n * 1e6 // total) — no
+    float rounding to negotiate with the twin."""
+    cells = cell_counts_pipeline(webpages_path, res).to_pandas()
+    total = int(cells["n_mentions"].sum())
+    ppm = cells["n_mentions"].to_numpy().astype(np.int64) \
+        * np.int64(1_000_000) // total
+    keep = ppm > ppm_threshold
+    out = cells.loc[keep].copy()
+    out["share_ppm"] = ppm[keep]
+    out = out.sort_values("cell_r5").reset_index(drop=True)
+    return out[["cell_r5", "n_mentions", "n_docs", "share_ppm"]]

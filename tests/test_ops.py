@@ -1818,3 +1818,19 @@ def test_interval_coverage_property_random(tmp_path):
         covered += ce - cs
         assert df.loc[u, "n_intervals"] == n_isl
         assert df.loc[u, "covered_us"] == covered
+
+
+def test_iceberg_cells_share_threshold():
+    from raytiles.pipeline.flagship import (cell_counts_pipeline,
+                                            iceberg_cells_pipeline)
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    df = iceberg_cells_pipeline(wp)
+    cells = cell_counts_pipeline(wp).to_pandas()
+    total = cells["n_mentions"].sum()
+    want = cells[cells["n_mentions"] * 1_000_000 // total > 5000]
+    assert set(df["cell_r5"]) == set(want["cell_r5"])
+    assert len(df) > 0
+    assert (df["share_ppm"] > 5000).all()
+    assert (df["share_ppm"]
+            == df["n_mentions"] * 1_000_000 // total).all()
