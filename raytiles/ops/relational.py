@@ -2191,19 +2191,27 @@ def rolling_dau(sf_dir: str, window_days: int = 7,
             "day_i": d.astype(np.int64), "user_id": uid})
 
     def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # Memory note (the 100x lens): the bucket's working set is
+        # users_in_bucket x n_days at ONE byte per cell (bool presence
+        # + a rolling uint8 window count that saturates at window_days
+        # <= 255) — size n_buckets so users/bucket x n_days stays in a
+        # worker's heap; n_buckets is the scale knob, the math is
+        # bucket-local either way.
         day_i = g["day_i"].to_numpy()
         uid = g["user_id"].to_numpy()
         u_uniq, u_code = np.unique(uid, return_inverse=True)
-        pres = np.zeros((len(u_uniq), n_days), np.int32)
+        pres = np.zeros((len(u_uniq), n_days), np.uint8)
         pres[u_code, day_i] = 1
-        cs = np.cumsum(pres, axis=1)
-        dau = pres.sum(axis=0).astype(np.int64)
+        dau = pres.sum(axis=0, dtype=np.int64)
         w = window_days
-        # window presence count for day d = cs[d] - cs[d-w]: pad w
-        # zero-columns on the left, keep the first n_days columns
-        shifted = np.pad(cs, ((0, 0), (w, 0)))[:, :n_days]
-        win = cs - shifted
-        dau_w = (win > 0).sum(axis=0).astype(np.int64)
+        # rolling presence count win[d] = sum(pres[d-w+1 .. d]) kept
+        # in uint8 (bounded by window_days), built incrementally
+        # without materializing an int32/int64 cumsum matrix
+        assert w <= 255, "uint8 window counter"
+        win = pres.copy()
+        for off in range(1, w):
+            win[:, off:] += pres[:, :n_days - off]
+        dau_w = (win > 0).sum(axis=0, dtype=np.int64)
         return pd.DataFrame({"day_i": np.arange(n_days, dtype=np.int64),
                              "p_dau": dau, "p_dau_w": dau_w})
 
