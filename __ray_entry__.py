@@ -599,6 +599,13 @@ def _q_chi2_type_hour(sf_dir: str):
     return chi2_type_hour(sf_dir)
 
 
+def _q_winsorized_mean(sf_dir: str):
+    """Outlier-robust winsorized mean per type from the bounded
+    cent-count domain (exact integer clamping)."""
+    from raytiles.ops.relational import winsorized_mean
+    return winsorized_mean(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1367,6 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_discount_factor": _q_order_discount_factor,
         "char_trigrams": _q_char_trigrams,
         "chi2_type_hour": _q_chi2_type_hour,
+        "winsorized_mean": _q_winsorized_mean,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1540,6 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         "order_discount_factor": oracles.ORDER_DISCOUNT_FACTOR_SQL,
         "char_trigrams": oracles.char_trigrams_sql(),
         "chi2_type_hour": oracles.CHI2_TYPE_HOUR_SQL,
+        "winsorized_mean": oracles.winsorized_mean_sql(),
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

@@ -3042,3 +3042,58 @@ def chi2_type_hour(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_events": [np.int64(n)], "dof": [np.int64(dof)],
         "chi2": _fq([chi2], 6), "cramers_v": _fq([v], 6)})
+
+
+def winsorized_mean(sf_dir: str, lo_q: float = 0.05,
+                    hi_q: float = 0.95) -> pd.DataFrame:
+    """Winsorized mean per event_type: clamp values below the lo_q /
+    above the hi_q quantile (the group_quantiles discrete rule: min
+    value whose cumulative count >= ceil(q*n)) to those bounds, then
+    average — the outlier-robust mean a metrics layer prefers over
+    raw averages.
+
+    Shape: everything folds from the bounded (type, cent) count table
+    (the events_deciles pattern). Clamping and the weighted sum stay
+    EXACT int64 cent arithmetic; the single closing division is the
+    only float op (round 6), mirrored in the twin."""
+    from raytiles.util import bucket_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "cent": cents,
+                      "one": pa.array(np.ones(len(cents), np.int64))})
+        g = pa.TableGroupBy(t, ["event_type", "cent"]).aggregate(
+            [("one", "sum")])
+        g = g.rename_columns(["event_type", "cent", "n"])
+        cent = g["cent"].to_numpy()
+        return pa.table({
+            "bucket": bucket_of(cent, 512),
+            "event_type": g["event_type"], "cent": cent, "n": g["n"]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "cent"], as_index=False)["n"].sum()
+
+    counts = ray.data.read_parquet(_p(sf_dir, "events"),
+                                   columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+
+    rows = []
+    for et, grp in counts.groupby("event_type"):
+        grp = grp.sort_values("cent")
+        cents = grp["cent"].to_numpy().astype(np.int64)
+        c = grp["n"].to_numpy().astype(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = cents[np.searchsorted(cum, int(np.ceil(lo_q * n)))]
+        hi = cents[np.searchsorted(cum, int(np.ceil(hi_q * n)))]
+        clamped = np.clip(cents, lo, hi)
+        s = int((clamped * c).sum())
+        rows.append({
+            "event_type": et, "n_events": n,
+            "lo_bound": lo / 100.0, "hi_bound": hi / 100.0,
+            "wins_mean": float(_fq(s / n / 100.0, 6))})
+    return pd.DataFrame(rows)

@@ -1925,3 +1925,31 @@ SELECT cell_r5, n_mentions, n_docs,
 FROM c, t
 WHERE n_mentions * 1000000 // t.tot > {ppm_threshold}
 """
+
+
+def winsorized_mean_sql(lo_q: float = 0.05, hi_q: float = 0.95) -> str:
+    """Winsorized-mean twin: the discrete quantile rule (min value
+    with cum count >= ceil(q*n)) via rank CTE, exact integer cent
+    clamping, one closing division."""
+    return f"""
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cent
+           FROM events),
+r AS (SELECT event_type, cent,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cent) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+b AS (SELECT event_type, max(n) AS n,
+             min(cent) FILTER (WHERE rn >= CAST(ceil(n * {lo_q})
+                                              AS BIGINT)) AS lo,
+             min(cent) FILTER (WHERE rn >= CAST(ceil(n * {hi_q})
+                                              AS BIGINT)) AS hi
+      FROM r GROUP BY 1)
+SELECT b.event_type, CAST(b.n AS BIGINT) AS n_events,
+       b.lo / 100.0 AS lo_bound, b.hi / 100.0 AS hi_bound,
+       round(CAST(sum(least(greatest(c.cent, b.lo), b.hi)) AS DOUBLE)
+             / b.n / 100.0, 6) AS wins_mean
+FROM c JOIN b USING (event_type)
+GROUP BY b.event_type, b.n, b.lo, b.hi
+"""

@@ -1834,3 +1834,19 @@ def test_iceberg_cells_share_threshold():
     assert (df["share_ppm"] > 5000).all()
     assert (df["share_ppm"]
             == df["n_mentions"] * 1_000_000 // total).all()
+
+
+def test_winsorized_mean_clamped_average():
+    from raytiles.ops.relational import winsorized_mean
+    df = winsorized_mean(SF_SMOKE).set_index("event_type")
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    for et, g in ev.groupby("event_type"):
+        cent = np.sort(np.round(g["value"].to_numpy() * 100)
+                       .astype(np.int64))
+        n = len(cent)
+        lo = cent[int(np.ceil(0.05 * n)) - 1]
+        hi = cent[int(np.ceil(0.95 * n)) - 1]
+        want = np.clip(cent, lo, hi).sum() / n / 100.0
+        assert df.loc[et, "lo_bound"] == lo / 100.0
+        assert df.loc[et, "hi_bound"] == hi / 100.0
+        assert abs(df.loc[et, "wins_mean"] - want) < 1e-6
