@@ -606,6 +606,13 @@ def _q_winsorized_mean(sf_dir: str):
     return winsorized_mean(sf_dir)
 
 
+def _q_profile_table(sf_dir: str):
+    """Column profiling of the documents table (exact distinct via
+    md5-u64 buckets; raw values never shuffle)."""
+    from raytiles.ops.profile import profile_table
+    return profile_table(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1375,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_trigrams": _q_char_trigrams,
         "chi2_type_hour": _q_chi2_type_hour,
         "winsorized_mean": _q_winsorized_mean,
+        "profile_table": _q_profile_table,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1549,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
         "char_trigrams": oracles.char_trigrams_sql(),
         "chi2_type_hour": oracles.CHI2_TYPE_HOUR_SQL,
         "winsorized_mean": oracles.winsorized_mean_sql(),
+        "profile_table": oracles.profile_table_sql(),
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

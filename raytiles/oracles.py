@@ -1953,3 +1953,19 @@ SELECT b.event_type, CAST(b.n AS BIGINT) AS n_events,
 FROM c JOIN b USING (event_type)
 GROUP BY b.event_type, b.n, b.lo, b.hi
 """
+
+
+def profile_table_sql() -> str:
+    """Profiling twin: CAST-to-VARCHAR semantics per column, 16-char
+    min/max prefixes, exact distinct, avg length rounded to 6."""
+    parts = []
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        parts.append(f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct,
+       substr(min(CAST({c} AS VARCHAR)), 1, 16) AS min_val,
+       substr(max(CAST({c} AS VARCHAR)), 1, 16) AS max_val,
+       round(avg(length(CAST({c} AS VARCHAR))), 6) AS avg_len
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)

@@ -1850,3 +1850,17 @@ def test_winsorized_mean_clamped_average():
         assert df.loc[et, "lo_bound"] == lo / 100.0
         assert df.loc[et, "hi_bound"] == hi / 100.0
         assert abs(df.loc[et, "wins_mean"] - want) < 1e-6
+
+
+def test_profile_table_exact_stats():
+    from raytiles.ops.profile import profile_table
+    df = profile_table(SF_SMOKE).set_index("col_name")
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        s = docs[c].map(lambda v: str(v))
+        assert df.loc[c, "n_rows"] == len(docs)
+        assert df.loc[c, "n_nulls"] == 0
+        assert df.loc[c, "n_distinct"] == s.nunique()
+        assert df.loc[c, "min_val"] == s.min()[:16]
+        assert df.loc[c, "max_val"] == s.max()[:16]
+        assert abs(df.loc[c, "avg_len"] - s.str.len().mean()) < 1e-5
