@@ -613,6 +613,13 @@ def _q_profile_table(sf_dir: str):
     return profile_table(sf_dir)
 
 
+def _q_oov_rate(sf_dir: str):
+    """Out-of-vocabulary ppm per doc (broadcast top-V vocab,
+    shuffle-free membership pass)."""
+    from raytiles.ops.text import oov_rate
+    return oov_rate(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1383,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_type_hour": _q_chi2_type_hour,
         "winsorized_mean": _q_winsorized_mean,
         "profile_table": _q_profile_table,
+        "oov_rate": _q_oov_rate,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1558,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_type_hour": oracles.CHI2_TYPE_HOUR_SQL,
         "winsorized_mean": oracles.winsorized_mean_sql(),
         "profile_table": oracles.profile_table_sql(),
+        "oov_rate": oracles.oov_rate_sql(),
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

@@ -1373,3 +1373,45 @@ def char_trigrams(sf_dir: str, k: int = 20,
             "lang": lang, "trigram": tri,
             "n": g["n"].to_numpy().astype(np.int64)}))
     return pd.concat(out, ignore_index=True)
+
+
+def oov_rate(sf_dir: str, vocab_k: int = 100) -> ray.data.Dataset:
+    """Out-of-vocabulary rate per document: the fraction (exact
+    integer ppm) of a doc's tokens falling outside the corpus top-V
+    vocabulary — the coverage/novelty quality signal a tokenizer-
+    aware data pipeline filters on.
+
+    Shape: pass 1 is the distributed vocab build (vocab_topk, bounded
+    k x buckets); the V-token set broadcasts via ray.put; pass 2 is
+    shuffle-free — docs never split across batches, so one Arrow
+    hash-agg + one index_in membership kernel per batch complete
+    every doc's counts locally. ppm = (n - in) * 1e6 // n stays in
+    exact int64 (DuckDB // truncation == floor on non-negatives)."""
+    vocab = vocab_topk(sf_dir, vocab_k).to_pandas()["token"].tolist()
+    vref = ray.put(vocab)
+
+    def score(b: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        t = _tokens_table(b)
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "oov_ppm": pa.array([], pa.int64())})
+        inv = pc.is_valid(pc.index_in(t["token"],
+                                      value_set=pa.array(v)))
+        g = pa.TableGroupBy(
+            pa.table({"doc_id": t["doc_id"],
+                      "inv": pc.cast(inv, pa.int64())}),
+            "doc_id").aggregate([("inv", "count"), ("inv", "sum")])
+        g = g.rename_columns(["doc_id", "n", "n_in"])
+        n = g["n"].to_numpy().astype(np.int64)
+        n_in = g["n_in"].to_numpy().astype(np.int64)
+        keep = n > 0
+        return pa.table({
+            "doc_id": g["doc_id"].to_numpy()[keep].astype(np.int64),
+            "n_tokens": n[keep],
+            "oov_ppm": (n[keep] - n_in[keep]) * np.int64(1_000_000)
+            // n[keep]})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")

@@ -1969,3 +1969,22 @@ SELECT '{c}' AS col_name, count(*) AS n_rows,
        round(avg(length(CAST({c} AS VARCHAR))), 6) AS avg_len
 FROM documents""")
     return "\nUNION ALL\n".join(parts)
+
+
+def oov_rate_sql(vocab_k: int = 100) -> str:
+    """OOV twin: same top-V vocabulary rule (df DESC, token), exact
+    integer ppm."""
+    return f"""
+WITH {_TOKS_CTE},
+dt AS (SELECT token, doc_id, count(*) AS tf FROM toks
+       GROUP BY token, doc_id),
+vocab AS (SELECT token FROM dt GROUP BY token
+          ORDER BY count(*) DESC, token LIMIT {vocab_k}),
+d AS (SELECT doc_id, count(*) AS n_tokens,
+             count(*) FILTER (WHERE token IN (SELECT token FROM vocab))
+               AS n_in
+      FROM toks GROUP BY 1)
+SELECT doc_id, n_tokens,
+       CAST((n_tokens - n_in) * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+FROM d WHERE n_tokens > 0
+"""

@@ -1864,3 +1864,26 @@ def test_profile_table_exact_stats():
         assert df.loc[c, "min_val"] == s.min()[:16]
         assert df.loc[c, "max_val"] == s.max()[:16]
         assert abs(df.loc[c, "avg_len"] - s.str.len().mean()) < 1e-5
+
+
+def test_oov_rate_counter_oracle():
+    import re
+    from collections import Counter
+    from raytiles.ops.text import TOKEN_RE, oov_rate
+    df = oov_rate(SF_SMOKE, vocab_k=50).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    rx = re.compile(TOKEN_RE)
+    dfreq = Counter()
+    toks = {}
+    for _, row in docs.iterrows():
+        toks[row["doc_id"]] = rx.findall(row["text"])
+        dfreq.update(set(toks[row["doc_id"]]))
+    vocab = set(t for t, _ in sorted(
+        dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+    for did, tk in toks.items():
+        if not tk:
+            assert did not in df.index
+            continue
+        oov = sum(1 for t in tk if t not in vocab)
+        assert df.loc[did, "n_tokens"] == len(tk)
+        assert df.loc[did, "oov_ppm"] == oov * 1_000_000 // len(tk)
