@@ -620,6 +620,13 @@ def _q_oov_rate(sf_dir: str):
     return oov_rate(sf_dir)
 
 
+def _q_order_gini(sf_dir: str):
+    """Gini concentration of orders per customer from the bounded
+    count-of-counts histogram."""
+    from raytiles.ops.relational import order_gini
+    return order_gini(sf_dir)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-data flagging via a distributed
     prefix scan (bucket-local cummax + broadcast cross-bucket carry)."""
@@ -1391,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean": _q_winsorized_mean,
         "profile_table": _q_profile_table,
         "oov_rate": _q_oov_rate,
+        "order_gini": _q_order_gini,
         "value_histogram": _q_value_histogram,
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
@@ -1567,6 +1575,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_mean": oracles.winsorized_mean_sql(),
         "profile_table": oracles.profile_table_sql(),
         "oov_rate": oracles.oov_rate_sql(),
+        "order_gini": oracles.ORDER_GINI_SQL,
         "value_histogram": oracles.value_histogram_sql(),
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,

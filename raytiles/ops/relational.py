@@ -3097,3 +3097,54 @@ def winsorized_mean(sf_dir: str, lo_q: float = 0.05,
             "lo_bound": lo / 100.0, "hi_bound": hi / 100.0,
             "wins_mean": float(_fq(s / n / 100.0, 6))})
     return pd.DataFrame(rows)
+
+
+def order_gini(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Gini coefficient of orders-per-customer — the concentration /
+    inequality diagnostic (is demand long-tailed?). Output: one row
+    with customer count, order total, and gini (round 6).
+
+    Shape: per-customer order counts resolve through ONE bounded
+    splitmix(custkey) bucket shuffle (per-batch partials first), then
+    collapse to the COUNT-OF-COUNTS histogram — a bounded domain
+    (orders per customer is a small integer at any scale) — so the
+    driver folds the classic rank formula sum((2i - n - 1) * x_(i))
+    / (n * total) block-wise over the histogram in exact int64: a
+    tie block's rank sum is assignment-invariant. Only the closing
+    division is float, mirrored in the twin."""
+    from ray.data.aggregate import Sum
+    from raytiles.util import bucket_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy()
+        u, c = np.unique(ck, return_counts=True)
+        return pa.table({"bucket": bucket_of(u, n_buckets),
+                         "o_custkey": u.astype(np.int64),
+                         "n": c.astype(np.int64)})
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("o_custkey")["n"].sum()
+        vals, cnts = np.unique(per_cust.to_numpy(), return_counts=True)
+        return pd.DataFrame({"n_orders": vals.astype(np.int64),
+                             "n_cust": cnts.astype(np.int64)})
+
+    hist = ray.data.read_parquet(_p(sf_dir, "orders"),
+                                 columns=["o_custkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(hist_bucket, batch_format="pandas") \
+        .groupby("n_orders").aggregate(Sum("n_cust", alias_name="n_cust")) \
+        .to_pandas().sort_values("n_orders")
+
+    v = hist["n_orders"].to_numpy().astype(np.int64)
+    c = hist["n_cust"].to_numpy().astype(np.int64)
+    n = int(c.sum())
+    tot = int((v * c).sum())
+    # block-wise sum of (2i - n - 1) * v over ranks i in [s, s+c)
+    starts = np.concatenate(([1], 1 + np.cumsum(c)[:-1]))
+    block = 2 * (c * starts + c * (c - 1) // 2) - c * (n + 1)
+    num = int((block * v).sum())
+    gini = float(np.floor(num / n / tot * 1e6 + 0.5) / 1e6) if num >= 0 \
+        else float(np.ceil(num / n / tot * 1e6 - 0.5) / 1e6)
+    return pd.DataFrame({"n_customers": [np.int64(n)],
+                         "n_orders_total": [np.int64(tot)],
+                         "gini": [gini]})

@@ -1988,3 +1988,19 @@ SELECT doc_id, n_tokens,
        CAST((n_tokens - n_in) * 1000000 // n_tokens AS BIGINT) AS oov_ppm
 FROM d WHERE n_tokens > 0
 """
+
+
+ORDER_GINI_SQL = """
+WITH oc AS (SELECT o_custkey, count(*) AS n_orders
+            FROM orders GROUP BY 1),
+r AS (SELECT n_orders,
+             row_number() OVER (ORDER BY n_orders) AS i,
+             count(*) OVER () AS n,
+             sum(n_orders) OVER () AS tot
+      FROM oc)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(max(tot) AS BIGINT) AS n_orders_total,
+       round(CAST(sum((2 * i - n - 1) * n_orders) AS DOUBLE)
+             / max(n) / max(tot), 6) AS gini
+FROM r
+"""
