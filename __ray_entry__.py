@@ -681,6 +681,29 @@ def _q_nation_revenue(sf_dir: str):
     return nation_revenue(sf_dir)
 
 
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14-shape: monthly PROMO revenue share; broadcast
+    partkey -> is_promo lookup + exact-cents partial sums."""
+    from raytiles.ops.partdim import promo_revenue
+    return promo_revenue(sf_dir)
+
+
+def _q_top_suppliers(sf_dir: str):
+    """TPC-H Q15-shape: top-5 suppliers by 3-month revenue; per-batch
+    suppkey partials, broadcast s_name join, sort+limit on the tiny
+    aggregate."""
+    from raytiles.ops.partdim import top_suppliers
+    return top_suppliers(sf_dir)
+
+
+def _q_brand_type_stats(sf_dir: str):
+    """TPC-H Q16-flavor: per (brand, type) exact distinct-part count
+    via bounded splitmix(partkey) buckets (disjoint partkeys sum
+    exactly), plus quantity and cents-exact revenue."""
+    from raytiles.ops.partdim import brand_type_stats
+    return brand_type_stats(sf_dir)
+
+
 def _q_group_stats(sf_dir: str):
     """Grouped moment sketch: count / covariance / correlation of
     (quantity, price) per returnflag via (n,Sx,Sy,Sxx,Syy,Sxy)."""
@@ -1403,6 +1426,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
         "nation_revenue": _q_nation_revenue,
+        "promo_revenue": _q_promo_revenue,
+        "top_suppliers": _q_top_suppliers,
+        "brand_type_stats": _q_brand_type_stats,
         "cohort_revenue_full": _q_cohort_revenue_full,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "group_stats": _q_group_stats,
@@ -1580,6 +1606,9 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,
         "nation_revenue": oracles.NATION_REVENUE_SQL,
+        "promo_revenue": oracles.PROMO_REVENUE_SQL,
+        "top_suppliers": oracles.TOP_SUPPLIERS_SQL,
+        "brand_type_stats": oracles.BRAND_TYPE_STATS_SQL,
         "cohort_revenue_full": oracles.COHORT_REVENUE_FULL_SQL,
         "small_quantity_revenue": oracles.SMALL_QUANTITY_REVENUE_SQL,
         "group_stats": oracles.GROUP_STATS_SQL,

@@ -2004,3 +2004,52 @@ SELECT CAST(max(n) AS BIGINT) AS n_customers,
              / max(n) / max(tot), 6) AS gini
 FROM r
 """
+
+
+# Twins of ops.partdim (TPC-H Q14/Q15/Q16 shapes). Per-row revenue
+# quantizes to INT64 cents with the engine's identical
+# half-away-from-zero expression before every wide sum; promo_share
+# repeats the engine finalizer's exact double op order
+# ((100.0 * promo) / total, then round-half-away to 6).
+PROMO_REVENUE_SQL = """
+WITH r AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS cents,
+         p_type = 'PROMO' AS is_promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey)
+SELECT month,
+       CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
+         AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       round(100.0 * sum(CASE WHEN is_promo THEN cents ELSE 0 END)
+             / sum(cents), 6) AS promo_share
+FROM r GROUP BY month"""
+
+
+TOP_SUPPLIERS_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01')
+SELECT s_suppkey, s_name,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY revenue DESC, s_suppkey
+LIMIT 5"""
+
+
+BRAND_TYPE_STATS_SQL = """
+WITH r AS (
+  SELECT p_brand, p_type, l_partkey, l_quantity,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey)
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS revenue
+FROM r GROUP BY p_brand, p_type"""

@@ -1887,3 +1887,64 @@ def test_oov_rate_counter_oracle():
         oov = sum(1 for t in tk if t not in vocab)
         assert df.loc[did, "n_tokens"] == len(tk)
         assert df.loc[did, "oov_ppm"] == oov * 1_000_000 // len(tk)
+
+
+def test_promo_revenue_pandas_oracle():
+    from raytiles.ops.partdim import promo_revenue
+    df = promo_revenue(SF_SMOKE).to_pandas() \
+        .sort_values("month").reset_index(drop=True)
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    part = pq.read_table(f"{SF_SMOKE}/part.parquet").to_pandas()
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    cents = np.floor(j.l_extendedprice * (1 - j.l_discount) * 100.0
+                     + 0.5).astype(np.int64)
+    j = j.assign(cents=cents,
+                 promo=np.where(j.p_type == "PROMO", cents, 0),
+                 month=pd.to_datetime(j.l_shipdate).dt.strftime("%Y-%m"))
+    want = j.groupby("month").agg(p=("promo", "sum"),
+                                  t=("cents", "sum")).sort_index()
+    assert len(df) == len(want) > 1
+    assert np.array_equal(df["promo_cents"].to_numpy(), want["p"].to_numpy())
+    assert np.array_equal(df["total_cents"].to_numpy(), want["t"].to_numpy())
+    share = 100.0 * want["p"].to_numpy() / want["t"].to_numpy()
+    assert np.abs(df["promo_share"].to_numpy() - share).max() < 1e-6
+
+
+def test_top_suppliers_pandas_oracle():
+    from raytiles.ops.partdim import top_suppliers
+    df = top_suppliers(SF_SMOKE).to_pandas()
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    sup = pq.read_table(f"{SF_SMOKE}/supplier.parquet").to_pandas()
+    d = pd.to_datetime(li.l_shipdate)
+    li = li[(d >= "1996-01-01") & (d < "1996-04-01")]
+    cents = np.floor(li.l_extendedprice * (1 - li.l_discount) * 100.0
+                     + 0.5).astype(np.int64)
+    per = li.assign(cents=cents).groupby("l_suppkey")["cents"].sum() \
+        .reset_index().merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    per = per.sort_values(["cents", "s_suppkey"],
+                          ascending=[False, True]).head(5)
+    assert len(df) == 5
+    assert np.array_equal(df["s_suppkey"].to_numpy(),
+                          per["s_suppkey"].to_numpy())
+    assert np.array_equal(df["revenue"].to_numpy(),
+                          per["cents"].to_numpy() / 100.0)
+
+
+def test_brand_type_stats_distinct_parts_exact():
+    from raytiles.ops.partdim import brand_type_stats
+    df = brand_type_stats(SF_SMOKE).to_pandas() \
+        .sort_values(["p_brand", "p_type"]).reset_index(drop=True)
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    part = pq.read_table(f"{SF_SMOKE}/part.parquet").to_pandas()
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    cents = np.floor(j.l_extendedprice * (1 - j.l_discount) * 100.0
+                     + 0.5).astype(np.int64)
+    want = j.assign(cents=cents).groupby(["p_brand", "p_type"]).agg(
+        n_parts=("l_partkey", "nunique"), sum_qty=("l_quantity", "sum"),
+        cents=("cents", "sum")).sort_index().reset_index()
+    assert len(df) == len(want) > 1
+    assert np.array_equal(df["n_parts"].to_numpy(), want["n_parts"].to_numpy())
+    assert np.array_equal(df["revenue"].to_numpy(),
+                          want["cents"].to_numpy() / 100.0)
+    assert np.abs(df["sum_qty"].to_numpy()
+                  - want["sum_qty"].to_numpy()).max() < 1e-6
