@@ -318,6 +318,14 @@ def _q_jaccard_pairs(sf_dir: str):
     return jaccard_verify(sf_dir)
 
 
+def _q_dup_spans(sf_dir: str):
+    """Substring-level duplication: per-doc duplicated-shingle ppm via
+    two bounded 512-bucket shuffles (hash-partitioned shingle counts,
+    then per-doc merge)."""
+    from raytiles.ops.dedup import dup_spans
+    return dup_spans(sf_dir)
+
+
 def _q_dup_clusters(sf_dir: str):
     from raytiles.ops.dedup import dup_clusters
     return dup_clusters(sf_dir)
@@ -1525,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_overflow": _q_minhash_overflow,
         "jaccard_pairs": _q_jaccard_pairs,
         "dup_clusters": _q_dup_clusters,
+        "dup_spans": _q_dup_spans,
         "dedup_survivors": _q_dedup_survivors,
         "simhash": _q_simhash,
         # similarity search
@@ -1680,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_overflow": oracles.minhash_overflow_sql(),
         "jaccard_pairs": oracles.jaccard_pairs_sql(),
         "dup_clusters": oracles.dup_clusters_sql(),
+        "dup_spans": oracles.dup_spans_sql(),
         "dedup_survivors": oracles.dedup_survivors_sql(),
         # simhash / lsh_neardup / winnow_fingerprints / media_features:
         # rows-only (non-SQL-expressible or approximate)

@@ -564,3 +564,74 @@ def dedup_survivors(sf_dir: str) -> ray.data.Dataset:
         all_docs, batch_format="pyarrow")
     return docs.union(clusters.map_batches(losers, batch_format="pyarrow")) \
         .groupby("bucket").map_groups(keep_survivors, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# substring-level duplication: duplicated n-gram span rate
+# ---------------------------------------------------------------------------
+
+def dup_spans(sf_dir: str) -> ray.data.Dataset:
+    """Per-document duplicated-shingle rate — the substring-granularity
+    dedup signal (the fraction of a doc's distinct SHINGLE_W-token
+    windows that also occur in at least one OTHER document). Exact-dup
+    docs score 1e6 ppm against each other; partially copied docs score
+    in proportion to the copied span.
+
+    Fully bounded: per-batch partials emit one row per DISTINCT
+    (doc, shingle-hash) — the text never shuffles — then TWO bounded
+    512-bucket groupbys: (1) by splitmix(h): within a bucket every
+    occurrence of a hash is present (hash-partitioned), so "appears in
+    >= 2 docs" is a vectorized per-group transform, collapsed to
+    per-doc partial counts before leaving the bucket; (2) by
+    splitmix(doc_id): merges each doc's per-bucket partials into its
+    final counts. Shuffle payload: 24 B per distinct (doc, shingle)
+    for phase 1, 32 B per (doc, bucket) for phase 2."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids = b["doc_id"].to_numpy().astype(np.int64)
+        sh_lists = [_shingles(t) for t in b["text"]]
+        counts = np.array([len(s) for s in sh_lists], dtype=np.int64)
+        if counts.sum() == 0:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "h": np.empty(0, np.int64),
+                                 "bucket": np.empty(0, np.int64)})
+        flat = np.array([s for lst in sh_lists for s in lst], dtype=object)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        h = _md5_u64(uniq)[inv]
+        didx = np.repeat(np.arange(doc_ids.size), counts)
+        # distinct (doc, h): docs are whole rows of this batch, so
+        # in-batch distinct IS global distinct
+        order = np.lexsort((h, didx))
+        ds_, hs_ = didx[order], h[order]
+        first = np.ones(hs_.size, dtype=bool)
+        first[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+        ds_, hs_ = ds_[first], hs_[first]
+        return pd.DataFrame({"doc_id": doc_ids[ds_],
+                             "h": hs_.view(np.int64),
+                             "bucket": bucket_of(hs_, N_DEDUP_BUCKETS)})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc, h); per-h row count == distinct-doc
+        # count. Collapse to per-doc (n_sh, n_dup) partials.
+        n_docs = g.groupby("h")["doc_id"].transform("size")
+        dup = (n_docs >= 2).to_numpy().astype(np.int64)
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "dup": dup})
+        out = out.groupby("doc_id", as_index=False).agg(
+            n_sh=("dup", "size"), n_dup=("dup", "sum"))
+        ids = out["doc_id"].to_numpy().astype(np.uint64)
+        out["obucket"] = bucket_of(ids, N_DEDUP_BUCKETS)
+        return out
+
+    def merge_doc(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id", as_index=False).agg(
+            n_shingles=("n_sh", "sum"), n_dup=("n_dup", "sum"))
+        n_sh = m["n_shingles"].to_numpy().astype(np.int64)
+        n_dup = m["n_dup"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype(np.int64),
+            "n_shingles": n_sh, "n_dup": n_dup,
+            "dup_ppm": n_dup * 1_000_000 // n_sh})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(count_bucket, batch_format="pandas") \
+        .groupby("obucket").map_groups(merge_doc, batch_format="pandas")

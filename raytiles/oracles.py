@@ -2053,3 +2053,18 @@ SELECT p_brand, p_type,
        round(sum(l_quantity), 2) AS sum_qty,
        CAST(sum(cents) AS BIGINT) / 100.0 AS revenue
 FROM r GROUP BY p_brand, p_type"""
+
+
+def dup_spans_sql() -> str:
+    """Twin of ops.dedup.dup_spans: per-doc distinct shingles (the
+    SHINGLE_W-token windows of the shared _shingles_cte), the count
+    that occur in >= 2 documents, and the integer-exact ppm rate."""
+    return (f"WITH {_shingles_cte()}, "
+            "hashed AS (SELECT DISTINCT doc_id, "
+            "('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM shingles), "
+            "freq AS (SELECT h, count(*) AS nd FROM hashed GROUP BY h) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+            "CAST(count(*) FILTER (WHERE nd >= 2) AS BIGINT) AS n_dup, "
+            "CAST(count(*) FILTER (WHERE nd >= 2) * 1000000 // count(*) "
+            "AS BIGINT) AS dup_ppm "
+            "FROM hashed JOIN freq USING (h) GROUP BY doc_id")

@@ -1948,3 +1948,23 @@ def test_brand_type_stats_distinct_parts_exact():
                           want["cents"].to_numpy() / 100.0)
     assert np.abs(df["sum_qty"].to_numpy()
                   - want["sum_qty"].to_numpy()).max() < 1e-6
+
+
+def test_dup_spans_pandas_oracle():
+    from raytiles.ops.dedup import _shingles, dup_spans
+    df = dup_spans(SF_SMOKE).to_pandas().set_index("doc_id").sort_index()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    from collections import Counter
+    sets = {r.doc_id: set(_shingles(r.text)) for r in docs.itertuples()}
+    cnt = Counter(s for ss in sets.values() for s in ss)
+    n_rows = 0
+    for did, ss in sets.items():
+        if not ss:
+            assert did not in df.index
+            continue
+        n_rows += 1
+        dup = sum(1 for s in ss if cnt[s] >= 2)
+        assert df.loc[did, "n_shingles"] == len(ss)
+        assert df.loc[did, "n_dup"] == dup
+        assert df.loc[did, "dup_ppm"] == dup * 1_000_000 // len(ss)
+    assert len(df) == n_rows > 0
