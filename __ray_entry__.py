@@ -318,6 +318,20 @@ def _q_jaccard_pairs(sf_dir: str):
     return jaccard_verify(sf_dir)
 
 
+def _q_per_source_cap(sf_dir: str):
+    """Host-level downsampling: keep k smallest doc_ids per source via
+    bounded per-batch top-k partials + one bucket groupby."""
+    from raytiles.ops.webcorpus import per_source_cap
+    return per_source_cap(sf_dir)
+
+
+def _q_source_kl(sf_dir: str):
+    """Data-mixing diagnostic: per-source KL divergence from the
+    corpus unigram distribution over the top-V vocabulary."""
+    from raytiles.ops.webcorpus import source_kl
+    return source_kl(sf_dir)
+
+
 def _q_dup_spans(sf_dir: str):
     """Substring-level duplication: per-doc duplicated-shingle ppm via
     two bounded 512-bucket shuffles (hash-partitioned shingle counts,
@@ -1534,6 +1548,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "dup_clusters": _q_dup_clusters,
         "dup_spans": _q_dup_spans,
+        "per_source_cap": _q_per_source_cap,
+        "source_kl": _q_source_kl,
         "dedup_survivors": _q_dedup_survivors,
         "simhash": _q_simhash,
         # similarity search
@@ -1690,6 +1706,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": oracles.jaccard_pairs_sql(),
         "dup_clusters": oracles.dup_clusters_sql(),
         "dup_spans": oracles.dup_spans_sql(),
+        "per_source_cap": oracles.PER_SOURCE_CAP_SQL,
+        "source_kl": oracles.source_kl_sql(),
         "dedup_survivors": oracles.dedup_survivors_sql(),
         # simhash / lsh_neardup / winnow_fingerprints / media_features:
         # rows-only (non-SQL-expressible or approximate)

@@ -345,3 +345,136 @@ def mixture_sample(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "source"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-source document cap (host-level downsampling)
+# ---------------------------------------------------------------------------
+
+def per_source_cap(sf_dir: str, k: int = 10,
+                   n_buckets: int = 64) -> ray.data.Dataset:
+    """Keep at most k documents per source (smallest doc_ids win) —
+    the host-level downsampling pass of crawl curation (one domain
+    must not dominate the training mix).
+
+    Bounded top-k per key, two-phase: each batch keeps its own k
+    smallest doc_ids per source (run-length rank over a sorted batch,
+    all vectorized), so the shuffle moves <= k rows per (source,
+    batch); ONE bounded splitmix(md5(source))-bucket groupby re-ranks
+    and emits the global winners. No full sort, no per-source group
+    materialization beyond a bucket."""
+    def _cap(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+        s = t["source"].to_numpy(zero_copy_only=False)
+        if s.size == 0:
+            return t
+        change = np.ones(s.size, dtype=bool)
+        change[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(change)
+        gidx = np.cumsum(change) - 1
+        rank = np.arange(s.size) - starts[gidx]
+        return t.filter(pa.array(rank < k))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _cap(b.select(["source", "doc_id"]))
+        h = _md5_u64(t["source"].to_pylist())
+        return t.append_column("bucket", pa.array(bucket_of(h, n_buckets)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return _cap(g.select(["source", "doc_id"]))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "doc_id"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-source KL divergence from the corpus unigram distribution
+# ---------------------------------------------------------------------------
+
+def source_kl(sf_dir: str, vocab_k: int = 100,
+              n_buckets: int = 64) -> ray.data.Dataset:
+    """Data-mixing diagnostic: KL(source || corpus) over the top-V
+    vocabulary's unigram distributions — how far each source's token
+    mix sits from the corpus average (high-KL sources skew a training
+    mixture; near-zero sources are redundant with the mean).
+
+    Three bounded passes: (1) the distributed vocab build
+    (vocab_topk: k x buckets rows max); (2) per-(source, token) exact
+    counts — per-batch Arrow hash-aggregate partials, ONE bounded
+    splitmix(md5(source))-bucket groupby, materialized because the
+    result is the bounded aggregate table (<= |sources| x V rows)
+    consumed twice; (3) the token marginal (<= V rows) broadcasts
+    back and each source's KL finishes inside its bucket group —
+    sources are hash-partitioned, so every (source, token) row of a
+    source is local to one group."""
+    from .text import vocab_topk
+
+    vocab = vocab_topk(sf_dir, vocab_k).to_pandas()["token"].tolist()
+    vref = ray.put(vocab)
+
+    _EMPTY = pa.schema([("source", pa.string()), ("token", pa.string()),
+                        ("c", pa.int64()), ("bucket", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        toks = pc.split_pattern_regex(b["text"], NON_TOKEN_RE)
+        flat = pc.list_flatten(toks)
+        src = pc.take(b["source"], pc.list_parent_indices(toks))
+        t = pa.table({"source": src, "token": flat})
+        t = t.filter(pc.is_valid(pc.index_in(t["token"],
+                                             value_set=pa.array(v))))
+        if t.num_rows == 0:
+            return _EMPTY.empty_table()
+        g = pa.TableGroupBy(t, ["source", "token"]).aggregate(
+            [("token", "count")]).rename_columns(["source", "token", "c"])
+        h = _md5_u64(g["source"].to_pylist())
+        return pa.table({"source": g["source"], "token": g["token"],
+                         "c": pc.cast(g["c"], pa.int64()),
+                         "bucket": pa.array(bucket_of(h, n_buckets))})
+
+    def merge(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.select(["source", "token", "c"]),
+                            ["source", "token"]).aggregate([("c", "sum")])
+        m = m.rename_columns(["source", "token", "c"])
+        return m.append_column(
+            "bucket", pa.array(bucket_of(_md5_u64(m["source"].to_pylist()),
+                                         n_buckets)))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow") \
+        .materialize()  # bounded aggregate (<= |sources| x V rows)
+
+    from ray.data.aggregate import Sum
+    marg = counts.groupby("token").aggregate(Sum("c", alias_name="ct")) \
+        .to_pandas()  # <= V rows
+    tot = float(marg["ct"].sum())
+    qref = ray.put({t: float(ct) / tot
+                    for t, ct in zip(marg["token"], marg["ct"])})
+
+    def kl_group(g: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        df = g.select(["source", "token", "c"]).to_pandas()
+        # deterministic term order: sort by (source, token) so the
+        # float sum is bit-stable across block layouts
+        df = df.sort_values(["source", "token"], kind="stable")
+        out_src, out_n, out_kl = [], [], []
+        for src, grp in df.groupby("source", sort=True):
+            c = grp["c"].to_numpy(np.float64)
+            cs = c.sum()
+            p = c / cs
+            qv = np.array([q[t] for t in grp["token"]], dtype=np.float64)
+            kl = float(np.sum(p * np.log(p / qv)))
+            out_src.append(src)
+            out_n.append(int(cs))
+            out_kl.append(np.floor(kl * 1e6 + 0.5) / 1e6 if kl >= 0
+                          else np.ceil(kl * 1e6 - 0.5) / 1e6)
+        return pa.table({"source": pa.array(out_src, pa.string()),
+                         "n_invocab": pa.array(out_n, pa.int64()),
+                         "kl": pa.array(out_kl, pa.float64())})
+
+    return counts.groupby("bucket").map_groups(kl_group,
+                                               batch_format="pyarrow")

@@ -2068,3 +2068,31 @@ def dup_spans_sql() -> str:
             "CAST(count(*) FILTER (WHERE nd >= 2) * 1000000 // count(*) "
             "AS BIGINT) AS dup_ppm "
             "FROM hashed JOIN freq USING (h) GROUP BY doc_id")
+
+
+PER_SOURCE_CAP_SQL = """
+SELECT source, doc_id FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+"""
+
+
+def source_kl_sql(vocab_k: int = 100) -> str:
+    """Twin of ops.webcorpus.source_kl: same top-V vocabulary rule
+    (df DESC, token), integer counts, double divisions, natural log,
+    round-half-away 6."""
+    return f"""
+WITH {_TOKS_CTE},
+dt AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+vocab AS (SELECT token FROM dt ORDER BY df DESC, token LIMIT {vocab_k}),
+tok2 AS (SELECT d.source, t.token
+         FROM toks t JOIN documents d USING (doc_id)
+         WHERE t.token IN (SELECT token FROM vocab)),
+c AS (SELECT source, token, count(*) AS c FROM tok2 GROUP BY 1, 2),
+s AS (SELECT source, sum(c) AS cs FROM c GROUP BY 1),
+q AS (SELECT token, sum(c) AS ct FROM c GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM c)
+SELECT c.source, CAST(max(s.cs) AS BIGINT) AS n_invocab,
+       round(sum((c.c / s.cs) * ln((c.c / s.cs) / (q.ct / tot.t))), 6) AS kl
+FROM c JOIN s USING (source) JOIN q USING (token) CROSS JOIN tot
+GROUP BY c.source
+"""

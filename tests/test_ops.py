@@ -1968,3 +1968,54 @@ def test_dup_spans_pandas_oracle():
         assert df.loc[did, "n_dup"] == dup
         assert df.loc[did, "dup_ppm"] == dup * 1_000_000 // len(ss)
     assert len(df) == n_rows > 0
+
+
+def test_per_source_cap_pandas_oracle():
+    from raytiles.ops.webcorpus import per_source_cap
+    df = per_source_cap(SF_SMOKE, k=3).to_pandas() \
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    want = docs.sort_values(["source", "doc_id"]) \
+        .groupby("source").head(3)[["source", "doc_id"]] \
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+    assert len(df) == len(want)
+    assert np.array_equal(df["doc_id"].to_numpy(), want["doc_id"].to_numpy())
+    assert (df["source"].to_numpy() == want["source"].to_numpy()).all()
+    assert df.groupby("source").size().max() <= 3
+
+
+def test_source_kl_pandas_oracle():
+    import re as _re
+    from raytiles.ops.text import TOKEN_RE
+    from raytiles.ops.webcorpus import source_kl
+    df = source_kl(SF_SMOKE, vocab_k=50).to_pandas() \
+        .set_index("source").sort_index()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    tok = _re.compile(TOKEN_RE)
+    from collections import Counter
+    df_cnt: Counter = Counter()
+    toks_by_doc = {}
+    for r in docs.itertuples():
+        ts = tok.findall(r.text)
+        toks_by_doc[r.doc_id] = ts
+        df_cnt.update(set(ts))
+    vocab = set(t for t, _ in sorted(df_cnt.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:50])
+    cnt: dict = {}
+    for r in docs.itertuples():
+        c = cnt.setdefault(r.source, Counter())
+        c.update(t for t in toks_by_doc[r.doc_id] if t in vocab)
+    qc: Counter = Counter()
+    for c in cnt.values():
+        qc.update(c)
+    tot = sum(qc.values())
+    for src, c in cnt.items():
+        if not c:
+            assert src not in df.index
+            continue
+        cs = sum(c.values())
+        kl = sum((v / cs) * np.log((v / cs) / (qc[t] / tot))
+                 for t, v in c.items())
+        assert df.loc[src, "n_invocab"] == cs
+        assert abs(df.loc[src, "kl"] - kl) < 1e-5, src
+    assert (df["kl"] >= -1e-9).all()
