@@ -332,6 +332,13 @@ def _q_source_kl(sf_dir: str):
     return source_kl(sf_dir)
 
 
+def _q_temperature_weights(sf_dir: str):
+    """Temperature-scaled domain-mixing weights w = (n/N)^alpha with
+    effective epochs, normalized over the result-sized source table."""
+    from raytiles.ops.webcorpus import temperature_weights
+    return temperature_weights(sf_dir)
+
+
 def _q_dup_spans(sf_dir: str):
     """Substring-level duplication: per-doc duplicated-shingle ppm via
     two bounded 512-bucket shuffles (hash-partitioned shingle counts,
@@ -1550,6 +1557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "per_source_cap": _q_per_source_cap,
         "source_kl": _q_source_kl,
+        "temperature_weights": _q_temperature_weights,
         "dedup_survivors": _q_dedup_survivors,
         "simhash": _q_simhash,
         # similarity search
@@ -1708,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": oracles.dup_spans_sql(),
         "per_source_cap": oracles.PER_SOURCE_CAP_SQL,
         "source_kl": oracles.source_kl_sql(),
+        "temperature_weights": oracles.TEMPERATURE_WEIGHTS_SQL,
         "dedup_survivors": oracles.dedup_survivors_sql(),
         # simhash / lsh_neardup / winnow_fingerprints / media_features:
         # rows-only (non-SQL-expressible or approximate)

@@ -478,3 +478,51 @@ def source_kl(sf_dir: str, vocab_k: int = 100,
 
     return counts.groupby("bucket").map_groups(kl_group,
                                                batch_format="pyarrow")
+
+
+def temperature_weights(sf_dir: str, alpha: float = 0.7,
+                        n_buckets: int = 64) -> "object":
+    """Temperature-scaled mixture weights (the multilingual /
+    multi-domain sampling rule w_s = (n_s/N)^alpha, renormalized):
+    upweights small sources, damps dominant ones. Also reports each
+    source's effective epoch count under the weights (epochs > 1 =
+    the source is repeated in a single pass over the mix).
+
+    Per-batch partial counts collapse each batch to <= |sources in
+    batch| rows; ONE bounded bucket groupby merges; the normalization
+    runs driver-side over the RESULT-SIZED per-source table (that
+    table IS the query output — nothing unbounded materializes)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["source"]), "source").aggregate(
+            [("source", "count")]).rename_columns(["source", "n"])
+        h = _md5_u64(g["source"].to_pylist())
+        return pa.table({"source": g["source"],
+                         "n": pc.cast(g["n"], pa.int64()),
+                         "bucket": pa.array(bucket_of(h, n_buckets))})
+
+    def merge(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.select(["source", "n"]), "source") \
+            .aggregate([("n", "sum")]).rename_columns(["source", "n"])
+        return m
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source"])
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow") \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+
+    n = counts["n"].to_numpy().astype(np.float64)
+    big_n = n.sum()
+    pw = np.power(n / big_n, alpha)
+    w = pw / pw.sum()
+    epochs = w * big_n / n
+
+    def _r6(x):
+        return np.where(x >= 0, np.floor(x * 1e6 + 0.5),
+                        np.ceil(x * 1e6 - 0.5)) / 1e6
+
+    return pd.DataFrame({"source": counts["source"],
+                         "n_docs": counts["n"].astype(np.int64),
+                         "weight": _r6(w), "epochs": _r6(epochs)})

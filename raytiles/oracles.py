@@ -2096,3 +2096,15 @@ SELECT c.source, CAST(max(s.cs) AS BIGINT) AS n_invocab,
 FROM c JOIN s USING (source) JOIN q USING (token) CROSS JOIN tot
 GROUP BY c.source
 """
+
+
+TEMPERATURE_WEIGHTS_SQL = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n) AS nn FROM c),
+p AS (SELECT source, n, pow(n / t.nn, 0.7) AS pw FROM c CROSS JOIN t),
+z AS (SELECT sum(pw) AS s FROM p)
+SELECT p.source, CAST(p.n AS BIGINT) AS n_docs,
+       round(p.pw / z.s, 6) AS weight,
+       round(p.pw / z.s * t.nn / p.n, 6) AS epochs
+FROM p CROSS JOIN z CROSS JOIN t
+"""

@@ -2019,3 +2019,20 @@ def test_source_kl_pandas_oracle():
         assert df.loc[src, "n_invocab"] == cs
         assert abs(df.loc[src, "kl"] - kl) < 1e-5, src
     assert (df["kl"] >= -1e-9).all()
+
+
+def test_temperature_weights_pandas_oracle():
+    from raytiles.ops.webcorpus import temperature_weights
+    df = temperature_weights(SF_SMOKE).sort_values("source") \
+        .reset_index(drop=True)
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    cnt = docs.groupby("source").size().sort_index()
+    n = cnt.to_numpy().astype(np.float64)
+    pw = np.power(n / n.sum(), 0.7)
+    w = pw / pw.sum()
+    assert len(df) == len(cnt)
+    assert np.array_equal(df["n_docs"].to_numpy(), cnt.to_numpy())
+    assert np.abs(df["weight"].to_numpy() - w).max() < 1e-6
+    assert abs(df["weight"].sum() - 1.0) < 1e-4
+    assert np.abs(df["epochs"].to_numpy()
+                  - w * n.sum() / n).max() < 1e-5
