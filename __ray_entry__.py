@@ -703,6 +703,14 @@ def _q_cohort_revenue_full(sf_dir: str):
     return cohort_revenue_full(sf_dir)
 
 
+def _q_late_orders(sf_dir: str):
+    """EXISTS semi-join (TPC-H Q4 shape): per-priority late-order
+    counts via one splitmix(orderkey) bucket shuffle of per-order
+    max-ship partials."""
+    from raytiles.ops.relational import late_orders
+    return late_orders(sf_dir)
+
+
 def _q_nation_revenue(sf_dir: str):
     """TPC-H Q5-shape multi-way join: lineitem partials |><| orders
     (partitioned hash join) |><| customer+nation (broadcast dims)."""
@@ -1455,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue": _q_order_revenue,
         "order_revenue_left": _q_order_revenue_left,
         "nation_revenue": _q_nation_revenue,
+        "late_orders": _q_late_orders,
         "promo_revenue": _q_promo_revenue,
         "top_suppliers": _q_top_suppliers,
         "brand_type_stats": _q_brand_type_stats,
@@ -1639,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue": oracles.ORDER_REVENUE_SQL,
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,
         "nation_revenue": oracles.NATION_REVENUE_SQL,
+        "late_orders": oracles.LATE_ORDERS_SQL,
         "promo_revenue": oracles.PROMO_REVENUE_SQL,
         "top_suppliers": oracles.TOP_SUPPLIERS_SQL,
         "brand_type_stats": oracles.BRAND_TYPE_STATS_SQL,

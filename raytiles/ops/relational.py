@@ -3148,3 +3148,81 @@ def order_gini(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     return pd.DataFrame({"n_customers": [np.int64(n)],
                          "n_orders_total": [np.int64(tot)],
                          "gini": [gini]})
+
+
+def late_orders(sf_dir: str, grace_days: int = 90,
+                n_buckets: int = 256) -> ray.data.Dataset:
+    """EXISTS semi-join (TPC-H Q4 shape): per order priority, how many
+    orders had at least one lineitem shipped more than ``grace_days``
+    after the order date.
+
+    The predicate couples both tables (l_shipdate vs o_orderdate), so
+    neither side can pre-filter alone — but EXISTS only needs each
+    order's MAX ship date: lineitem collapses per batch to one
+    (orderkey, max_ship) row, both sides land in the same bounded
+    splitmix(orderkey) bucket, and the per-bucket finalizer emits
+    per-priority partial counts (<= 5 rows per bucket). Shuffle
+    payload: one 20-byte row per order per side, never the lineitems."""
+    from ..util import bucket_of
+
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ship = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")), pa.int64())
+        t = pa.table({"orderkey": b["l_orderkey"], "ship": ship})
+        g = pa.TableGroupBy(t, "orderkey").aggregate([("ship", "max")])
+        g = g.rename_columns(["orderkey", "max_ship"])
+        ok = g["orderkey"].to_numpy()
+        return pa.table({
+            "orderkey": ok.astype(np.int64),
+            "max_ship": g["max_ship"],
+            "odate": np.zeros(ok.size, np.int64),
+            "priority": np.full(ok.size, "", dtype=object),
+            "side": np.ones(ok.size, np.int8),
+            "bucket": bucket_of(ok, n_buckets)})
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        od = pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")), pa.int64())
+        ok = b["o_orderkey"].to_numpy()
+        return pa.table({
+            "orderkey": ok.astype(np.int64),
+            "max_ship": np.full(ok.size, np.iinfo(np.int64).min, np.int64),
+            "odate": od,
+            "priority": b["o_orderpriority"],
+            "side": np.zeros(ok.size, np.int8),
+            "bucket": bucket_of(ok, n_buckets)})
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 1]
+        ms = li.groupby("orderkey")["max_ship"].max()
+        o = g[g["side"] == 0]
+        mapped = o["orderkey"].map(ms) \
+            .fillna(np.iinfo(np.int64).min).astype(np.int64).to_numpy()
+        late = (mapped > (o["odate"].to_numpy() + grace_us)).astype(np.int64)
+        out = pd.DataFrame({"priority": o["priority"].to_numpy(),
+                            "late": late, "one": np.ones(len(o), np.int64)})
+        return out.groupby("priority", as_index=False).agg(
+            n_late=("late", "sum"), n_orders=("one", "sum"))
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+    agg = li.union(orders).groupby("bucket") \
+        .map_groups(semi, batch_format="pandas") \
+        .groupby("priority").aggregate(
+            Sum("n_late", alias_name="n_late"),
+            Sum("n_orders", alias_name="n_orders"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": df["priority"],
+            "n_late": df["n_late"].astype(np.int64),
+            "n_orders": df["n_orders"].astype(np.int64)})
+
+    return agg.map_batches(finalize, batch_format="pandas")

@@ -2108,3 +2108,17 @@ SELECT p.source, CAST(p.n AS BIGINT) AS n_docs,
        round(p.pw / z.s * t.nn / p.n, 6) AS epochs
 FROM p CROSS JOIN z CROSS JOIN t
 """
+
+
+LATE_ORDERS_SQL = """
+WITH late AS (
+  SELECT o_orderkey
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  GROUP BY 1)
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderkey IN
+            (SELECT o_orderkey FROM late)) AS BIGINT) AS n_late,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+"""

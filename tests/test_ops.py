@@ -2036,3 +2036,23 @@ def test_temperature_weights_pandas_oracle():
     assert abs(df["weight"].sum() - 1.0) < 1e-4
     assert np.abs(df["epochs"].to_numpy()
                   - w * n.sum() / n).max() < 1e-5
+
+
+def test_late_orders_pandas_oracle():
+    from raytiles.ops.relational import late_orders
+    df = late_orders(SF_SMOKE).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    o = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+    ms = li.groupby("l_orderkey")["l_shipdate"].max()
+    j = o.assign(max_ship=o["o_orderkey"].map(ms))
+    late = j["max_ship"].notna() & (
+        j["max_ship"] > j["o_orderdate"] + pd.Timedelta(days=90))
+    want = j.assign(late=late.astype(int)).groupby(
+        "o_orderpriority").agg(n_late=("late", "sum"),
+                               n_orders=("late", "size")).sort_index()
+    assert len(df) == len(want)
+    assert np.array_equal(df["n_late"].to_numpy(), want["n_late"].to_numpy())
+    assert np.array_equal(df["n_orders"].to_numpy(),
+                          want["n_orders"].to_numpy())
+    assert df["n_late"].sum() > 0
