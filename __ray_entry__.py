@@ -703,6 +703,13 @@ def _q_cohort_revenue_full(sf_dir: str):
     return cohort_revenue_full(sf_dir)
 
 
+def _q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of event types via bounded
+    splitmix(user) bucket shuffle of (user, type) count partials."""
+    from raytiles.ops.relational import user_entropy
+    return user_entropy(sf_dir)
+
+
 def _q_late_orders(sf_dir: str):
     """EXISTS semi-join (TPC-H Q4 shape): per-priority late-order
     counts via one splitmix(orderkey) bucket shuffle of per-order
@@ -1464,6 +1471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_left": _q_order_revenue_left,
         "nation_revenue": _q_nation_revenue,
         "late_orders": _q_late_orders,
+        "user_entropy": _q_user_entropy,
         "promo_revenue": _q_promo_revenue,
         "top_suppliers": _q_top_suppliers,
         "brand_type_stats": _q_brand_type_stats,
@@ -1649,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue_left": oracles.ORDER_REVENUE_LEFT_SQL,
         "nation_revenue": oracles.NATION_REVENUE_SQL,
         "late_orders": oracles.LATE_ORDERS_SQL,
+        "user_entropy": oracles.USER_ENTROPY_SQL,
         "promo_revenue": oracles.PROMO_REVENUE_SQL,
         "top_suppliers": oracles.TOP_SUPPLIERS_SQL,
         "brand_type_stats": oracles.BRAND_TYPE_STATS_SQL,

@@ -3226,3 +3226,46 @@ def late_orders(sf_dir: str, grace_days: int = 90,
             "n_orders": df["n_orders"].astype(np.int64)})
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def user_entropy(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Behavioral entropy: per-user Shannon entropy (nats) of the
+    event-type distribution — near 0 = single-behavior user, near
+    ln(|types|) = uniform mix. The per-(user, type) count table is
+    the bounded unit: per-batch Arrow hash-aggregate partials, ONE
+    splitmix(user) bucket shuffle co-locates each user's counts, and
+    the entropy finishes vectorized inside the bucket (term order
+    fixed by an event_type sort so the float sum is bit-stable)."""
+    from ..util import bucket_of
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["user_id", "event_type"]),
+                            ["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        g = g.rename_columns(["user_id", "event_type", "c"])
+        uid = g["user_id"].to_numpy()
+        return pa.table({"user_id": uid.astype(np.int64),
+                         "event_type": g["event_type"],
+                         "c": pc.cast(g["c"], pa.int64()),
+                         "bucket": bucket_of(uid, n_buckets)})
+
+    def entropy_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+        m = m.sort_values(["user_id", "event_type"], kind="stable")
+        uid = m["user_id"].to_numpy()
+        c = m["c"].to_numpy(np.float64)
+        uu, start = np.unique(uid, return_index=True)
+        n = np.add.reduceat(c, start)
+        p = c / np.repeat(n, np.diff(np.append(start, c.size)))
+        terms = p * np.log(p)
+        ent = -np.add.reduceat(terms, start)
+        ent = np.where(ent >= 0, np.floor(ent * 1e6 + 0.5),
+                       np.ceil(ent * 1e6 - 0.5)) / 1e6
+        return pd.DataFrame({"user_id": uu.astype(np.int64),
+                             "n_events": n.astype(np.int64),
+                             "entropy": ent})
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"),
+                               columns=["user_id", "event_type"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(entropy_group, batch_format="pandas")

@@ -2122,3 +2122,13 @@ SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
 """
+
+
+USER_ENTROPY_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2),
+s AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.user_id, CAST(max(s.n) AS BIGINT) AS n_events,
+       round(-sum((c.c / s.n) * ln(c.c / s.n)), 6) AS entropy
+FROM c JOIN s USING (user_id) GROUP BY c.user_id
+"""

@@ -2056,3 +2056,19 @@ def test_late_orders_pandas_oracle():
     assert np.array_equal(df["n_orders"].to_numpy(),
                           want["n_orders"].to_numpy())
     assert df["n_late"].sum() > 0
+
+
+def test_user_entropy_pandas_oracle():
+    from raytiles.ops.relational import user_entropy
+    df = user_entropy(SF_SMOKE).to_pandas() \
+        .set_index("user_id").sort_index()
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    for uid, g in ev.groupby("user_id"):
+        c = g["event_type"].value_counts().to_numpy(np.float64)
+        p = c / c.sum()
+        want = float(-(p * np.log(p)).sum())
+        assert df.loc[uid, "n_events"] == len(g)
+        assert abs(df.loc[uid, "entropy"] - want) < 1e-5
+    assert len(df) == ev["user_id"].nunique()
+    assert (df["entropy"] >= 0).all()
+    assert (df["entropy"] <= np.log(ev["event_type"].nunique()) + 1e-9).all()
