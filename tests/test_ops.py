@@ -2072,3 +2072,28 @@ def test_user_entropy_pandas_oracle():
     assert len(df) == ev["user_id"].nunique()
     assert (df["entropy"] >= 0).all()
     assert (df["entropy"] <= np.log(ev["event_type"].nunique()) + 1e-9).all()
+
+
+def test_new_ops_block_layout_invariant():
+    """Bucketed two-phase ops must be invariant to block layout: the
+    same result with many tiny blocks (different per-batch partials
+    reaching the shuffle) as with the default layout."""
+    from ray.data import DataContext
+    from raytiles.ops.dedup import dup_spans
+    from raytiles.ops.webcorpus import source_kl
+    base_ds = dup_spans(SF_SMOKE).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    base_kl = source_kl(SF_SMOKE, vocab_k=50).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny_ds = dup_spans(SF_SMOKE).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        tiny_kl = source_kl(SF_SMOKE, vocab_k=50).to_pandas() \
+            .sort_values("source").reset_index(drop=True)
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base_ds, tiny_ds)
+    pd.testing.assert_frame_equal(base_kl, tiny_kl)
