@@ -332,6 +332,14 @@ def _q_source_kl(sf_dir: str):
     return source_kl(sf_dir)
 
 
+def _q_curation_manifest(sf_dir: str):
+    """End-to-end curation decision per doc: distributed dedup
+    survivorship x quality x lang x broadcast mixture weight, joined
+    in one bounded splitmix(doc_id) bucket shuffle."""
+    from raytiles.ops.webcorpus import curation_manifest
+    return curation_manifest(sf_dir)
+
+
 def _q_temperature_weights(sf_dir: str):
     """Temperature-scaled domain-mixing weights w = (n/N)^alpha with
     effective epochs, normalized over the result-sized source table."""
@@ -1575,6 +1583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": _q_per_source_cap,
         "source_kl": _q_source_kl,
         "temperature_weights": _q_temperature_weights,
+        "curation_manifest": _q_curation_manifest,
         "dedup_survivors": _q_dedup_survivors,
         "simhash": _q_simhash,
         # similarity search
@@ -1736,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "per_source_cap": oracles.PER_SOURCE_CAP_SQL,
         "source_kl": oracles.source_kl_sql(),
         "temperature_weights": oracles.TEMPERATURE_WEIGHTS_SQL,
+        "curation_manifest": oracles.CURATION_MANIFEST_SQL,
         "dedup_survivors": oracles.dedup_survivors_sql(),
         # simhash / lsh_neardup / winnow_fingerprints / media_features:
         # rows-only (non-SQL-expressible or approximate)

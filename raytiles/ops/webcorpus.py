@@ -526,3 +526,93 @@ def temperature_weights(sf_dir: str, alpha: float = 0.7,
     return pd.DataFrame({"source": counts["source"],
                          "n_docs": counts["n"].astype(np.int64),
                          "weight": _r6(w), "epochs": _r6(epochs)})
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation manifest
+# ---------------------------------------------------------------------------
+
+def curation_manifest(sf_dir: str, score_min: float = 0.5,
+                      lang_keep: str = "en",
+                      n_buckets: int = 512) -> ray.data.Dataset:
+    """The composed keep/weight decision of the whole curation
+    pipeline, one row per document: exact-dedup survivorship x quality
+    score x language id x temperature mixture weight ->
+    (doc_id, is_survivor, keep, weight).
+
+    Composition shape: the survivor set comes from the DISTRIBUTED
+    exact_dedup output (never a driver-side set — at crawl scale the
+    survivor list is corpus-sized); per-doc score/lang/weight are
+    shuffle-free batch kernels (the mixture-weight table is
+    result-sized and broadcasts via ray.put); ONE bounded
+    splitmix(doc_id) bucket groupby joins flags to survivorship.
+    Thresholds compare floor-quantized values on both sides, so the
+    keep boundary is bit-exact vs the SQL twin."""
+    import pandas as pd
+
+    from .dedup import exact_dedup
+    from .text import LANG_MARKERS, STOP_RE, TOKEN_RE
+
+    w = temperature_weights(sf_dir)
+    wref = ray.put(dict(zip(w["source"], w["weight"])))
+
+    def surv_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": ids, "side": np.ones(ids.size, np.int8),
+            "score": np.zeros(ids.size, np.float64),
+            "lang_pred": np.full(ids.size, "", dtype=object),
+            "weight": np.zeros(ids.size, np.float64),
+            "bucket": bucket_of(ids.astype(np.uint64), n_buckets)})
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        wmap = ray.get(wref)
+        text = b["text"]
+        n_tok = pc.count_substring_regex(text, TOKEN_RE) \
+            .to_numpy().astype(np.int64)
+        n_stop = pc.count_substring_regex(text, STOP_RE) \
+            .to_numpy().astype(np.int64)
+        tok_chars = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^0-9A-Za-z_]", "")
+        ).to_numpy().astype(np.int64)
+        denom = np.maximum(n_tok, 1)
+        stop_ratio = np.floor(n_stop / denom * 1e6) / 1e6
+        avg_len = np.floor(tok_chars / denom * 1e6) / 1e6
+        score = np.floor((0.5 * np.minimum(n_tok / 50.0, 1.0)
+                          + 0.3 * stop_ratio
+                          + 0.2 * np.minimum(avg_len / 8.0, 1.0)) * 1e6) / 1e6
+        low = pc.utf8_lower(text)
+        en = pc.count_substring_regex(low, LANG_MARKERS["en"]).to_numpy()
+        de = pc.count_substring_regex(low, LANG_MARKERS["de"]).to_numpy()
+        fr = pc.count_substring_regex(low, LANG_MARKERS["fr"]).to_numpy()
+        lang = np.where((en >= de) & (en >= fr) & (en > 0), "en",
+                        np.where((de >= fr) & (de > 0), "de",
+                                 np.where(fr > 0, "fr", "und")))
+        src = b["source"].to_pylist()
+        weight = np.array([wmap[s] for s in src], dtype=np.float64)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": ids, "side": np.zeros(ids.size, np.int8),
+            "score": score, "lang_pred": lang.astype(object),
+            "weight": weight,
+            "bucket": bucket_of(ids.astype(np.uint64), n_buckets)})
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        surv = set(g.loc[g["side"] == 1, "doc_id"].to_numpy())
+        d = g[g["side"] == 0]
+        is_surv = d["doc_id"].isin(surv).to_numpy()
+        keep = (is_surv & (d["score"].to_numpy() >= score_min)
+                & (d["lang_pred"].to_numpy() == lang_keep))
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].to_numpy(),
+            "is_survivor": is_surv.astype(np.int64),
+            "keep": keep.astype(np.int64),
+            "weight": np.where(keep, d["weight"].to_numpy(), 0.0)})
+
+    surv = exact_dedup(sf_dir).map_batches(surv_rows, batch_format="pyarrow")
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"]) \
+        .map_batches(doc_rows, batch_format="pyarrow")
+    return docs.union(surv).groupby("bucket") \
+        .map_groups(decide, batch_format="pandas")

@@ -2132,3 +2132,48 @@ SELECT c.user_id, CAST(max(s.n) AS BIGINT) AS n_events,
        round(-sum((c.c / s.n) * ln(c.c / s.n)), 6) AS entropy
 FROM c JOIN s USING (user_id) GROUP BY c.user_id
 """
+
+
+CURATION_MANIFEST_SQL = f"""
+WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+raw AS (
+  SELECT doc_id, source,
+         array_length(regexp_extract_all(text, '{SQL_TOKEN_RE}')) AS n_tokens,
+         array_length(regexp_extract_all(text, '{SQL_STOP_RE}')) AS n_stop,
+         length(regexp_replace(text, '[^0-9A-Za-z_]', '', 'g')) AS tok_chars,
+         array_length(regexp_extract_all(lower(text),
+             '\\b(?:the|a|to|is|in)\\b')) AS en,
+         array_length(regexp_extract_all(lower(text),
+             '\\b(?:der|die|das|und|ist)\\b')) AS de,
+         array_length(regexp_extract_all(lower(text),
+             '\\b(?:le|la|les|et|est)\\b')) AS fr
+  FROM documents),
+q AS (
+  SELECT doc_id, source, en, de, fr,
+         floor((0.5 * least(n_tokens / 50.0, 1.0)
+                + 0.3 * (floor(n_stop / greatest(n_tokens, 1) * 1000000)
+                         / 1000000)
+                + 0.2 * least(floor(tok_chars / greatest(n_tokens, 1)
+                                    * 1000000) / 1000000 / 8.0, 1.0))
+               * 1000000) / 1000000 AS score
+  FROM raw),
+l AS (
+  SELECT doc_id, source, score,
+         CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+              WHEN de >= fr AND de > 0 THEN 'de'
+              WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+  FROM q),
+c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n) AS nn FROM c),
+p AS (SELECT source, pow(n / t.nn, 0.7) AS pw FROM c CROSS JOIN t),
+z AS (SELECT sum(pw) AS s FROM p),
+w AS (SELECT source, round(pw / z.s, 6) AS wt FROM p CROSS JOIN z)
+SELECT l.doc_id,
+       CAST(l.doc_id IN (SELECT doc_id FROM surv) AS BIGINT) AS is_survivor,
+       CAST(l.doc_id IN (SELECT doc_id FROM surv)
+            AND l.score >= 0.5 AND l.lang_pred = 'en' AS BIGINT) AS keep,
+       CASE WHEN l.doc_id IN (SELECT doc_id FROM surv)
+                 AND l.score >= 0.5 AND l.lang_pred = 'en'
+            THEN w.wt ELSE 0.0 END AS weight
+FROM l JOIN w USING (source)
+"""

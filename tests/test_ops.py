@@ -2097,3 +2097,26 @@ def test_new_ops_block_layout_invariant():
         ctx.target_max_block_size = old
     pd.testing.assert_frame_equal(base_ds, tiny_ds)
     pd.testing.assert_frame_equal(base_kl, tiny_kl)
+
+
+def test_curation_manifest_composes_components():
+    from raytiles.ops.dedup import exact_dedup
+    from raytiles.ops.text import lang_id, quality_scores
+    from raytiles.ops.webcorpus import curation_manifest, temperature_weights
+    df = curation_manifest(SF_SMOKE).to_pandas() \
+        .set_index("doc_id").sort_index()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    surv = set(exact_dedup(SF_SMOKE).to_pandas()["doc_id"])
+    score = quality_scores(SF_SMOKE).to_pandas().set_index("doc_id")["score"]
+    lang = lang_id(SF_SMOKE).to_pandas().set_index("doc_id")["lang_pred"]
+    w = temperature_weights(SF_SMOKE).set_index("source")["weight"]
+    assert len(df) == len(docs)
+    for r in docs.itertuples():
+        is_s = r.doc_id in surv
+        keep = is_s and score[r.doc_id] >= 0.5 and lang[r.doc_id] == "en"
+        assert df.loc[r.doc_id, "is_survivor"] == int(is_s)
+        assert df.loc[r.doc_id, "keep"] == int(keep)
+        want_w = w[r.source] if keep else 0.0
+        assert abs(df.loc[r.doc_id, "weight"] - want_w) < 1e-12
+    assert df["keep"].sum() > 0
+    assert (df.loc[df["keep"] == 0, "weight"] == 0).all()
