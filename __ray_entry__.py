@@ -726,6 +726,28 @@ def _q_late_orders(sf_dir: str):
     return late_orders(sf_dir)
 
 
+def _q_pareto_orders(sf_dir: str):
+    """2-D skyline (Pareto frontier) over orders: mergeable
+    skyline-of-skylines partials, exact-cents frontier test."""
+    from raytiles.ops.relational import pareto_orders
+    return pareto_orders(sf_dir)
+
+
+def _q_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape: exact-integer global-average threshold +
+    bucketed anti-join against recent orders, per-nation counts."""
+    from raytiles.ops.relational import idle_customers
+    return idle_customers(sf_dir)
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: per-order supplier-set analysis (exactly one
+    late supplier on multi-supplier 'F' orders) via one bounded
+    splitmix(orderkey) bucket shuffle."""
+    from raytiles.ops.relational import waiting_suppliers
+    return waiting_suppliers(sf_dir)
+
+
 def _q_nation_revenue(sf_dir: str):
     """TPC-H Q5-shape multi-way join: lineitem partials |><| orders
     (partitioned hash join) |><| customer+nation (broadcast dims)."""
@@ -1480,6 +1502,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": _q_nation_revenue,
         "late_orders": _q_late_orders,
         "user_entropy": _q_user_entropy,
+        "pareto_orders": _q_pareto_orders,
+        "idle_customers": _q_idle_customers,
+        "waiting_suppliers": _q_waiting_suppliers,
         "promo_revenue": _q_promo_revenue,
         "top_suppliers": _q_top_suppliers,
         "brand_type_stats": _q_brand_type_stats,
@@ -1667,6 +1692,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": oracles.NATION_REVENUE_SQL,
         "late_orders": oracles.LATE_ORDERS_SQL,
         "user_entropy": oracles.USER_ENTROPY_SQL,
+        "pareto_orders": oracles.PARETO_ORDERS_SQL,
+        "idle_customers": oracles.IDLE_CUSTOMERS_SQL,
+        "waiting_suppliers": oracles.WAITING_SUPPLIERS_SQL,
         "promo_revenue": oracles.PROMO_REVENUE_SQL,
         "top_suppliers": oracles.TOP_SUPPLIERS_SQL,
         "brand_type_stats": oracles.BRAND_TYPE_STATS_SQL,

@@ -3269,3 +3269,255 @@ def user_entropy(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
                                columns=["user_id", "event_type"])
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(entropy_group, batch_format="pandas")
+
+
+def _skyline_mask(date_us: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D Pareto frontier: row r survives iff no
+    row s has (s.date <= r.date AND s.cents >= r.cents) with at least
+    one strict. One lexsort (date asc, cents desc); within a date the
+    group max survives (ties included), across dates a row must beat
+    the running max of all strictly-earlier dates."""
+    n = date_us.size
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-cents, date_us))
+    d, p = date_us[order], cents[order]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = d[1:] != d[:-1]
+    gidx = np.cumsum(new) - 1
+    gmax = p[np.flatnonzero(new)]  # per-date max (sorted desc in group)
+    prev = np.concatenate(([np.iinfo(np.int64).min],
+                           np.maximum.accumulate(gmax)[:-1]))
+    keep_sorted = (p == gmax[gidx]) & (p > prev[gidx])
+    keep = np.zeros(n, dtype=bool)
+    keep[order[keep_sorted]] = True
+    return keep
+
+
+def pareto_orders(sf_dir: str) -> pd.DataFrame:
+    """Skyline / Pareto frontier over orders on (o_orderdate minimized,
+    o_totalprice maximized): an order survives iff no other order is at
+    least as early AND at least as expensive with one strict. Skyline
+    is a mergeable reduction — skyline(A U B) == skyline(skyline(A) U
+    skyline(B)) — so each batch collapses to its LOCAL frontier
+    (expected O(log n) rows for exchangeable data; adversarially
+    pre-sorted input degrades to the batch itself, documented) and the
+    driver folds the bounded union with the same kernel. Prices compare
+    as exact half-away-from-zero cents so the frontier membership test
+    is bit-identical to the DuckDB window twin."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        price = b["o_totalprice"].to_numpy()
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        keep = _skyline_mask(d, cents)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].to_numpy()[keep].astype(np.int64),
+            "date_us": d[keep],
+            "cents": cents[keep],
+            "o_totalprice": price[keep]})
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    df = ds.to_pandas()  # bounded: union of per-batch frontiers
+    keep = _skyline_mask(df["date_us"].to_numpy(), df["cents"].to_numpy())
+    out = df[keep].sort_values("o_orderkey")
+    return pd.DataFrame({
+        "o_orderkey": out["o_orderkey"].to_numpy(),
+        "o_orderdate": pd.to_datetime(out["date_us"].to_numpy(), unit="us")
+            .strftime("%Y-%m-%d %H:%M:%S"),
+        "o_totalprice": out["o_totalprice"].to_numpy()})
+
+
+def idle_customers(sf_dir: str, cutoff: str = "2000-06-01",
+                   n_buckets: int = 256) -> ray.data.Dataset:
+    """TPC-H Q22 shape: per nation, customers whose balance beats the
+    global average positive balance but who placed NO order since
+    ``cutoff``. Three bounded moves: (1) a 2-int reduce over customer
+    yields (sum_pos_cents, n_pos); the threshold test is the exact
+    integer cross-multiplication cents * n > sum — no float division
+    on either side, so the boundary customer can never flip; (2) the
+    recent half of orders collapses per batch to distinct custkeys;
+    (3) ONE splitmix(custkey) bucket shuffle co-locates rich customers
+    with the has-recent-order key set; the anti-join is one vectorized
+    np.isin per bucket emitting <= 25 per-nation partial rows."""
+    from ..util import bucket_of
+
+    cutoff_us = np.int64(pd.Timestamp(cutoff).value // 1000)
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["c_acctbal"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({"s": np.array([pos.sum()], np.int64),
+                         "n": np.array([pos.size], np.int64)})
+
+    st = ray.data.read_parquet(_p(sf_dir, "customer"),
+                               columns=["c_acctbal"]) \
+        .map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    s_pos, n_pos = int(st["s"].sum()), int(st["n"].sum())
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["c_acctbal"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        keep = cents * n_pos > s_pos
+        ck = b["c_custkey"].to_numpy()[keep].astype(np.int64)
+        return pa.table({
+            "custkey": ck,
+            "nation": b["c_nationkey"].to_numpy()[keep].astype(np.int64),
+            "cents": cents[keep],
+            "side": np.zeros(ck.size, np.int8),
+            "bucket": bucket_of(ck, n_buckets)})
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        ck = b["o_custkey"].to_numpy().astype(np.int64)
+        u = np.unique(ck[ts >= cutoff_us])
+        return pa.table({
+            "custkey": u,
+            "nation": np.zeros(u.size, np.int64),
+            "cents": np.zeros(u.size, np.int64),
+            "side": np.ones(u.size, np.int8),
+            "bucket": bucket_of(u, n_buckets)})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["side"] == 1, "custkey"].to_numpy()
+        c = g[g["side"] == 0]
+        idle = ~np.isin(c["custkey"].to_numpy(), have)
+        out = c[idle]
+        if not len(out):
+            return pd.DataFrame({"nation": np.zeros(0, np.int64),
+                                 "n_cust": np.zeros(0, np.int64),
+                                 "total_cents": np.zeros(0, np.int64)})
+        return out.groupby("nation", as_index=False).agg(
+            n_cust=("custkey", "size"), total_cents=("cents", "sum"))
+
+    cust = ray.data.read_parquet(
+        _p(sf_dir, "customer"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(cust_partial, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+    agg = cust.union(orders).groupby("bucket") \
+        .map_groups(anti, batch_format="pandas") \
+        .groupby("nation").aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("total_cents", alias_name="total_cents"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_nationkey": df["nation"].astype(np.int64),
+            "n_cust": df["n_cust"].astype(np.int64),
+            "total_cents": df["total_cents"].astype(np.int64)})
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def waiting_suppliers(sf_dir: str, grace_days: int = 90,
+                      n_buckets: int = 256) -> ray.data.Dataset:
+    """TPC-H Q21 shape (late predicate adapted to this schema's
+    dates): over completed ('F') multi-supplier orders where EXACTLY
+    ONE supplier shipped late (its max ship date > o_orderdate +
+    grace), count blamed orders per supplier. The order's full
+    supplier set must co-locate: lineitem collapses per batch to
+    (orderkey, suppkey, max_ship) partials — never re-shuffling raw
+    lines — orders ship (orderkey, odate) for 'F' rows only, ONE
+    bounded splitmix(orderkey) bucket shuffle, and the per-bucket
+    finalizer is reduceat arithmetic (per-(order,supplier) late flags,
+    per-order supplier counts, the exactly-one filter) emitting
+    per-supplier partials bounded by the supplier dimension. Names
+    attach from a ray.put-broadcast dim at the tiny tail."""
+    from ..util import bucket_of
+
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                       pa.int64())
+        t = pa.table({"orderkey": b["l_orderkey"],
+                      "suppkey": b["l_suppkey"], "ship": ship})
+        g = pa.TableGroupBy(t, ["orderkey", "suppkey"]).aggregate(
+            [("ship", "max")])
+        g = g.rename_columns(["orderkey", "suppkey", "max_ship"])
+        ok = g["orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "orderkey": ok,
+            "suppkey": g["suppkey"].to_numpy().astype(np.int64),
+            "max_ship": g["max_ship"],
+            "odate": np.zeros(ok.size, np.int64),
+            "side": np.ones(ok.size, np.int8),
+            "bucket": bucket_of(ok, n_buckets)})
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b["o_orderstatus"], "F")
+        b = b.filter(mask)
+        od = pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                     pa.int64())
+        ok = b["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "orderkey": ok,
+            "suppkey": np.zeros(ok.size, np.int64),
+            "max_ship": np.full(ok.size, np.iinfo(np.int64).min, np.int64),
+            "odate": od,
+            "side": np.zeros(ok.size, np.int8),
+            "bucket": bucket_of(ok, n_buckets)})
+
+    def blame(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 1]
+        o = g[g["side"] == 0]
+        m = li.groupby(["orderkey", "suppkey"], as_index=False)["max_ship"] \
+            .max()
+        odate = m["orderkey"].map(
+            pd.Series(o["odate"].to_numpy(), index=o["orderkey"].to_numpy()))
+        m = m[odate.notna()]  # drops lineitems of non-'F' orders
+        if not len(m):
+            return pd.DataFrame({"s_suppkey": np.zeros(0, np.int64),
+                                 "n_waits": np.zeros(0, np.int64)})
+        late = m["max_ship"].to_numpy() > (
+            odate.dropna().to_numpy().astype(np.int64) + grace_us)
+        okeys = m["orderkey"].to_numpy()  # groupby output is key-sorted
+        _, start = np.unique(okeys, return_index=True)
+        n_supp = np.diff(np.append(start, okeys.size))
+        n_late = np.add.reduceat(late.astype(np.int64), start)
+        qual = (n_supp >= 2) & (n_late == 1)
+        blamed = np.repeat(qual, n_supp) & late
+        u, c = np.unique(m["suppkey"].to_numpy()[blamed], return_counts=True)
+        return pd.DataFrame({"s_suppkey": u.astype(np.int64),
+                             "n_waits": c.astype(np.int64)})
+
+    import pyarrow.parquet as pq
+    sup = pq.read_table(_p(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    order = np.argsort(sk)
+    names_ref = ray.put((sk[order],
+                         sup["s_name"].to_numpy(zero_copy_only=False)[order]))
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+    agg = li.union(orders).groupby("bucket") \
+        .map_groups(blame, batch_format="pandas") \
+        .groupby("s_suppkey").aggregate(Sum("n_waits", alias_name="n_waits"))
+
+    def finalize(df: pd.DataFrame, _ref=names_ref) -> pd.DataFrame:
+        keys, names = ray.get(_ref)
+        sk = df["s_suppkey"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(keys, sk)
+        return pd.DataFrame({
+            "s_suppkey": sk,
+            "s_name": names[idx],
+            "n_waits": df["n_waits"].astype(np.int64)})
+
+    return agg.map_batches(finalize, batch_format="pandas")

@@ -2177,3 +2177,64 @@ SELECT l.doc_id,
             THEN w.wt ELSE 0.0 END AS weight
 FROM l JOIN w USING (source)
 """
+
+
+PARETO_ORDERS_SQL = """
+WITH pts AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+w AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice, cents,
+         max(cents) OVER (PARTITION BY o_orderdate) AS mx_same,
+         max(cents) OVER (ORDER BY o_orderdate
+             RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND INTERVAL 1 MICROSECOND PRECEDING) AS mx_prev
+  FROM pts)
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_totalprice
+FROM w
+WHERE cents = mx_same AND (mx_prev IS NULL OR cents > mx_prev)
+ORDER BY 1
+"""
+
+
+IDLE_CUSTOMERS_SQL = """
+WITH stats AS (
+  SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM customer WHERE floor(c_acctbal * 100 + 0.5) > 0),
+rich AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer, stats
+  WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * stats.n > stats.s)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM rich r
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = r.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+GROUP BY 1
+"""
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH os AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk, max(l_shipdate) AS ms
+  FROM lineitem GROUP BY 1, 2),
+j AS (
+  SELECT os.ok, os.sk,
+         (os.ms > o.o_orderdate + INTERVAL 90 DAY) AS late
+  FROM os JOIN orders o ON o.o_orderkey = os.ok
+  WHERE o.o_orderstatus = 'F'),
+q AS (
+  SELECT ok FROM j GROUP BY 1
+  HAVING count(*) >= 2 AND sum(CASE WHEN late THEN 1 ELSE 0 END) = 1)
+SELECT j.sk AS s_suppkey, max(s.s_name) AS s_name,
+       CAST(count(*) AS BIGINT) AS n_waits
+FROM j JOIN q USING (ok) JOIN supplier s ON s.s_suppkey = j.sk
+WHERE j.late GROUP BY 1
+"""

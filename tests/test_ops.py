@@ -2120,3 +2120,95 @@ def test_curation_manifest_composes_components():
         assert abs(df.loc[r.doc_id, "weight"] - want_w) < 1e-12
     assert df["keep"].sum() > 0
     assert (df.loc[df["keep"] == 0, "weight"] == 0).all()
+
+
+def test_pareto_orders_bruteforce_oracle():
+    from raytiles.ops.relational import pareto_orders
+    df = pareto_orders(SF_SMOKE).reset_index(drop=True)
+    o = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+    d = o["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    c = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    keep = np.ones(len(o), dtype=bool)
+    for i in range(len(o)):  # O(n^2) dominance brute force
+        dom = (d <= d[i]) & (c >= c[i]) & ((d < d[i]) | (c > c[i]))
+        if dom.any():
+            keep[i] = False
+    want = set(o["o_orderkey"].to_numpy()[keep])
+    assert set(df["o_orderkey"]) == want
+    assert len(df) == len(want)
+    assert len(df) > 0
+    # frontier is mutually non-dominating: dates strictly increasing
+    # implies prices strictly increasing after sorting by date
+    s = df.sort_values("o_orderdate")
+    p = np.floor(s["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    dd = s["o_orderdate"].to_numpy()
+    for i in range(1, len(s)):
+        if dd[i] != dd[i - 1]:
+            assert p[i] > p[: i].max()
+
+
+def test_pareto_orders_block_layout_invariant():
+    """Skyline partials must merge to the same frontier regardless of
+    how rows split into blocks (skyline-of-skylines property)."""
+    from ray.data import DataContext
+    from raytiles.ops.relational import pareto_orders
+    base = pareto_orders(SF_SMOKE)
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024  # force many tiny blocks
+        tiny = pareto_orders(SF_SMOKE)
+    finally:
+        ctx.target_max_block_size = old
+    assert np.array_equal(base["o_orderkey"].to_numpy(),
+                          tiny["o_orderkey"].to_numpy())
+
+
+def test_idle_customers_pandas_oracle():
+    from raytiles.ops.relational import idle_customers
+    df = idle_customers(SF_SMOKE).to_pandas() \
+        .sort_values("c_nationkey").reset_index(drop=True)
+    cust = pq.read_table(f"{SF_SMOKE}/customer.parquet").to_pandas()
+    o = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+    cents = np.floor(cust["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+    pos = cents[cents > 0]
+    rich = cust[cents * len(pos) > pos.sum()].assign(
+        cents=cents[cents * len(pos) > pos.sum()])
+    recent = set(o.loc[o["o_orderdate"] >= pd.Timestamp("2000-06-01"),
+                       "o_custkey"])
+    idle = rich[~rich["c_custkey"].isin(recent)]
+    want = idle.groupby("c_nationkey").agg(
+        n_cust=("c_custkey", "size"), total_cents=("cents", "sum"))
+    assert len(df) == len(want)
+    assert np.array_equal(df["c_nationkey"].to_numpy(), want.index.to_numpy())
+    assert np.array_equal(df["n_cust"].to_numpy(), want["n_cust"].to_numpy())
+    assert np.array_equal(df["total_cents"].to_numpy(),
+                          want["total_cents"].to_numpy())
+    assert df["n_cust"].sum() > 0
+
+
+def test_waiting_suppliers_pandas_oracle():
+    from raytiles.ops.relational import waiting_suppliers
+    df = waiting_suppliers(SF_SMOKE).to_pandas() \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pandas()
+    o = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+    sup = pq.read_table(f"{SF_SMOKE}/supplier.parquet").to_pandas()
+    m = li.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+        "l_shipdate"].max()
+    of = o[o["o_orderstatus"] == "F"]
+    j = m.merge(of[["o_orderkey", "o_orderdate"]],
+                left_on="l_orderkey", right_on="o_orderkey")
+    j["late"] = j["l_shipdate"] > j["o_orderdate"] + pd.Timedelta(days=90)
+    per = j.groupby("l_orderkey").agg(n_supp=("l_suppkey", "size"),
+                                      n_late=("late", "sum"))
+    qual = per[(per["n_supp"] >= 2) & (per["n_late"] == 1)].index
+    blamed = j[j["l_orderkey"].isin(qual) & j["late"]]
+    want = blamed.groupby("l_suppkey").size().sort_index()
+    assert len(df) == len(want)
+    assert np.array_equal(df["s_suppkey"].to_numpy(), want.index.to_numpy())
+    assert np.array_equal(df["n_waits"].to_numpy(), want.to_numpy())
+    names = dict(zip(sup["s_suppkey"], sup["s_name"]))
+    assert all(df["s_name"].iloc[i] == names[df["s_suppkey"].iloc[i]]
+               for i in range(len(df)))
+    assert df["n_waits"].sum() > 0
