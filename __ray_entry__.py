@@ -748,6 +748,13 @@ def _q_waiting_suppliers(sf_dir: str):
     return waiting_suppliers(sf_dir)
 
 
+def _q_order_price_ranks(sf_dir: str):
+    """TeraSort-pattern global sort: hash-sampled range splits, exact
+    prefix offsets, one bucket shuffle -> exact global row_number."""
+    from raytiles.ops.relational import order_price_ranks
+    return order_price_ranks(sf_dir)
+
+
 def _q_nation_revenue(sf_dir: str):
     """TPC-H Q5-shape multi-way join: lineitem partials |><| orders
     (partitioned hash join) |><| customer+nation (broadcast dims)."""
@@ -1503,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_orders": _q_late_orders,
         "user_entropy": _q_user_entropy,
         "pareto_orders": _q_pareto_orders,
+        "order_price_ranks": _q_order_price_ranks,
         "idle_customers": _q_idle_customers,
         "waiting_suppliers": _q_waiting_suppliers,
         "promo_revenue": _q_promo_revenue,
@@ -1693,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
         "late_orders": oracles.LATE_ORDERS_SQL,
         "user_entropy": oracles.USER_ENTROPY_SQL,
         "pareto_orders": oracles.PARETO_ORDERS_SQL,
+        "order_price_ranks": oracles.ORDER_PRICE_RANKS_SQL,
         "idle_customers": oracles.IDLE_CUSTOMERS_SQL,
         "waiting_suppliers": oracles.WAITING_SUPPLIERS_SQL,
         "promo_revenue": oracles.PROMO_REVENUE_SQL,

@@ -3521,3 +3521,81 @@ def waiting_suppliers(sf_dir: str, grace_days: int = 90,
             "n_waits": df["n_waits"].astype(np.int64)})
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def order_price_ranks(sf_dir: str, n_parts: int = 64,
+                      sample_mod: int = 32) -> ray.data.Dataset:
+    """TeraSort-pattern global sort with EXACT ranks: every order gets
+    its row_number under ORDER BY (cents, o_orderkey) without a global
+    sort barrier. Three column-pruned passes:
+    (1) a deterministic hash-selected key sample
+    (splitmix(o_orderkey) % sample_mod == 0 — a property of the ROW,
+    so the sample is block-layout independent) folds to n_parts-1
+    split points on the driver;
+    (2) per-batch histograms over the split buckets fold to exact
+    cross-bucket prefix offsets (<= n_parts rows per batch);
+    (3) rows shuffle ONCE on their range bucket; each reducer lexsorts
+    its bucket locally and adds its bucket's offset — local rank +
+    exact offset == global row_number. Rows tied on cents share a
+    bucket (side='right' partition rule), so the (cents, orderkey)
+    total order never straddles a boundary; a fully-degenerate key
+    column therefore lands in one bucket (documented skew bound — the
+    sample-split balance only helps when keys spread)."""
+    from ..util import splitmix64
+
+    def key_of(b: pa.Table):
+        ok = b["o_orderkey"].to_numpy().astype(np.int64)
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return ok, cents
+
+    def sample_batch(b: pa.Table) -> pa.Table:
+        ok, cents = key_of(b)
+        sel = splitmix64(ok) % np.uint64(sample_mod) == 0
+        return pa.table({"cents": cents[sel]})
+
+    cols = ["o_orderkey", "o_totalprice"]
+    samp = np.sort(ray.data.read_parquet(_p(sf_dir, "orders"), columns=cols)
+                   .map_batches(sample_batch, batch_format="pyarrow")
+                   .to_pandas()["cents"].to_numpy())
+    if samp.size >= n_parts:
+        splits = np.unique(samp[(np.arange(1, n_parts) * samp.size)
+                                // n_parts])
+    else:
+        splits = np.unique(samp)
+    n_buckets = splits.size + 1
+
+    def hist_batch(b: pa.Table) -> pa.Table:
+        _, cents = key_of(b)
+        cnt = np.bincount(np.searchsorted(splits, cents, side="right"),
+                          minlength=n_buckets)
+        return pa.table({"bucket": np.arange(n_buckets, dtype=np.int64),
+                         "n": cnt.astype(np.int64)})
+
+    hist = ray.data.read_parquet(_p(sf_dir, "orders"), columns=cols) \
+        .map_batches(hist_batch, batch_format="pyarrow").to_pandas() \
+        .groupby("bucket")["n"].sum()
+    counts = np.zeros(n_buckets, np.int64)
+    counts[hist.index.to_numpy()] = hist.to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    def part_batch(b: pa.Table) -> pa.Table:
+        ok, cents = key_of(b)
+        return pa.table({"o_orderkey": ok, "cents": cents,
+                         "bucket": np.searchsorted(splits, cents,
+                                                   side="right")
+                         .astype(np.int64)})
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(g["bucket"].iloc[0])
+        ok = g["o_orderkey"].to_numpy()
+        cents = g["cents"].to_numpy()
+        order = np.lexsort((ok, cents))
+        rank = np.empty(len(g), np.int64)
+        rank[order] = np.arange(1, len(g) + 1)
+        return pd.DataFrame({"o_orderkey": ok, "cents": cents,
+                             "global_rank": rank + offsets[bkt]})
+
+    return ray.data.read_parquet(_p(sf_dir, "orders"), columns=cols) \
+        .map_batches(part_batch, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(rank_group, batch_format="pandas")

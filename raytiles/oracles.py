@@ -2238,3 +2238,13 @@ SELECT j.sk AS s_suppkey, max(s.s_name) AS s_name,
 FROM j JOIN q USING (ok) JOIN supplier s ON s.s_suppkey = j.sk
 WHERE j.late GROUP BY 1
 """
+
+
+ORDER_PRICE_RANKS_SQL = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       CAST(row_number() OVER (
+            ORDER BY floor(o_totalprice * 100 + 0.5), o_orderkey)
+            AS BIGINT) AS global_rank
+FROM orders
+"""

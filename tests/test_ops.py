@@ -2212,3 +2212,46 @@ def test_waiting_suppliers_pandas_oracle():
     assert all(df["s_name"].iloc[i] == names[df["s_suppkey"].iloc[i]]
                for i in range(len(df)))
     assert df["n_waits"].sum() > 0
+
+
+def test_order_price_ranks_numpy_oracle():
+    from raytiles.ops.relational import order_price_ranks
+    df = order_price_ranks(SF_SMOKE).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    o = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pandas()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+    ok = o["o_orderkey"].to_numpy()
+    order = np.lexsort((ok, cents))
+    want_rank = np.empty(len(o), np.int64)
+    want_rank[order] = np.arange(1, len(o) + 1)
+    want = pd.DataFrame({"o_orderkey": ok, "global_rank": want_rank}) \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert len(df) == len(want)
+    assert np.array_equal(df["o_orderkey"].to_numpy(),
+                          want["o_orderkey"].to_numpy())
+    assert np.array_equal(df["global_rank"].to_numpy(),
+                          want["global_rank"].to_numpy())
+    # ranks are a permutation of 1..n
+    assert df["global_rank"].min() == 1
+    assert df["global_rank"].max() == len(df)
+    assert df["global_rank"].nunique() == len(df)
+
+
+def test_order_price_ranks_block_layout_invariant():
+    """The hash-selected sample and exact offsets must make ranks
+    independent of how rows split into blocks."""
+    from ray.data import DataContext
+    from raytiles.ops.relational import order_price_ranks
+    base = order_price_ranks(SF_SMOKE).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny = order_price_ranks(SF_SMOKE).to_pandas() \
+            .sort_values("o_orderkey").reset_index(drop=True)
+    finally:
+        ctx.target_max_block_size = old
+    assert np.array_equal(base["global_rank"].to_numpy(),
+                          tiny["global_rank"].to_numpy())
