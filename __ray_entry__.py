@@ -1194,6 +1194,18 @@ def _q_mvt_overlay(sf_dir: str):
     return mvt_overlay(tiles_pipeline(wp, 12), heatmap_pipeline(wp, 12))
 
 
+def _q_mvt_simplify(sf_dir: str):
+    """Tippecanoe-style post-hoc Douglas-Peucker inside encoded tiles
+    (shuffle-free decode -> simplify -> re-encode). Rows-only: binary
+    output; subset/closure/sign invariants + reduction goldens pinned
+    by pytest."""
+    from raytiles.pipeline.overlay import mvt_simplify
+    from raytiles.pipeline.synth import webpages_path
+    from raytiles.pipeline.trajectories import trajectories_pipeline
+    return mvt_simplify(trajectories_pipeline(webpages_path(sf_dir), 6),
+                        tolerance=8.0)
+
+
 def _q_mvt_rescale(sf_dir: str):
     """Re-extent the flagship tile set 4096 -> 8192 (exact integer
     2x upscale). Rows-only: binary output; exactness pinned by the
@@ -1551,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_overlay": _q_mvt_overlay,
         "mvt_filter": _q_mvt_filter,
         "mvt_rescale": _q_mvt_rescale,
+        "mvt_simplify": _q_mvt_simplify,
         "mvt_diff": _q_mvt_diff,
         "pyramid_mvt": _q_pyramid_mvt,
         "mvt_enrich": _q_mvt_enrich,

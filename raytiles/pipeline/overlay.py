@@ -298,3 +298,80 @@ def mvt_rescale(tiles: ray.data.Dataset,
         return res.append_column("mvt", pa.array(out, pa.binary()))
 
     return tiles.map_batches(fn, batch_format="pyarrow")
+
+
+def mvt_simplify(tiles: ray.data.Dataset,
+                 tolerance: float = 2.0) -> ray.data.Dataset:
+    """Low-zoom geometry reduction INSIDE encoded tiles (the
+    tippecanoe-style post-hoc transform a tile server applies when
+    serving a high-detail tile set at an overview zoom): per batch,
+    decode -> Douglas-Peucker every linestring segment and polygon
+    ring to ``tolerance`` extent units -> re-encode. Embarrassingly
+    parallel, no shuffle. Structural invariants preserved: DP always
+    keeps endpoints, so rings stay closed; a simplified exterior ring
+    must stay >= 4 rows with surveyor > 0 (holes < 0) or the ring is
+    dropped — the decoder's sign-run hole attachment
+    (Internal.hs:202-206 semantics) can never mis-group a simplified
+    polygon; linestring segments below 2 points drop; features,
+    layers, tiles emptied by the reduction are dropped (an empty
+    layer is an encode error, matching the reference's decode-side
+    rejection). Output vertices are always a subset of input vertices
+    (pinned by pytest), metadata and fids pass through untouched."""
+    from ..codec.geometry import surveyor
+    from ..geo.simplify import dp_keep_mask
+
+    def simp(arr: np.ndarray) -> np.ndarray:
+        m = dp_keep_mask(arr[:, 0].astype(np.float64),
+                         arr[:, 1].astype(np.float64), tolerance)
+        return arr[m]
+
+    def fn(t: pa.Table) -> pa.Table:
+        z = t["z"].to_numpy()
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        mvts = t["mvt"].to_pylist()
+        oz, ox, oy, om, on = [], [], [], [], []
+        for i, raw in enumerate(mvts):
+            tile = decode_tile(raw)
+            out_layers = {}
+            for name, lay in tile.layers.items():
+                lns = []
+                for f in lay.linestrings:
+                    segs = [s for s in (simp(np.asarray(seg))
+                                        for seg in f.geometry)
+                            if len(s) >= 2]
+                    if segs:
+                        lns.append(Feature(f.fid, f.metadata, segs))
+                pgs = []
+                for f in lay.polygons:
+                    polys = []
+                    for rings in f.geometry:
+                        ext = simp(np.asarray(rings[0]))
+                        if len(ext) < 4 or surveyor(ext) <= 0:
+                            continue
+                        holes = [h for h in (simp(np.asarray(r))
+                                             for r in rings[1:])
+                                 if len(h) >= 4 and surveyor(h) < 0]
+                        polys.append([ext] + holes)
+                    if polys:
+                        pgs.append(Feature(f.fid, f.metadata, polys))
+                if lay.points or lns or pgs:
+                    out_layers[name] = Layer(
+                        name=lay.name, version=lay.version,
+                        extent=lay.extent, points=list(lay.points),
+                        linestrings=lns, polygons=pgs)
+            if out_layers:
+                oz.append(int(z[i]))
+                ox.append(int(x[i]))
+                oy.append(int(y[i]))
+                om.append(encode_tile(VectorTile(out_layers)))
+                on.append(sum(len(l.points) + len(l.linestrings)
+                              + len(l.polygons)
+                              for l in out_layers.values()))
+        return pa.table({
+            "z": pa.array(oz, pa.int64()), "x": pa.array(ox, pa.int64()),
+            "y": pa.array(oy, pa.int64()),
+            "mvt": pa.array(om, pa.binary()),
+            "n_features": pa.array(on, pa.int64())})
+
+    return tiles.map_batches(fn, batch_format="pyarrow")

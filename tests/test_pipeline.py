@@ -925,3 +925,103 @@ def test_mvt_rescale_doubles_every_coordinate():
                     for r1, r2 in zip(f1.geometry, f2.geometry):
                         for q1, q2 in zip(r1, r2):
                             assert np.array_equal(q1 * 2, q2)
+
+
+def test_mvt_simplify_subset_and_structure():
+    """mvt_simplify structural invariants on real pipeline tiles:
+    every output vertex is an input vertex, endpoints survive, rings
+    stay closed with valid signs, output decodes."""
+    from raytiles.codec.geometry import surveyor
+    from raytiles.pipeline.overlay import mvt_simplify
+    from raytiles.pipeline.trajectories import trajectories_pipeline
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    base = trajectories_pipeline(wp, 6).to_pandas()
+    simp = mvt_simplify(trajectories_pipeline(wp, 6),
+                        tolerance=8.0).to_pandas()
+    assert len(simp) > 0
+    bkey = {(z, x, y): m for z, x, y, m in
+            zip(base["z"], base["x"], base["y"], base["mvt"])}
+    for _, r in simp.iterrows():
+        t_in = decode_tile(bkey[(r["z"], r["x"], r["y"])])
+        t_out = decode_tile(r["mvt"])
+        for name, lay in t_out.layers.items():
+            lin = t_in.layers[name]
+            in_lines = {f.fid: f for f in lin.linestrings}
+            for f in lay.linestrings:
+                src = in_lines[f.fid]
+                src_pts = {tuple(p) for s in src.geometry
+                           for p in np.asarray(s)}
+                for gi, seg in enumerate(f.geometry):
+                    seg = np.asarray(seg)
+                    sseg = np.asarray(src.geometry[gi])
+                    assert {tuple(p) for p in seg} <= src_pts
+                    assert tuple(seg[0]) == tuple(sseg[0])
+                    assert tuple(seg[-1]) == tuple(sseg[-1])
+            for f in lay.polygons:
+                for rings in f.geometry:
+                    assert surveyor(np.asarray(rings[0])) > 0
+                    for h in rings[1:]:
+                        assert surveyor(np.asarray(h)) < 0
+                    for ring in rings:
+                        ring = np.asarray(ring)
+                        assert tuple(ring[0]) == tuple(ring[-1])
+
+
+def test_mvt_simplify_reduces_synthetic_dense_tile():
+    """A noisy dense line collapses to endpoints + the one real spike;
+    a many-vertex square ring collapses to its 4 corners; the hole
+    survives with its sign; tolerance is monotone."""
+    import ray
+    from raytiles.codec.encode import encode_tile
+    from raytiles.codec.geometry import surveyor
+    from raytiles.codec.model import Feature, Layer, VectorTile
+    from raytiles.pipeline.overlay import mvt_simplify
+    # line: y jitters +-1 around 100, one spike to 200 at x=512
+    xs = np.arange(0, 1025, 8, dtype=np.int64)
+    ys = np.full(xs.size, 100, np.int64)
+    ys[1:-1:2] += 1
+    ys[xs == 512] = 200
+    line = np.stack([xs, ys], axis=1)
+    # square ring with 32 collinear vertices per side (closed, CW in
+    # y-down screen space => positive surveyor)
+    def side(p0, p1, n=32):
+        t = np.linspace(0, 1, n, endpoint=False)
+        return np.stack([p0[0] + (p1[0] - p0[0]) * t,
+                         p0[1] + (p1[1] - p0[1]) * t], axis=1)
+    ring = np.concatenate([side((0, 0), (1000, 0)),
+                           side((1000, 0), (1000, 1000)),
+                           side((1000, 1000), (0, 1000)),
+                           side((0, 1000), (0, 0)),
+                           [[0, 0]]]).astype(np.int64)
+    assert surveyor(ring) > 0
+    hole = np.array([[200, 200], [200, 800], [800, 800],
+                     [800, 200], [200, 200]], np.int64)
+    assert surveyor(hole) < 0
+    tile = VectorTile({b"t": Layer(
+        name=b"t", version=2, extent=4096,
+        linestrings=[Feature(1, {}, [line])],
+        polygons=[Feature(2, {}, [[ring, hole]])])})
+    ds = ray.data.from_arrow(pa.table({
+        "z": pa.array([6], pa.int64()), "x": pa.array([0], pa.int64()),
+        "y": pa.array([0], pa.int64()),
+        "mvt": pa.array([encode_tile(tile)], pa.binary())}))
+    out = mvt_simplify(ds, tolerance=4.0).to_pandas()
+    t = decode_tile(out["mvt"].iloc[0])
+    lay = t.layers[b"t"]
+    seg = np.asarray(lay.linestrings[0].geometry[0])
+    assert len(seg) < len(line)  # jitter below tol dropped
+    assert (seg[:, 1] == 200).any()  # the spike survives
+    assert tuple(seg[0]) == (0, 100) and tuple(seg[-1]) == (1024, 100)
+    rings = lay.polygons[0].geometry[0]
+    ext = np.asarray(rings[0])
+    assert len(ext) == 5  # 4 corners + closure
+    assert {tuple(p) for p in ext} == {
+        (0, 0), (1000, 0), (1000, 1000), (0, 1000)}
+    assert surveyor(ext) > 0
+    assert len(rings) == 2 and surveyor(np.asarray(rings[1])) < 0
+    # monotone: huge tolerance drops the spike too
+    out2 = mvt_simplify(ds, tolerance=500.0).to_pandas()
+    t2 = decode_tile(out2["mvt"].iloc[0])
+    seg2 = np.asarray(t2.layers[b"t"].linestrings[0].geometry[0])
+    assert len(seg2) <= len(seg)
