@@ -1194,6 +1194,24 @@ def _q_mvt_overlay(sf_dir: str):
     return mvt_overlay(tiles_pipeline(wp, 12), heatmap_pipeline(wp, 12))
 
 
+def _q_point_clusters(sf_dir: str):
+    """Supercluster-style map clustering table: per (tile, grid cell)
+    exact integer centroid + point count via ONE bounded
+    splitmix(tile) bucket shuffle of per-batch cell partials."""
+    from raytiles.ops.raster import point_clusters
+    from raytiles.pipeline.synth import webpages_path
+    return point_clusters(webpages_path(sf_dir), 12)
+
+
+def _q_clusters_mvt(sf_dir: str):
+    """The MVT face of point_clusters: cluster point features with
+    point_count (I64) metadata, fid = cell index. Rows-only: binary
+    output; pytest decodes back against the cluster table."""
+    from raytiles.ops.raster import cluster_tiles_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    return cluster_tiles_pipeline(webpages_path(sf_dir), 12)
+
+
 def _q_mvt_simplify(sf_dir: str):
     """Tippecanoe-style post-hoc Douglas-Peucker inside encoded tiles
     (shuffle-free decode -> simplify -> re-encode). Rows-only: binary
@@ -1564,6 +1582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_filter": _q_mvt_filter,
         "mvt_rescale": _q_mvt_rescale,
         "mvt_simplify": _q_mvt_simplify,
+        "point_clusters": _q_point_clusters,
+        "clusters_mvt": _q_clusters_mvt,
         "mvt_diff": _q_mvt_diff,
         "pyramid_mvt": _q_pyramid_mvt,
         "mvt_enrich": _q_mvt_enrich,
@@ -1741,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
         "geohashes": oracles.geohashes_sql(wp),
         "tile_pyramid": oracles.tile_pyramid_sql(wp),
         "raster_cells": oracles.raster_cells_sql(wp),
+        "point_clusters": oracles.point_clusters_sql(wp),
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),
         "geofence_join": oracles.geofence_join_sql(wp),
         "comention_edges": oracles.comention_edges_sql(wp),

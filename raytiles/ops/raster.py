@@ -257,3 +257,117 @@ def tile_neighborhood(webpages_path: str, zoom: int = 12,
     ds = assign(geoparse(read_webpages(webpages_path)), zoom, with_cells=False)
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def _cluster_partials(zoom: int, radius: int, n_buckets: int):
+    """Shared partial stage for the supercluster family: per batch,
+    collapse mentions to per-(tile, grid-cell) rows carrying
+    (n, sum_local_x, sum_local_y); bucket by splitmix(tile) so one
+    tile's whole cell set (<= (4096/radius)^2 rows) co-locates."""
+    from ..util import bucket_of
+
+    n = 1 << zoom
+    cells = 4096 // radius
+
+    def partial(b: pa.Table) -> pa.Table:
+        tx = b["x"].to_numpy().astype(np.int64)
+        ty = b["y"].to_numpy().astype(np.int64)
+        lx = b["local_x"].to_numpy().astype(np.int64)
+        ly = b["local_y"].to_numpy().astype(np.int64)
+        tile = tx * n + ty
+        key = (tile * cells + lx // radius) * cells + ly // radius
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv)
+        sx = np.bincount(inv, weights=lx).astype(np.int64)
+        sy = np.bincount(inv, weights=ly).astype(np.int64)
+        ut = uk // (cells * cells)
+        return pa.table({
+            "key": uk, "n": cnt.astype(np.int64), "sx": sx, "sy": sy,
+            "bucket": bucket_of(ut, n_buckets)})
+
+    return partial, n, cells
+
+
+def point_clusters(webpages_path: str, zoom: int = 12, radius: int = 256,
+                   n_buckets: int = 512) -> ray.data.Dataset:
+    """Supercluster-style map clustering (the display-time point
+    reduction every slippy-map product ships): mentions bin into
+    ``radius``-extent-unit grid cells inside their tile; each occupied
+    cell becomes one cluster row with an exact integer centroid
+    (sum // n — a singleton's centroid IS its original point) and its
+    point count. Per-batch partials collapse a batch to occupied-cell
+    rows before the ONE bounded splitmix(tile) bucket shuffle; a tile
+    contributes at most (4096/radius)^2 rows per batch, so reducer
+    state is bounded at any corpus size."""
+    from ..pipeline.flagship import assign, geoparse, read_webpages
+
+    partial, n, cells = _cluster_partials(zoom, radius, n_buckets)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("key", as_index=False)[["n", "sx", "sy"]].sum()
+        key = m["key"].to_numpy()
+        npts = m["n"].to_numpy()
+        gy = key % cells
+        gx = (key // cells) % cells
+        tile = key // (cells * cells)
+        return pd.DataFrame({
+            "z": np.full(key.size, zoom, np.int64),
+            "x": tile // n, "y": tile % n, "gx": gx, "gy": gy,
+            "n": npts,
+            "cx": m["sx"].to_numpy() // npts,
+            "cy": m["sy"].to_numpy() // npts})
+
+    ds = assign(geoparse(read_webpages(webpages_path)), zoom,
+                with_cells=False)
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def cluster_tiles_pipeline(webpages_path: str, zoom: int = 12,
+                           radius: int = 256,
+                           n_buckets: int = 512) -> ray.data.Dataset:
+    """The MVT face of point_clusters: per tile, one point feature per
+    occupied cell at the integer centroid, carrying point_count (I64)
+    metadata — fid = gx * cells + gy so the feature set is
+    deterministic. Same single bounded shuffle; the reducer both
+    merges cell partials and encodes its tiles."""
+    from ..pipeline.flagship import assign, geoparse, read_webpages
+
+    partial, n, cells = _cluster_partials(zoom, radius, n_buckets)
+
+    def encode_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("key", as_index=False)[["n", "sx", "sy"]].sum()
+        key = m["key"].to_numpy()
+        order = np.argsort(key)
+        key = key[order]
+        npts = m["n"].to_numpy()[order]
+        cx = m["sx"].to_numpy()[order] // npts
+        cy = m["sy"].to_numpy()[order] // npts
+        cell = key % (cells * cells)
+        tile = key // (cells * cells)
+        ut, start = np.unique(tile, return_index=True)
+        bounds = np.append(start, key.size)
+        oz, ox, oy, om, on = [], [], [], [], []
+        for t in range(ut.size):
+            lo, hi = bounds[t], bounds[t + 1]
+            feats = [Feature(int(cell[i]),
+                             {b"point_count": (I64V, int(npts[i]))},
+                             np.array([[cx[i], cy[i]]], np.int64))
+                     for i in range(lo, hi)]
+            layer = Layer(name=b"clusters", version=2, extent=4096,
+                          points=feats)
+            oz.append(zoom)
+            ox.append(int(ut[t] // n))
+            oy.append(int(ut[t] % n))
+            om.append(encode_tile(VectorTile({b"clusters": layer})))
+            on.append(hi - lo)
+        return pd.DataFrame({"z": np.asarray(oz, np.int64),
+                             "x": np.asarray(ox, np.int64),
+                             "y": np.asarray(oy, np.int64),
+                             "mvt": om,
+                             "n_clusters": np.asarray(on, np.int64)})
+
+    ds = assign(geoparse(read_webpages(webpages_path)), zoom,
+                with_cells=False)
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(encode_group, batch_format="pandas")

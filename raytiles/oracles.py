@@ -2248,3 +2248,17 @@ SELECT o_orderkey,
             AS BIGINT) AS global_rank
 FROM orders
 """
+
+
+def point_clusters_sql(webpages_parquet: str, zoom: int = 12,
+                       radius: int = 256) -> str:
+    """Supercluster twin: per (tile, grid cell) exact integer centroid
+    (sum // n — identical floor division both sides; local coords are
+    non-negative) and point count."""
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs(z=zoom)} "
+            f"SELECT z, x, y, local_x // {radius} AS gx, "
+            f"local_y // {radius} AS gy, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(local_x) // count(*) AS BIGINT) AS cx, "
+            "CAST(sum(local_y) // count(*) AS BIGINT) AS cy "
+            "FROM localized GROUP BY z, x, y, gx, gy")

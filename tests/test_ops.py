@@ -2255,3 +2255,52 @@ def test_order_price_ranks_block_layout_invariant():
         ctx.target_max_block_size = old
     assert np.array_equal(base["global_rank"].to_numpy(),
                           tiny["global_rank"].to_numpy())
+
+
+def test_point_clusters_pandas_oracle():
+    from raytiles.ops.raster import point_clusters
+    from raytiles.pipeline.flagship import assignments_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    df = point_clusters(wp, 12).to_pandas() \
+        .sort_values(["x", "y", "gx", "gy"]).reset_index(drop=True)
+    m = assignments_pipeline(wp, 12).to_pandas()
+    m["gx"] = m["local_x"] // 256
+    m["gy"] = m["local_y"] // 256
+    want = m.groupby(["x", "y", "gx", "gy"]).agg(
+        n=("local_x", "size"), sx=("local_x", "sum"),
+        sy=("local_y", "sum")).reset_index() \
+        .sort_values(["x", "y", "gx", "gy"]).reset_index(drop=True)
+    assert len(df) == len(want)
+    for c in ("x", "y", "gx", "gy"):
+        assert np.array_equal(df[c].to_numpy(),
+                              want[c].to_numpy().astype(np.int64))
+    assert np.array_equal(df["n"].to_numpy(), want["n"].to_numpy())
+    assert np.array_equal(df["cx"].to_numpy(),
+                          (want["sx"] // want["n"]).to_numpy())
+    assert np.array_equal(df["cy"].to_numpy(),
+                          (want["sy"] // want["n"]).to_numpy())
+    assert (df["n"] >= 2).any()  # real clusters exist, not all singletons
+
+
+def test_cluster_tiles_decode_back_matches_table():
+    from raytiles.codec.decode import decode_tile
+    from raytiles.ops.raster import cluster_tiles_pipeline, point_clusters
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    table = point_clusters(wp, 12).to_pandas()
+    tiles = cluster_tiles_pipeline(wp, 12).to_pandas()
+    want = {(x, y): g for (x, y), g in table.groupby(["x", "y"])}
+    assert len(tiles) == len(want)
+    cells = 4096 // 256
+    for _, r in tiles.iterrows():
+        g = want[(r["x"], r["y"])].sort_values(["gx", "gy"])
+        t = decode_tile(r["mvt"])
+        feats = t.layers[b"clusters"].points
+        assert len(feats) == len(g) == r["n_clusters"]
+        for f, (_, row) in zip(feats, g.iterrows()):
+            assert f.fid == row["gx"] * cells + row["gy"]
+            assert f.metadata[b"point_count"][1] == row["n"]
+            pt = np.asarray(f.geometry).reshape(-1, 2)
+            assert pt.shape[0] == 1
+            assert pt[0, 0] == row["cx"] and pt[0, 1] == row["cy"]
