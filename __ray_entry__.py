@@ -1194,6 +1194,15 @@ def _q_mvt_overlay(sf_dir: str):
     return mvt_overlay(tiles_pipeline(wp, 12), heatmap_pipeline(wp, 12))
 
 
+def _q_raster_blur(sf_dir: str):
+    """Ghost-cell halo convolution: 3x3 integer binomial blur over the
+    global sub-tile grid via weight-premultiplied replicate partials +
+    ONE bounded bucket shuffle."""
+    from raytiles.ops.raster import raster_blur
+    from raytiles.pipeline.synth import webpages_path
+    return raster_blur(webpages_path(sf_dir), 8)
+
+
 def _q_point_clusters(sf_dir: str):
     """Supercluster-style map clustering table: per (tile, grid cell)
     exact integer centroid + point count via ONE bounded
@@ -1583,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_rescale": _q_mvt_rescale,
         "mvt_simplify": _q_mvt_simplify,
         "point_clusters": _q_point_clusters,
+        "raster_blur": _q_raster_blur,
         "clusters_mvt": _q_clusters_mvt,
         "mvt_diff": _q_mvt_diff,
         "pyramid_mvt": _q_pyramid_mvt,
@@ -1762,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": oracles.tile_pyramid_sql(wp),
         "raster_cells": oracles.raster_cells_sql(wp),
         "point_clusters": oracles.point_clusters_sql(wp),
+        "raster_blur": oracles.raster_blur_sql(wp),
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),
         "geofence_join": oracles.geofence_join_sql(wp),
         "comention_edges": oracles.comention_edges_sql(wp),

@@ -371,3 +371,61 @@ def cluster_tiles_pipeline(webpages_path: str, zoom: int = 12,
                 with_cells=False)
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(encode_group, batch_format="pandas")
+
+
+def raster_blur(webpages_path: str, zoom: int = 8, grid_cell: int = 16,
+                n_buckets: int = 1024) -> ray.data.Dataset:
+    """Distributed raster convolution with ghost-cell (halo) exchange:
+    a 3x3 integer binomial kernel (1 2 1 / 2 4 2 / 1 2 1) over the
+    GLOBAL sub-tile density grid — cells are global coordinates
+    (tile * cells_per_tile + cell), so the stencil crosses tile
+    borders exactly where a per-tile blur would seam.
+
+    Shape: convolution commutes with summation, so each batch's
+    per-cell count partials REPLICATE to their <= 9 clipped neighbor
+    targets with the kernel weight pre-multiplied; ONE bounded
+    splitmix(target) bucket shuffle and a vectorized sum-merge finish
+    it — no join, no dense grid materialization, work proportional to
+    OCCUPIED cells (9x), never to grid area. All-integer weights keep
+    the result exact at any merge order."""
+    from ..pipeline.flagship import assign, geoparse, read_webpages
+    from ..util import bucket_of
+
+    cells = 4096 // grid_cell
+    span = (1 << zoom) * cells  # global cells per axis
+    kernel = [(-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
+              (0, -1, 2), (0, 0, 4), (0, 1, 2),
+              (1, -1, 1), (1, 0, 2), (1, 1, 1)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        gx = b["x"].to_numpy().astype(np.int64) * cells \
+            + b["local_x"].to_numpy().astype(np.int64) // grid_cell
+        gy = b["y"].to_numpy().astype(np.int64) * cells \
+            + b["local_y"].to_numpy().astype(np.int64) // grid_cell
+        key = gx * span + gy
+        uk, cnt = np.unique(key, return_counts=True)
+        ux, uy = uk // span, uk % span
+        tx, ty, tw = [], [], []
+        for dx, dy, w in kernel:
+            nx, ny = ux + dx, uy + dy
+            ok = (nx >= 0) & (nx < span) & (ny >= 0) & (ny < span)
+            tx.append(nx[ok])
+            ty.append(ny[ok])
+            tw.append(cnt[ok] * w)
+        tx = np.concatenate(tx)
+        ty = np.concatenate(ty)
+        tgt = tx * span + ty
+        return pa.table({
+            "key": tgt, "v": np.concatenate(tw).astype(np.int64),
+            "bucket": bucket_of(tgt, n_buckets)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("key", as_index=False)["v"].sum()
+        key = m["key"].to_numpy()
+        return pd.DataFrame({"gx": key // span, "gy": key % span,
+                             "blurred": m["v"].to_numpy()})
+
+    ds = assign(geoparse(read_webpages(webpages_path)), zoom,
+                with_cells=False)
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")

@@ -2262,3 +2262,24 @@ def point_clusters_sql(webpages_parquet: str, zoom: int = 12,
             "CAST(sum(local_x) // count(*) AS BIGINT) AS cx, "
             "CAST(sum(local_y) // count(*) AS BIGINT) AS cy "
             "FROM localized GROUP BY z, x, y, gx, gy")
+
+
+def raster_blur_sql(webpages_parquet: str, zoom: int = 8,
+                    grid_cell: int = 16) -> str:
+    """Halo-blur twin: per-cell counts convolved with the same 3x3
+    integer binomial kernel via a 9-row VALUES cross join; identical
+    edge clipping (targets outside [0, span) excluded)."""
+    cells = 4096 // grid_cell
+    span = (1 << zoom) * cells
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs(z=zoom)}, "
+            f"counts AS (SELECT x * {cells} + local_x // {grid_cell} AS gx, "
+            f"y * {cells} + local_y // {grid_cell} AS gy, count(*) AS n "
+            "FROM localized GROUP BY 1, 2), "
+            "k(dx, dy, w) AS (VALUES (-1,-1,1),(-1,0,2),(-1,1,1),"
+            "(0,-1,2),(0,0,4),(0,1,2),(1,-1,1),(1,0,2),(1,1,1)) "
+            "SELECT c.gx + k.dx AS gx, c.gy + k.dy AS gy, "
+            "CAST(sum(c.n * k.w) AS BIGINT) AS blurred "
+            "FROM counts c CROSS JOIN k "
+            f"WHERE c.gx + k.dx >= 0 AND c.gx + k.dx < {span} "
+            f"AND c.gy + k.dy >= 0 AND c.gy + k.dy < {span} "
+            "GROUP BY 1, 2")

@@ -2304,3 +2304,39 @@ def test_cluster_tiles_decode_back_matches_table():
             pt = np.asarray(f.geometry).reshape(-1, 2)
             assert pt.shape[0] == 1
             assert pt[0, 0] == row["cx"] and pt[0, 1] == row["cy"]
+
+
+def test_raster_blur_scipy_free_oracle():
+    """Dense-grid recompute: scatter counts into the full global grid,
+    convolve with the binomial kernel by shifting, compare nonzeros."""
+    from raytiles.ops.raster import raster_blur
+    from raytiles.pipeline.flagship import assignments_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    zoom, grid_cell = 5, 256  # tiny global grid: 32 tiles * 16 cells
+    df = raster_blur(wp, zoom, grid_cell).to_pandas() \
+        .sort_values(["gx", "gy"]).reset_index(drop=True)
+    m = assignments_pipeline(wp, zoom).to_pandas()
+    cells = 4096 // grid_cell
+    span = (1 << zoom) * cells
+    gx = (m["x"] * cells + m["local_x"] // grid_cell).to_numpy()
+    gy = (m["y"] * cells + m["local_y"] // grid_cell).to_numpy()
+    dense = np.zeros((span, span), np.int64)
+    np.add.at(dense, (gx, gy), 1)
+    out = np.zeros_like(dense)
+    for dx, dy, w in [(-1, -1, 1), (-1, 0, 2), (-1, 1, 1), (0, -1, 2),
+                      (0, 0, 4), (0, 1, 2), (1, -1, 1), (1, 0, 2),
+                      (1, 1, 1)]:
+        src = dense[max(0, -dx):span - max(0, dx),
+                    max(0, -dy):span - max(0, dy)]
+        out[max(0, dx):span - max(0, -dx),
+            max(0, dy):span - max(0, -dy)] += w * src
+    wx, wy = np.nonzero(out)
+    assert len(df) == wx.size
+    assert np.array_equal(df["gx"].to_numpy(), wx)
+    assert np.array_equal(df["gy"].to_numpy(), wy)
+    assert np.array_equal(df["blurred"].to_numpy(), out[wx, wy])
+    # the halo reached cells with zero own count (ghost cells are real)
+    own = {(a, b) for a, b in zip(gx, gy)}
+    assert any((a, b) not in own for a, b in zip(wx, wy))
+    assert df["blurred"].sum() == 16 * len(m)  # kernel mass conservation
