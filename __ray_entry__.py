@@ -1194,6 +1194,22 @@ def _q_mvt_overlay(sf_dir: str):
     return mvt_overlay(tiles_pipeline(wp, 12), heatmap_pipeline(wp, 12))
 
 
+def _q_iso_segments(sf_dir: str):
+    """Marching-squares isoline segments over per-tile density grids
+    (vectorized case table per dense local grid; no extra shuffle)."""
+    from raytiles.ops.raster import iso_segments
+    from raytiles.pipeline.synth import webpages_path
+    return iso_segments(webpages_path(sf_dir), 8)
+
+
+def _q_isolines_mvt(sf_dir: str):
+    """Chained isoline polylines encoded as multi-linestring MVT
+    features. Rows-only; chaining/topology pinned by pytest."""
+    from raytiles.ops.raster import isolines_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    return isolines_pipeline(webpages_path(sf_dir), 8)
+
+
 def _q_raster_blur(sf_dir: str):
     """Ghost-cell halo convolution: 3x3 integer binomial blur over the
     global sub-tile grid via weight-premultiplied replicate partials +
@@ -1593,6 +1609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_simplify": _q_mvt_simplify,
         "point_clusters": _q_point_clusters,
         "raster_blur": _q_raster_blur,
+        "iso_segments": _q_iso_segments,
+        "isolines_mvt": _q_isolines_mvt,
         "clusters_mvt": _q_clusters_mvt,
         "mvt_diff": _q_mvt_diff,
         "pyramid_mvt": _q_pyramid_mvt,
@@ -1773,6 +1791,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_cells": oracles.raster_cells_sql(wp),
         "point_clusters": oracles.point_clusters_sql(wp),
         "raster_blur": oracles.raster_blur_sql(wp),
+        "iso_segments": oracles.iso_segments_sql(wp),
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),
         "geofence_join": oracles.geofence_join_sql(wp),
         "comention_edges": oracles.comention_edges_sql(wp),

@@ -429,3 +429,165 @@ def raster_blur(webpages_path: str, zoom: int = 8, grid_cell: int = 16,
                 with_cells=False)
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+# marching squares: case index = 8*TL + 4*TR + 2*BR + 1*BL (inside
+# bits); saddles (5, 10) split as two separate corners. Each entry is
+# the list of (edge_a, edge_b) midpoint pairs the block contributes;
+# edges are N/S/W/E of the 2x2 block of cell centers.
+_MS_TABLE = {
+    1: [("W", "S")], 2: [("S", "E")], 3: [("W", "E")],
+    4: [("N", "E")], 5: [("N", "E"), ("W", "S")], 6: [("N", "S")],
+    7: [("W", "N")], 8: [("W", "N")], 9: [("N", "S")],
+    10: [("W", "N"), ("S", "E")], 11: [("N", "E")], 12: [("W", "E")],
+    13: [("S", "E")], 14: [("W", "S")],
+}
+
+
+def _ms_edge_xy(edge: str, bx: np.ndarray, by: np.ndarray, s: int):
+    """Midpoint of a block edge in tile-local pixels; cell centers sit
+    at (s*g + s/2), so midpoints are exact integers for even s."""
+    h = s // 2
+    if edge == "N":
+        return bx * s + s, by * s + h
+    if edge == "S":
+        return bx * s + s, by * s + s + h
+    if edge == "W":
+        return bx * s + h, by * s + s
+    return bx * s + s + h, by * s + s  # E
+
+
+def _ms_segments(grid: np.ndarray, threshold: int, s: int):
+    """Vectorized marching squares over one dense grid[gy, gx]:
+    returns (x0, y0, x1, y1) int64 segment arrays, block scan order
+    (deterministic)."""
+    B = grid >= threshold
+    case = (B[:-1, :-1].astype(np.uint8) << 3) \
+        | (B[:-1, 1:].astype(np.uint8) << 2) \
+        | (B[1:, 1:].astype(np.uint8) << 1) \
+        | B[1:, :-1].astype(np.uint8)
+    outs = []
+    for c, pairs in _MS_TABLE.items():
+        by, bx = np.nonzero(case == c)
+        if not bx.size:
+            continue
+        for ea, eb in pairs:
+            x0, y0 = _ms_edge_xy(ea, bx, by, s)
+            x1, y1 = _ms_edge_xy(eb, bx, by, s)
+            outs.append((x0, y0, x1, y1))
+    if not outs:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    return tuple(np.concatenate([o[i] for o in outs]).astype(np.int64)
+                 for i in range(4))
+
+
+def iso_segments(webpages_path: str, zoom: int = 8,
+                 threshold: int = 1) -> ray.data.Dataset:
+    """Marching-squares isoline SEGMENTS over per-tile density grids:
+    for every interior 2x2 block of cell centers straddling
+    ``threshold``, the standard case table emits 1-2 segments between
+    edge midpoints (integer tile-local pixels). Embarrassingly
+    parallel after the rasterize shuffle — each tile's grid is dense
+    and local, so the whole case computation is one vectorized pass;
+    work tracks the contour length, not grid area."""
+    from ..pipeline.flagship import assign, geoparse, read_webpages
+
+    s = 4096 // GRID
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"z": [], "x": [], "y": [],
+                "x0": [], "y0": [], "x1": [], "y1": []}
+        for i in range(len(b)):
+            grid = np.frombuffer(b["raster"].iloc[i], dtype=np.uint32) \
+                .reshape(GRID, GRID)
+            x0, y0, x1, y1 = _ms_segments(grid, threshold, s)
+            rows["z"].append(np.full(x0.size, b["z"].iloc[i], np.int64))
+            rows["x"].append(np.full(x0.size, b["x"].iloc[i], np.int64))
+            rows["y"].append(np.full(x0.size, b["y"].iloc[i], np.int64))
+            rows["x0"].append(x0)
+            rows["y0"].append(y0)
+            rows["x1"].append(x1)
+            rows["y1"].append(y1)
+        return pd.DataFrame({k: np.concatenate(v) if v else
+                             np.zeros(0, np.int64)
+                             for k, v in rows.items()})
+
+    ds = assign(geoparse(read_webpages(webpages_path)), zoom,
+                with_cells=False)
+    return rasterize_tiles(ds).map_batches(fn, batch_format="pandas")
+
+
+def isolines_pipeline(webpages_path: str, zoom: int = 8,
+                      threshold: int = 1) -> ray.data.Dataset:
+    """The MVT face: marching-squares segments chained into polylines
+    (open contours where the iso-curve exits the tile, closed loops
+    inside) and encoded as one multi-linestring feature per tile in
+    layer "isolines" with threshold/n_lines metadata. Chaining is a
+    per-tile endpoint walk over the (bounded) segment set: every
+    vertex has degree <= 2 by construction of the saddle-splitting
+    case table, so contours are simple paths/cycles; open paths chain
+    first (from degree-1 vertices in scan order), then cycles."""
+    from ..pipeline.flagship import assign, geoparse, read_webpages
+
+    s = 4096 // GRID
+
+    def chain(x0, y0, x1, y1):
+        n = x0.size
+        adj = {}
+        for i in range(n):
+            a = (int(x0[i]), int(y0[i]))
+            bpt = (int(x1[i]), int(y1[i]))
+            adj.setdefault(a, []).append((i, bpt))
+            adj.setdefault(bpt, []).append((i, a))
+        used = np.zeros(n, dtype=bool)
+        lines = []
+
+        def walk(start):
+            path = [start]
+            cur = start
+            while True:
+                nxt = next(((i, o) for i, o in adj[cur] if not used[i]),
+                           None)
+                if nxt is None:
+                    break
+                used[nxt[0]] = True
+                cur = nxt[1]
+                path.append(cur)
+            return path
+
+        starts = sorted(v for v, e in adj.items() if len(e) == 1)
+        for v in starts:
+            if any(not used[i] for i, _ in adj[v]):
+                lines.append(walk(v))
+        for i in range(n):  # remaining cycles, scan order
+            if not used[i]:
+                used[i] = True
+                path = walk((int(x1[i]), int(y1[i])))
+                lines.append([(int(x0[i]), int(y0[i]))] + path)
+        return [np.array(p, np.int64) for p in lines]
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"z": [], "x": [], "y": [], "mvt": [], "n_lines": []}
+        for i in range(len(b)):
+            grid = np.frombuffer(b["raster"].iloc[i], dtype=np.uint32) \
+                .reshape(GRID, GRID)
+            x0, y0, x1, y1 = _ms_segments(grid, threshold, s)
+            if not x0.size:
+                continue
+            lines = chain(x0, y0, x1, y1)
+            feat = Feature(threshold,
+                           {b"threshold": (I64V, threshold),
+                            b"n_lines": (I64V, len(lines))}, lines)
+            layer = Layer(name=b"isolines", version=2, extent=4096,
+                          linestrings=[feat])
+            rows["z"].append(np.int64(b["z"].iloc[i]))
+            rows["x"].append(np.int64(b["x"].iloc[i]))
+            rows["y"].append(np.int64(b["y"].iloc[i]))
+            rows["mvt"].append(encode_tile(VectorTile({b"isolines": layer})))
+            rows["n_lines"].append(np.int64(len(lines)))
+        return pd.DataFrame(rows)
+
+    ds = assign(geoparse(read_webpages(webpages_path)), zoom,
+                with_cells=False)
+    return rasterize_tiles(ds).map_batches(fn, batch_format="pandas")

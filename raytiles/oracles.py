@@ -2283,3 +2283,55 @@ def raster_blur_sql(webpages_parquet: str, zoom: int = 8,
             f"WHERE c.gx + k.dx >= 0 AND c.gx + k.dx < {span} "
             f"AND c.gy + k.dy >= 0 AND c.gy + k.dy < {span} "
             "GROUP BY 1, 2")
+
+
+def iso_segments_sql(webpages_parquet: str, zoom: int = 8,
+                     grid_cell: int = 16, threshold: int = 1) -> str:
+    """Marching-squares segment twin: per-tile occupied cells -> 2x2
+    block cases via four LEFT JOIN corner probes -> the identical
+    case/edge table as a VALUES lookup (saddles split as two corner
+    rows) -> integer edge-midpoint coordinates."""
+    g = 4096 // grid_cell  # cells per tile side
+    s = grid_cell
+    h = grid_cell // 2
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs(z=zoom)}, "
+            f"occ AS (SELECT x, y, local_x // {s} AS gx, "
+            f"local_y // {s} AS gy FROM localized "
+            f"GROUP BY 1, 2, 3, 4 HAVING count(*) >= {threshold}), "
+            "blk AS (SELECT DISTINCT o.x, o.y, o.gx + d.dx AS cx, "
+            "o.gy + d.dy AS cy FROM occ o CROSS JOIN "
+            "(VALUES (0, 0), (-1, 0), (0, -1), (-1, -1)) AS d(dx, dy) "
+            f"WHERE o.gx + d.dx BETWEEN 0 AND {g - 2} "
+            f"AND o.gy + d.dy BETWEEN 0 AND {g - 2}), "
+            "cases AS (SELECT b.x, b.y, b.cx, b.cy, "
+            "8 * CAST(tl.gx IS NOT NULL AS INT) "
+            "+ 4 * CAST(tr.gx IS NOT NULL AS INT) "
+            "+ 2 * CAST(br.gx IS NOT NULL AS INT) "
+            "+ CAST(bl.gx IS NOT NULL AS INT) AS c FROM blk b "
+            "LEFT JOIN occ tl ON tl.x = b.x AND tl.y = b.y "
+            "AND tl.gx = b.cx AND tl.gy = b.cy "
+            "LEFT JOIN occ tr ON tr.x = b.x AND tr.y = b.y "
+            "AND tr.gx = b.cx + 1 AND tr.gy = b.cy "
+            "LEFT JOIN occ br ON br.x = b.x AND br.y = b.y "
+            "AND br.gx = b.cx + 1 AND br.gy = b.cy + 1 "
+            "LEFT JOIN occ bl ON bl.x = b.x AND bl.y = b.y "
+            "AND bl.gx = b.cx AND bl.gy = b.cy + 1), "
+            "k(c, ea, eb) AS (VALUES "
+            "(1,'W','S'),(2,'S','E'),(3,'W','E'),(4,'N','E'),"
+            "(5,'N','E'),(5,'W','S'),(6,'N','S'),(7,'W','N'),"
+            "(8,'W','N'),(9,'N','S'),(10,'W','N'),(10,'S','E'),"
+            "(11,'N','E'),(12,'W','E'),(13,'S','E'),(14,'W','S')) "
+            f"SELECT CAST({zoom} AS BIGINT) AS z, x, y, "
+            f"CAST(CASE k.ea WHEN 'W' THEN cx * {s} + {h} "
+            f"WHEN 'E' THEN cx * {s} + {s} + {h} "
+            f"ELSE cx * {s} + {s} END AS BIGINT) AS x0, "
+            f"CAST(CASE k.ea WHEN 'N' THEN cy * {s} + {h} "
+            f"WHEN 'S' THEN cy * {s} + {s} + {h} "
+            f"ELSE cy * {s} + {s} END AS BIGINT) AS y0, "
+            f"CAST(CASE k.eb WHEN 'W' THEN cx * {s} + {h} "
+            f"WHEN 'E' THEN cx * {s} + {s} + {h} "
+            f"ELSE cx * {s} + {s} END AS BIGINT) AS x1, "
+            f"CAST(CASE k.eb WHEN 'N' THEN cy * {s} + {h} "
+            f"WHEN 'S' THEN cy * {s} + {s} + {h} "
+            f"ELSE cy * {s} + {s} END AS BIGINT) AS y1 "
+            "FROM cases JOIN k USING (c)")

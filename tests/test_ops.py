@@ -2340,3 +2340,91 @@ def test_raster_blur_scipy_free_oracle():
     own = {(a, b) for a, b in zip(gx, gy)}
     assert any((a, b) not in own for a, b in zip(wx, wy))
     assert df["blurred"].sum() == 16 * len(m)  # kernel mass conservation
+
+
+def _ms_goldens():
+    """Hand goldens for the marching-squares kernel."""
+    from raytiles.ops.raster import _ms_segments
+    # single hot cell at (gx=2, gy=3) in a 6x6 grid, s=16: a 4-segment
+    # diamond around its center (40, 56)
+    g = np.zeros((6, 6), np.uint32)
+    g[3, 2] = 5
+    x0, y0, x1, y1 = _ms_segments(g, 1, 16)
+    segs = {frozenset([(a, b), (c, d)])
+            for a, b, c, d in zip(x0, y0, x1, y1)}
+    cx, cy = 2 * 16 + 8, 3 * 16 + 8
+    want = {frozenset([(cx, cy - 8), (cx + 8, cy)]),
+            frozenset([(cx + 8, cy), (cx, cy + 8)]),
+            frozenset([(cx, cy + 8), (cx - 8, cy)]),
+            frozenset([(cx - 8, cy), (cx, cy - 8)])}
+    assert segs == want
+    # 2x2 hot square: one octagon loop, 8 segments
+    g2 = np.zeros((6, 6), np.uint32)
+    g2[2:4, 2:4] = 1
+    parts = _ms_segments(g2, 1, 16)
+    assert parts[0].size == 8
+    return True
+
+
+def test_marching_squares_goldens():
+    assert _ms_goldens()
+
+
+def test_iso_segments_local_separation_property():
+    """Every emitted segment vertex is an edge midpoint whose two
+    flanking cell centers straddle the threshold — the defining
+    marching-squares property, checked against the dense grids."""
+    from raytiles.ops.raster import GRID, iso_segments, rasterize_tiles
+    from raytiles.pipeline.flagship import assign, geoparse, read_webpages
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    segs = iso_segments(wp, 8).to_pandas()
+    assert len(segs) > 0
+    ds = assign(geoparse(read_webpages(wp)), 8, with_cells=False)
+    grids = {(r["z"], r["x"], r["y"]):
+             np.frombuffer(r["raster"], dtype=np.uint32)
+             .reshape(GRID, GRID)
+             for _, r in rasterize_tiles(ds).to_pandas().iterrows()}
+    s = 16
+    for _, r in segs.iterrows():
+        grid = grids[(r["z"], r["x"], r["y"])]
+        for px, py in ((r["x0"], r["y0"]), (r["x1"], r["y1"])):
+            if px % s == s // 2:  # W/E midpoint: vertically-adjacent pair
+                gx = px // s
+                gy0, gy1 = py // s - 1, py // s
+                a = gy0 >= 0 and grid[gy0, gx] >= 1
+                b = gy1 < GRID and grid[gy1, gx] >= 1
+            else:  # N/S midpoint: horizontally-adjacent pair
+                gy = py // s
+                gx0, gx1 = px // s - 1, px // s
+                a = gx0 >= 0 and grid[gy, gx0] >= 1
+                b = gx1 < GRID and grid[gy, gx1] >= 1
+            assert a != b  # exactly one side inside
+
+
+def test_isolines_mvt_chaining():
+    """Decoded polylines cover every segment exactly once, every
+    interior vertex has degree 2, and per-tile n_lines matches."""
+    from raytiles.codec.decode import decode_tile
+    from raytiles.ops.raster import iso_segments, isolines_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(SF_SMOKE)
+    segs = iso_segments(wp, 8).to_pandas()
+    tiles = isolines_pipeline(wp, 8).to_pandas()
+    want = {k: g for k, g in segs.groupby(["z", "x", "y"])}
+    assert len(tiles) == len(want)
+    for _, r in tiles.iterrows():
+        g = want[(r["z"], r["x"], r["y"])]
+        wseg = {frozenset([(a, b), (c, d)]) for a, b, c, d in
+                zip(g["x0"], g["y0"], g["x1"], g["y1"])}
+        t = decode_tile(r["mvt"])
+        f = t.layers[b"isolines"].linestrings[0]
+        assert f.metadata[b"n_lines"][1] == r["n_lines"] == len(f.geometry)
+        got = []
+        for line in f.geometry:
+            line = np.asarray(line)
+            assert len(line) >= 2
+            for i in range(len(line) - 1):
+                got.append(frozenset([tuple(line[i]), tuple(line[i + 1])]))
+        assert len(got) == len(wseg)  # each segment exactly once
+        assert set(got) == wseg
