@@ -1237,6 +1237,27 @@ def _q_clusters_mvt(sf_dir: str):
     return cluster_tiles_pipeline(webpages_path(sf_dir), 12)
 
 
+def _q_mvt_feature_cap(sf_dir: str):
+    """Tile weight budget: keep <= cap features per layer in storage
+    order; drop count surfaced per tile (no silent caps). Rows-only;
+    order/passthrough/count invariants pinned by pytest."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_feature_cap
+    from raytiles.pipeline.synth import webpages_path
+    return mvt_feature_cap(tiles_pipeline(webpages_path(sf_dir), 12),
+                           cap=8)
+
+
+def _q_tilestats(sf_dir: str):
+    """Tile-set statistics artifact: per-layer tile/geometry counts +
+    per-attribute HLL cardinalities (p=8 registers through one bounded
+    bucket shuffle). Rows-only; exact-recompute pytest."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import tilestats
+    from raytiles.pipeline.synth import webpages_path
+    return tilestats(tiles_pipeline(webpages_path(sf_dir), 12))
+
+
 def _q_mvt_simplify(sf_dir: str):
     """Tippecanoe-style post-hoc Douglas-Peucker inside encoded tiles
     (shuffle-free decode -> simplify -> re-encode). Rows-only: binary
@@ -1607,6 +1628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_filter": _q_mvt_filter,
         "mvt_rescale": _q_mvt_rescale,
         "mvt_simplify": _q_mvt_simplify,
+        "mvt_feature_cap": _q_mvt_feature_cap,
+        "tilestats": _q_tilestats,
         "point_clusters": _q_point_clusters,
         "raster_blur": _q_raster_blur,
         "iso_segments": _q_iso_segments,

@@ -34,6 +34,7 @@ import ray.data
 from ..codec.decode import decode_tile
 from ..codec.encode import encode_tile
 from ..codec.model import Feature, Layer, VectorTile
+from ..ops.sketch import _hll_estimate
 from ..util import bucket_of
 
 _N_BUCKETS = 512
@@ -375,3 +376,163 @@ def mvt_simplify(tiles: ray.data.Dataset,
             "n_features": pa.array(on, pa.int64())})
 
     return tiles.map_batches(fn, batch_format="pyarrow")
+
+
+def mvt_feature_cap(tiles: ray.data.Dataset, cap: int = 64) -> ray.data.Dataset:
+    """Tile weight budget (tippecanoe-style feature dropping): keep at
+    most ``cap`` features per layer, in the layer's deterministic
+    storage order (points, then linestrings, then polygons — the
+    reference's own feature emission order, Internal.hs toProtobuf
+    @Layer), re-encoding only tiles that actually changed would be an
+    optimization the codec's idempotent normalization makes
+    unnecessary: re-encoding an unchanged tile is byte-identical.
+    Shuffle-free; the drop count is SURFACED per tile (n_dropped — no
+    silent caps), emitted even when zero."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        z = t["z"].to_numpy()
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        mvts = t["mvt"].to_pylist()
+        om, on, od = [], [], []
+        for raw in mvts:
+            tile = decode_tile(raw)
+            dropped = 0
+            out_layers = {}
+            for name, lay in tile.layers.items():
+                total = len(lay.points) + len(lay.linestrings) \
+                    + len(lay.polygons)
+                if total <= cap:
+                    out_layers[name] = lay
+                    continue
+                dropped += total - cap
+                pts = list(lay.points[:cap])
+                rem = cap - len(pts)
+                lns = list(lay.linestrings[:rem])
+                rem -= len(lns)
+                pgs = list(lay.polygons[:rem]) if rem > 0 else []
+                if pts or lns or pgs:
+                    out_layers[name] = Layer(
+                        name=lay.name, version=lay.version,
+                        extent=lay.extent, points=pts,
+                        linestrings=lns, polygons=pgs)
+            om.append(encode_tile(VectorTile(out_layers)))
+            on.append(sum(len(l.points) + len(l.linestrings)
+                          + len(l.polygons) for l in out_layers.values()))
+            od.append(dropped)
+        return pa.table({
+            "z": pa.array(z.astype(np.int64)),
+            "x": pa.array(x.astype(np.int64)),
+            "y": pa.array(y.astype(np.int64)),
+            "mvt": pa.array(om, pa.binary()),
+            "n_features": pa.array(on, pa.int64()),
+            "n_dropped": pa.array(od, pa.int64())})
+
+    return tiles.map_batches(fn, batch_format="pyarrow")
+
+
+_TS_P = 8                      # tilestats HLL precision: 256 registers
+_TS_SENTINELS = (b"__tiles__", b"__points__", b"__linestrings__",
+                 b"__polygons__")
+
+
+def _ts_value_hash(val) -> int:
+    """Canonical u64 for a metadata (variant, value) pair — variant is
+    part of the identity (I64 5 != W64 5, mirroring the codec's Val
+    semantics)."""
+    import hashlib
+    tag, v = val
+    raw = repr(v).encode() if not isinstance(v, bytes) else v
+    return int.from_bytes(
+        hashlib.md5(tag.encode() + b"\x00" + raw).digest()[:8], "big")
+
+
+def tilestats(tiles: ray.data.Dataset,
+              n_buckets: int = 64) -> ray.data.Dataset:
+    """Tile-set statistics (the mapbox-tilestats artifact every tile
+    pipeline publishes): per layer — tile / per-geometry-type feature
+    counts — and per (layer, attribute key) — feature count + APPROX
+    distinct value count via HLL registers (p=8), so attribute
+    cardinality costs 256 registers per key through the shuffle no
+    matter how many distinct values exist. Per-batch partials carry
+    (layer, key, reg, max rank) rows; ONE bounded bucket groupby
+    merges by register max + count sum; the estimate finalizes per
+    key. Sentinel keys __tiles__/__points__/__linestrings__/
+    __polygons__ carry the layer totals."""
+    m = 1 << _TS_P
+    low_bits = 64 - _TS_P
+    low_mask = (1 << low_bits) - 1
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = {}   # (layer, key) -> [n, {reg: rank}]
+        for raw in t["mvt"].to_pylist():
+            tile = decode_tile(raw)
+            for name, lay in tile.layers.items():
+                for skey, n in ((b"__tiles__", 1),
+                                (b"__points__", len(lay.points)),
+                                (b"__linestrings__", len(lay.linestrings)),
+                                (b"__polygons__", len(lay.polygons))):
+                    e = rows.setdefault((name, skey), [0, {}])
+                    e[0] += n
+                for f in (list(lay.points) + list(lay.linestrings)
+                          + list(lay.polygons)):
+                    for k, val in f.metadata.items():
+                        e = rows.setdefault((name, k), [0, {}])
+                        e[0] += 1
+                        h = _ts_value_hash(val)
+                        reg = h >> low_bits
+                        v = h & low_mask
+                        rank = low_bits - v.bit_length() + 1 if v > 0 \
+                            else low_bits + 1
+                        if e[1].get(reg, 0) < rank:
+                            e[1][reg] = rank
+        lays, keys, ns, regs, ranks = [], [], [], [], []
+        for (name, k), (n, rd) in rows.items():
+            if rd:
+                for reg, rank in rd.items():
+                    lays.append(name)
+                    keys.append(k)
+                    ns.append(0)
+                    regs.append(reg)
+                    ranks.append(rank)
+            lays.append(name)
+            keys.append(k)
+            ns.append(n)
+            regs.append(-1)
+            ranks.append(0)
+        import hashlib
+        kh = np.array([int.from_bytes(
+            hashlib.md5(a + b"\x00" + b).digest()[:8], "big") & 0x7FFFFFFF
+            for a, b in zip(lays, keys)], np.int64)
+        return pd.DataFrame({
+            "layer": [s.decode() for s in lays],
+            "key": [s.decode() for s in keys],
+            "n": np.asarray(ns, np.int64),
+            "reg": np.asarray(regs, np.int64),
+            "rank": np.asarray(ranks, np.int64),
+            "bucket": kh % n_buckets})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"layer": [], "key": [], "n_features": [],
+               "approx_distinct": []}
+        for (lay, key), grp in g.groupby(["layer", "key"]):
+            n = int(grp.loc[grp["reg"] < 0, "n"].sum())
+            rd = grp[grp["reg"] >= 0]
+            if len(rd):
+                dense = np.zeros(m, np.int64)
+                mx = rd.groupby("reg")["rank"].max()
+                dense[mx.index.to_numpy()] = mx.to_numpy()
+                est = _hll_estimate(dense)
+            else:
+                est = 0
+            out["layer"].append(lay)
+            out["key"].append(key)
+            out["n_features"].append(n)
+            out["approx_distinct"].append(est)
+        return pd.DataFrame({k: np.asarray(v, dtype=object)
+                             if k in ("layer", "key")
+                             else np.asarray(v, np.int64)
+                             for k, v in out.items()})
+
+    return tiles.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")

@@ -1025,3 +1025,104 @@ def test_mvt_simplify_reduces_synthetic_dense_tile():
     t2 = decode_tile(out2["mvt"].iloc[0])
     seg2 = np.asarray(t2.layers[b"t"].linestrings[0].geometry[0])
     assert len(seg2) <= len(seg)
+
+
+def test_mvt_feature_cap():
+    """Capped tiles keep the first `cap` features in storage order
+    (points, then lines, then polys), byte-identical passthrough for
+    under-cap tiles, and the drop count is surfaced."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_feature_cap
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    base = tiles_pipeline(wp, 12).to_pandas()
+    cap = 3
+    got = mvt_feature_cap(tiles_pipeline(wp, 12), cap=cap).to_pandas()
+    bkey = {(z, x, y): m for z, x, y, m in
+            zip(base["z"], base["x"], base["y"], base["mvt"])}
+    assert len(got) == len(base)
+    n_capped = 0
+    for _, r in got.iterrows():
+        src = decode_tile(bkey[(r["z"], r["x"], r["y"])])
+        out = decode_tile(r["mvt"])
+        total_in = sum(len(l.points) + len(l.linestrings)
+                       + len(l.polygons) for l in src.layers.values())
+        if total_in <= cap:
+            assert r["mvt"] == bkey[(r["z"], r["x"], r["y"])]
+            assert r["n_dropped"] == 0
+        else:
+            n_capped += 1
+            assert r["n_dropped"] == total_in - cap
+            for name, lay in out.layers.items():
+                sl = src.layers[name]
+                kept = (list(sl.points) + list(sl.linestrings)
+                        + list(sl.polygons))[:cap]
+                gotf = (list(lay.points) + list(lay.linestrings)
+                        + list(lay.polygons))
+                assert [f.fid for f in gotf] == [f.fid for f in kept]
+        assert r["n_features"] == sum(
+            len(l.points) + len(l.linestrings) + len(l.polygons)
+            for l in out.layers.values())
+    assert n_capped > 0
+
+
+def test_tilestats_exact_recompute():
+    """tilestats totals are exact and HLL attribute cardinalities use
+    the shared estimator: recompute registers single-process with the
+    same hash chain and require identical estimates."""
+    from raytiles.ops.sketch import _hll_estimate
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import _TS_P, _ts_value_hash, tilestats
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    df = tilestats(tiles_pipeline(wp, 12)).to_pandas() \
+        .set_index(["layer", "key"]).sort_index()
+    assert not df.index.duplicated().any()  # stable bucketing: one row/key
+    tiles = tiles_pipeline(wp, 12).to_pandas()
+    m = 1 << _TS_P
+    low_bits = 64 - _TS_P
+    want = {}
+    for raw in tiles["mvt"]:
+        t = decode_tile(raw)
+        for name, lay in t.layers.items():
+            ln = name.decode()
+            for skey, n in (("__tiles__", 1), ("__points__",
+                            len(lay.points)),
+                            ("__linestrings__", len(lay.linestrings)),
+                            ("__polygons__", len(lay.polygons))):
+                e = want.setdefault((ln, skey), [0, np.zeros(m, np.int64)])
+                e[0] += n
+            for f in (list(lay.points) + list(lay.linestrings)
+                      + list(lay.polygons)):
+                for k, val in f.metadata.items():
+                    e = want.setdefault((ln, k.decode()),
+                                        [0, np.zeros(m, np.int64)])
+                    e[0] += 1
+                    h = _ts_value_hash(val)
+                    reg = h >> low_bits
+                    v = h & ((1 << low_bits) - 1)
+                    rank = low_bits - v.bit_length() + 1 if v > 0 \
+                        else low_bits + 1
+                    e[1][reg] = max(e[1][reg], rank)
+    assert len(df) == len(want)
+    n_mentions = int(want[("mentions", "url")][0])
+    for (ln, k), (n, dense) in want.items():
+        row = df.loc[(ln, k)]
+        assert row["n_features"] == n
+        est = _hll_estimate(dense) if dense.any() else 0
+        assert row["approx_distinct"] == est
+    # sanity: url cardinality estimate within HLL p=8 error of truth
+    truth = 0
+    seen = set()
+    for raw in tiles["mvt"]:
+        t = decode_tile(raw)
+        for lay in t.layers.values():
+            for f in lay.points:
+                if b"url" in f.metadata:
+                    seen.add(f.metadata[b"url"][1])
+    truth = len(seen)
+    got = int(df.loc[("mentions", "url"), "approx_distinct"])
+    assert abs(got - truth) <= max(3, 0.25 * truth)
+    assert n_mentions > 0
