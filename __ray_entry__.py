@@ -1237,6 +1237,17 @@ def _q_clusters_mvt(sf_dir: str):
     return cluster_tiles_pipeline(webpages_path(sf_dir), 12)
 
 
+def _q_mvt_downzoom(sf_dir: str):
+    """Parent zoom built purely from child tiles (no source re-read):
+    exact integer coordinate halving + <= 4-child merge per parent
+    through one bounded shuffle. Rows-only; equality with the directly
+    built z-1 level pinned by pytest."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_downzoom
+    from raytiles.pipeline.synth import webpages_path
+    return mvt_downzoom(tiles_pipeline(webpages_path(sf_dir), 12))
+
+
 def _q_mvt_feature_cap(sf_dir: str):
     """Tile weight budget: keep <= cap features per layer in storage
     order; drop count surfaced per tile (no silent caps). Rows-only;
@@ -1629,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_rescale": _q_mvt_rescale,
         "mvt_simplify": _q_mvt_simplify,
         "mvt_feature_cap": _q_mvt_feature_cap,
+        "mvt_downzoom": _q_mvt_downzoom,
         "tilestats": _q_tilestats,
         "point_clusters": _q_point_clusters,
         "raster_blur": _q_raster_blur,

@@ -536,3 +536,69 @@ def tilestats(tiles: ray.data.Dataset,
 
     return tiles.map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def mvt_downzoom(tiles: ray.data.Dataset,
+                 n_buckets: int = _N_BUCKETS) -> ray.data.Dataset:
+    """Build the PARENT zoom level purely in tile space (the inverse
+    of overzooming — no re-read of the source corpus): each tile at
+    zoom z maps its coordinates into its parent's grid as
+    (local + (child & 1) * extent) // 2, and the <= 4 children of a
+    parent merge per layer in (x, y) child order. Integer floor
+    division makes this EXACT: floor(floor(a)/2) == floor(a/2), so a
+    parent built from child tiles equals the parent built directly
+    from the source at z-1 (pinned by pytest on the flagship set).
+    One bounded shuffle keyed by splitmix(parent tile); shuffle
+    payload is the encoded child bytes (<= 4 rows per group).
+    Polygons/linestrings transform the same way; downscale can
+    degenerate sub-pixel rings — compose with mvt_simplify when
+    generalizing polygon sets."""
+
+    def scale(a, dx: int, dy: int):
+        return (np.asarray(a, np.int64) + np.array([dx, dy])) // 2
+
+    def part(t: pa.Table) -> pa.Table:
+        z = t["z"].to_numpy().astype(np.int64)
+        x = t["x"].to_numpy().astype(np.int64)
+        y = t["y"].to_numpy().astype(np.int64)
+        key = (x >> 1) << np.int64(32) | (y >> 1)
+        return pa.table({
+            "z": z - 1, "px": x >> 1, "py": y >> 1, "cx": x, "cy": y,
+            "mvt": t["mvt"], "bucket": bucket_of(key, n_buckets)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"z": [], "x": [], "y": [], "mvt": [], "n_features": []}
+        for (pz, px, py), grp in g.groupby(["z", "px", "py"]):
+            grp = grp.sort_values(["cx", "cy"])
+            layers = {}
+            for _, r in grp.iterrows():
+                dx = int(r["cx"] & 1) * 4096
+                dy = int(r["cy"] & 1) * 4096
+                child = decode_tile(r["mvt"])
+                for name, lay in child.layers.items():
+                    dst = layers.setdefault(
+                        name, Layer(name=lay.name, version=lay.version,
+                                    extent=lay.extent))
+                    for f in lay.points:
+                        dst.points.append(Feature(
+                            f.fid, f.metadata, scale(f.geometry, dx, dy)))
+                    for f in lay.linestrings:
+                        dst.linestrings.append(Feature(
+                            f.fid, f.metadata,
+                            [scale(s, dx, dy) for s in f.geometry]))
+                    for f in lay.polygons:
+                        dst.polygons.append(Feature(
+                            f.fid, f.metadata,
+                            [[scale(rg, dx, dy) for rg in rings]
+                             for rings in f.geometry]))
+            rows["z"].append(np.int64(pz))
+            rows["x"].append(np.int64(px))
+            rows["y"].append(np.int64(py))
+            rows["mvt"].append(encode_tile(VectorTile(layers)))
+            rows["n_features"].append(np.int64(sum(
+                len(l.points) + len(l.linestrings) + len(l.polygons)
+                for l in layers.values())))
+        return pd.DataFrame(rows)
+
+    return tiles.map_batches(part, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")

@@ -1126,3 +1126,36 @@ def test_tilestats_exact_recompute():
     got = int(df.loc[("mentions", "url"), "approx_distinct"])
     assert abs(got - truth) <= max(3, 0.25 * truth)
     assert n_mentions > 0
+
+
+def test_mvt_downzoom_equals_direct_build():
+    """A parent level built purely from child TILES equals the parent
+    level built directly from the source at z-1: floor(floor(a)/2) ==
+    floor(a/2) makes the coordinate transform exact. Compared as
+    per-tile multisets of (x, y, url, mention_idx)."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_downzoom
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    down = mvt_downzoom(tiles_pipeline(wp, 12)).to_pandas()
+    direct = tiles_pipeline(wp, 11).to_pandas()
+    assert len(down) == len(direct)
+
+    def featset(raw):
+        t = decode_tile(raw)
+        out = []
+        for lay in t.layers.values():
+            for f in lay.points:
+                g = np.asarray(f.geometry).reshape(-1, 2)
+                for p in g:
+                    out.append((int(p[0]), int(p[1]),
+                                f.metadata[b"url"][1],
+                                f.metadata[b"mention_idx"][1]))
+        return sorted(out)
+
+    dkey = {(r["z"], r["x"], r["y"]): r["mvt"]
+            for _, r in direct.iterrows()}
+    for _, r in down.iterrows():
+        assert (r["z"], r["x"], r["y"]) in dkey
+        assert featset(r["mvt"]) == featset(dkey[(r["z"], r["x"], r["y"])])
