@@ -1237,6 +1237,15 @@ def _q_clusters_mvt(sf_dir: str):
     return cluster_tiles_pipeline(webpages_path(sf_dir), 12)
 
 
+def _q_cell_compact(sf_dir: str):
+    """H3/S2-style cell compaction: complete 4-sibling sets promote to
+    their parent recursively; bounded occupied-set reduction + driver
+    fold (hotspot contract)."""
+    from raytiles.ops.spatial import cell_compact
+    from raytiles.pipeline.synth import webpages_path
+    return cell_compact(webpages_path(sf_dir), 12)
+
+
 def _q_mvt_downzoom(sf_dir: str):
     """Parent zoom built purely from child tiles (no source re-read):
     exact integer coordinate halving + <= 4-child merge per parent
@@ -1641,6 +1650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_simplify": _q_mvt_simplify,
         "mvt_feature_cap": _q_mvt_feature_cap,
         "mvt_downzoom": _q_mvt_downzoom,
+        "cell_compact": _q_cell_compact,
         "tilestats": _q_tilestats,
         "point_clusters": _q_point_clusters,
         "raster_blur": _q_raster_blur,
@@ -1827,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
         "point_clusters": oracles.point_clusters_sql(wp),
         "raster_blur": oracles.raster_blur_sql(wp),
         "iso_segments": oracles.iso_segments_sql(wp),
+        "cell_compact": oracles.cell_compact_sql(wp),
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),
         "geofence_join": oracles.geofence_join_sql(wp),
         "comention_edges": oracles.comention_edges_sql(wp),

@@ -636,3 +636,69 @@ def hotspot_regions(webpages_path: str, res: int = 5,
         f"cell_r{res}": cells,
         "region_id": region,
         "n_mentions": nm}))
+
+
+def cell_compact(webpages_path: str, zoom: int = 12, min_zoom: int = 6,
+                 n_buckets: int = 256) -> ray.data.Dataset:
+    """Hierarchical cell COMPACTION (the H3/S2 `compact` operation —
+    cell_cover's complement): replace every complete 4-sibling set of
+    occupied cells with its parent, recursively from ``zoom`` up to
+    ``min_zoom``. Output is the minimal disjoint multi-resolution set
+    whose zoom-level expansion equals the occupied tile set exactly.
+
+    Shape: the occupied set is a BOUNDED reduction (per-batch distinct
+    (x, y) partials -> one splitmix(tile) bucket groupby), so the
+    promote-fold runs on the driver at O(occupied cells): per level
+    one sort + reduceat sibling count, promoted parents carry up,
+    remainders emit. Same bounded-table-folds-driver-side contract as
+    hotspot_regions."""
+    import pandas as pd
+
+    from ..pipeline.flagship import assign  # driver-side only
+
+    n = 1 << zoom
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = b["x"].to_numpy().astype(np.int64) * n \
+            + b["y"].to_numpy().astype(np.int64)
+        u = np.unique(key)
+        return pa.table({"key": u, "bucket": bucket_of(u, n_buckets)})
+
+    def dedup(g: pa.Table) -> pa.Table:
+        return pa.table({"key": np.unique(g["key"].to_numpy())})
+
+    occ = assign(geoparse(read_webpages(webpages_path)), zoom,
+                 with_cells=False) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(dedup, batch_format="pyarrow") \
+        .to_pandas()["key"].to_numpy()
+
+    out_z, out_x, out_y = [], [], []
+    keys = np.unique(occ)
+    cur_n = n
+    for z in range(zoom, min_zoom, -1):
+        if keys.size == 0:
+            break
+        x, y = keys // cur_n, keys % cur_n
+        parent = (x >> 1) * (cur_n >> 1) + (y >> 1)
+        order = np.argsort(parent, kind="stable")
+        p = parent[order]
+        starts = np.flatnonzero(np.concatenate(([True], p[1:] != p[:-1])))
+        sizes = np.diff(np.append(starts, p.size))
+        full = sizes == 4  # a parent has exactly 4 distinct children
+        promote = np.repeat(full, sizes)
+        keep = keys[order][~promote]
+        kx, ky = keep // cur_n, keep % cur_n
+        out_z.append(np.full(keep.size, z, np.int64))
+        out_x.append(kx)
+        out_y.append(ky)
+        keys = p[starts][full]
+        cur_n >>= 1
+    x, y = keys // cur_n, keys % cur_n
+    out_z.append(np.full(keys.size, min_zoom, np.int64))
+    out_x.append(x)
+    out_y.append(y)
+    df = pd.DataFrame({"z": np.concatenate(out_z),
+                       "x": np.concatenate(out_x),
+                       "y": np.concatenate(out_y)})
+    return df.sort_values(["z", "x", "y"]).reset_index(drop=True)

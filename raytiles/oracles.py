@@ -2335,3 +2335,28 @@ def iso_segments_sql(webpages_parquet: str, zoom: int = 8,
             f"WHEN 'S' THEN cy * {s} + {s} + {h} "
             f"ELSE cy * {s} + {s} END AS BIGINT) AS y1 "
             "FROM cases JOIN k USING (c)")
+
+
+def cell_compact_sql(webpages_parquet: str, zoom: int = 12,
+                     min_zoom: int = 6) -> str:
+    """Compaction twin: the promote step unrolled level by level —
+    parents with exactly 4 distinct occupied children promote, the
+    rest emit at their level; identical recursion to the engine."""
+    parts = [f"c{zoom} AS (SELECT DISTINCT x, y FROM localized)"]
+    emits = []
+    for z in range(zoom, min_zoom, -1):
+        parts.append(
+            f"p{z - 1} AS (SELECT x // 2 AS x, y // 2 AS y FROM c{z} "
+            "GROUP BY 1, 2 HAVING count(*) = 4)")
+        parts.append(
+            f"e{z} AS (SELECT {z} AS z, x, y FROM c{z} c "
+            f"WHERE NOT EXISTS (SELECT 1 FROM p{z - 1} q "
+            "WHERE q.x = c.x // 2 AND q.y = c.y // 2))")
+        parts.append(f"c{z - 1} AS (SELECT x, y FROM p{z - 1})")
+        emits.append(f"SELECT z, x, y FROM e{z}")
+    emits.append(f"SELECT {min_zoom} AS z, x, y FROM c{min_zoom}")
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs(z=zoom)}, "
+            + ",\n".join(parts)
+            + " SELECT CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x, "
+              "CAST(y AS BIGINT) AS y FROM ("
+            + " UNION ALL ".join(emits) + ")")

@@ -339,3 +339,41 @@ def test_hotspot_regions_matches_bruteforce_flood_fill():
     assert {int(r.cell_r5): int(r.region_id) for r in got.itertuples()} \
         == want
     assert len(set(want.values())) > 1  # multiple regions live
+
+
+def test_cell_compact_invariants():
+    """Compaction is disjoint, covers the occupied set exactly when
+    re-expanded to the leaf zoom, and is maximal (no complete sibling
+    set survives at any level)."""
+    import numpy as np
+    import pandas as pd
+
+    from raytiles.ops.spatial import cell_compact
+    from raytiles.pipeline.flagship import assignments_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    zoom, mz = 12, 6
+    df = cell_compact(wp, zoom, mz)
+    m = assignments_pipeline(wp, zoom).to_pandas()
+    occ = set(zip(m["x"].astype(int), m["y"].astype(int)))
+    # exact coverage: expand every emitted cell to zoom leaves
+    leaves = set()
+    for _, r in df.iterrows():
+        s = zoom - int(r["z"])
+        bx, by = int(r["x"]) << s, int(r["y"]) << s
+        for dx in range(1 << s):
+            for dy in range(1 << s):
+                leaf = (bx + dx, by + dy)
+                assert leaf not in leaves  # disjointness
+                leaves.add(leaf)
+    assert leaves == occ
+    # maximality: no 4 emitted same-level siblings share a parent
+    for z, g in df.groupby("z"):
+        if z == mz:
+            continue  # promotion stops at min_zoom by contract
+        par = pd.DataFrame({"px": g["x"] // 2, "py": g["y"] // 2})
+        counts = par.value_counts()
+        assert (counts < 4).all()
+    # at least one promotion actually happened
+    assert (df["z"] < zoom).any()
