@@ -139,6 +139,14 @@ def run_benchmarks() -> dict:
         queries["knn"] = timed_min(
             lambda: knn_bruteforce(SF_DIR).to_pandas())
 
+        from raytiles.ops.raster import iso_segments, point_clusters
+        from raytiles.pipeline.synth import webpages_path
+        wp = webpages_path(SF_DIR)
+        queries["point_clusters"] = timed_min(
+            lambda: point_clusters(wp, 12).count())
+        queries["iso_segments"] = timed_min(
+            lambda: iso_segments(wp, 8).count())
+
     # --- codec microbenchmarks: direct parity with the reference's
     # criterion numbers (BASELINE.md: decode roads 9.98ms, encode
     # roads 13.47ms, layer names 6.46ms, tiny fixtures ~2-3us) ---

@@ -462,15 +462,34 @@ def _ms_segments(grid: np.ndarray, threshold: int, s: int):
     returns (x0, y0, x1, y1) int64 segment arrays, block scan order
     (deterministic)."""
     B = grid >= threshold
-    case = (B[:-1, :-1].astype(np.uint8) << 3) \
-        | (B[:-1, 1:].astype(np.uint8) << 2) \
-        | (B[1:, 1:].astype(np.uint8) << 1) \
-        | B[1:, :-1].astype(np.uint8)
+    occ_rows = np.nonzero(B.any(axis=1))[0]
+    if occ_rows.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    occ_cols = np.nonzero(B.any(axis=0))[0]
+    # trim to the occupied bounding box (+1 halo): the case array and
+    # the single boundary scan below cost bbox area, not grid area
+    ry0 = max(int(occ_rows[0]) - 1, 0)
+    ry1 = min(int(occ_rows[-1]) + 2, B.shape[0])
+    rx0 = max(int(occ_cols[0]) - 1, 0)
+    rx1 = min(int(occ_cols[-1]) + 2, B.shape[1])
+    Bb = B[ry0:ry1, rx0:rx1]
+    case = (Bb[:-1, :-1].astype(np.uint8) << 3) \
+        | (Bb[:-1, 1:].astype(np.uint8) << 2) \
+        | (Bb[1:, 1:].astype(np.uint8) << 1) \
+        | Bb[1:, :-1].astype(np.uint8)
+    # ONE bbox scan finds the boundary blocks; the per-case masks then
+    # work over the (boundary-length-sized) candidate list only
+    by_all, bx_all = np.nonzero((case > 0) & (case < 15))
+    by_all = by_all + ry0
+    bx_all = bx_all + rx0
+    cvals = case[by_all - ry0, bx_all - rx0]
     outs = []
     for c, pairs in _MS_TABLE.items():
-        by, bx = np.nonzero(case == c)
-        if not bx.size:
+        m = cvals == c
+        if not m.any():
             continue
+        bx, by = bx_all[m], by_all[m]
         for ea, eb in pairs:
             x0, y0 = _ms_edge_xy(ea, bx, by, s)
             x1, y1 = _ms_edge_xy(eb, bx, by, s)
