@@ -1246,6 +1246,21 @@ def _q_cell_compact(sf_dir: str):
     return cell_compact(webpages_path(sf_dir), 12)
 
 
+def _q_mvt_merge(sf_dir: str):
+    """True layer merge (feature union + dictionary re-interning) of
+    the flagship set with its first-mention subset. Rows-only;
+    union-count/passthrough invariants pinned by pytest."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_filter_features, \
+        mvt_merge_layers
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    return mvt_merge_layers(
+        tiles_pipeline(wp, 12),
+        mvt_filter_features(tiles_pipeline(wp, 12), b"mention_idx",
+                            lambda v: v == 0))
+
+
 def _q_mvt_downzoom(sf_dir: str):
     """Parent zoom built purely from child tiles (no source re-read):
     exact integer coordinate halving + <= 4-child merge per parent
@@ -1650,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_simplify": _q_mvt_simplify,
         "mvt_feature_cap": _q_mvt_feature_cap,
         "mvt_downzoom": _q_mvt_downzoom,
+        "mvt_merge": _q_mvt_merge,
         "cell_compact": _q_cell_compact,
         "tilestats": _q_tilestats,
         "point_clusters": _q_point_clusters,

@@ -602,3 +602,69 @@ def mvt_downzoom(tiles: ray.data.Dataset,
 
     return tiles.map_batches(part, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def mvt_merge_layers(a: ray.data.Dataset,
+                     b: ray.data.Dataset) -> ray.data.Dataset:
+    """TRUE layer merge (the union complement of mvt_overlay's
+    last-wins shadowing): same-named layers UNION their features in
+    (a, b) side order and the encoder re-interns the combined
+    key/value dictionaries; tiles present on one side pass through
+    re-encoded (idempotent normalization, byte-identical for
+    already-normalized inputs). Same bounded splitmix(tile) bucket
+    shuffle as mvt_overlay. Extent mismatches between same-named
+    layers raise — feature coordinates are extent-relative, so a
+    silent union would be geometrically wrong (rescale with
+    mvt_rescale first)."""
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            z = t["z"].to_numpy().astype(np.int64)
+            x = t["x"].to_numpy().astype(np.int64)
+            y = t["y"].to_numpy().astype(np.int64)
+            return pa.table({
+                "z": pa.array(z), "x": pa.array(x), "y": pa.array(y),
+                "side": pa.array(np.full(len(z), side, np.int8)),
+                "mvt": t["mvt"],
+                "bucket": pa.array(bucket_of(_tile_key(z, x, y),
+                                             _N_BUCKETS))})
+        return fn
+
+    tagged = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow"))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"z": [], "x": [], "y": [], "mvt": [], "n_features": []}
+        for (z, x, y), grp in g.groupby(["z", "x", "y"]):
+            layers = {}
+            for _, r in grp.sort_values("side").iterrows():
+                tile = decode_tile(r["mvt"])
+                for name, lay in tile.layers.items():
+                    dst = layers.get(name)
+                    if dst is None:
+                        layers[name] = Layer(
+                            name=lay.name, version=lay.version,
+                            extent=lay.extent,
+                            points=list(lay.points),
+                            linestrings=list(lay.linestrings),
+                            polygons=list(lay.polygons))
+                        continue
+                    if dst.extent != lay.extent:
+                        raise ValueError(
+                            f"mvt_merge_layers: extent mismatch for "
+                            f"layer {name!r}: {dst.extent} vs "
+                            f"{lay.extent}")
+                    dst.points.extend(lay.points)
+                    dst.linestrings.extend(lay.linestrings)
+                    dst.polygons.extend(lay.polygons)
+            rows["z"].append(np.int64(z))
+            rows["x"].append(np.int64(x))
+            rows["y"].append(np.int64(y))
+            rows["mvt"].append(encode_tile(VectorTile(layers)))
+            rows["n_features"].append(np.int64(sum(
+                len(l.points) + len(l.linestrings) + len(l.polygons)
+                for l in layers.values())))
+        return pd.DataFrame(rows)
+
+    return tagged.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas")

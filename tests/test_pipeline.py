@@ -1159,3 +1159,48 @@ def test_mvt_downzoom_equals_direct_build():
     for _, r in down.iterrows():
         assert (r["z"], r["x"], r["y"]) in dkey
         assert featset(r["mvt"]) == featset(dkey[(r["z"], r["x"], r["y"])])
+
+
+def test_mvt_merge_layers_union():
+    """Merging the full tile set with a filtered subset UNIONS the
+    features of same-named layers (counts add), passes one-sided tiles
+    through, and re-interned dictionaries still decode every feature's
+    metadata."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_filter_features, \
+        mvt_merge_layers
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    full = tiles_pipeline(wp, 12).to_pandas()
+    filt = mvt_filter_features(tiles_pipeline(wp, 12), b"mention_idx",
+                               lambda v: v == 0).to_pandas()
+    got = mvt_merge_layers(
+        tiles_pipeline(wp, 12),
+        mvt_filter_features(tiles_pipeline(wp, 12), b"mention_idx",
+                            lambda v: v == 0)).to_pandas()
+    assert len(got) == len(full)  # filt tiles are a subset of full
+
+    def nfeats(raw):
+        t = decode_tile(raw)
+        return sum(len(l.points) + len(l.linestrings) + len(l.polygons)
+                   for l in t.layers.values())
+
+    fkey = {(z, x, y): m for z, x, y, m in
+            zip(full["z"], full["x"], full["y"], full["mvt"])}
+    skey = {(z, x, y): m for z, x, y, m in
+            zip(filt["z"], filt["x"], filt["y"], filt["mvt"])}
+    merged_any = False
+    for _, r in got.iterrows():
+        key = (r["z"], r["x"], r["y"])
+        want = nfeats(fkey[key]) + (nfeats(skey[key]) if key in skey else 0)
+        assert r["n_features"] == want == nfeats(r["mvt"])
+        if key in skey:
+            merged_any = True
+            t = decode_tile(r["mvt"])
+            for lay in t.layers.values():
+                for f in lay.points:
+                    assert b"url" in f.metadata  # re-interned dicts OK
+        else:
+            assert r["mvt"] == fkey[key]  # one-sided passthrough bytes
+    assert merged_any
