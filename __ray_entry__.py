@@ -1000,6 +1000,14 @@ def _q_media_decode(sf_dir: str):
     return media_decode(sf_dir)
 
 
+def _q_media_png(sf_dir: str):
+    """REAL PNG decode (pure numpy + stdlib zlib; all 5 scanline
+    filters, CRC-verified) over a synthetic corpus: actor pool ->
+    dims + exact integer channel statistics."""
+    from raytiles.ops.png import media_png_decode
+    return media_png_decode(sf_dir)
+
+
 def _q_audio_decode(sf_dir: str):
     """REAL WAV/PCM decode (pure numpy) over a synthetic tone corpus:
     actor pool -> exact integer acoustic statistics."""
@@ -1757,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "media_decode": _q_media_decode,
+        "media_png": _q_media_png,
         "media_thumbnails": _q_media_thumbnails,
         "audio_decode": _q_audio_decode,
     }

@@ -2428,3 +2428,55 @@ def test_isolines_mvt_chaining():
                 got.append(frozenset([tuple(line[i]), tuple(line[i + 1])]))
         assert len(got) == len(wseg)  # each segment exactly once
         assert set(got) == wseg
+
+
+def test_png_codec_roundtrip_and_filters():
+    """decode(encode(img)) == img across image ids (the encoder cycles
+    all five scanline filters row-by-row, so every unfilter path is
+    exercised); cross-codec parity with the BMP pair on the same
+    pixels; malformed payloads raise, never crash."""
+    from raytiles.ops.image import decode_bmp, encode_bmp, synth_image
+    from raytiles.ops.png import decode_png, encode_png
+    for i in (0, 1, 2, 3, 4, 7, 33, 150):
+        img = synth_image(i)
+        png = encode_png(img)
+        assert np.array_equal(decode_png(png), img)
+        bgr = decode_bmp(encode_bmp(img))
+        assert np.array_equal(bgr, img)  # same pixels via both codecs
+    png = encode_png(synth_image(5))
+    flipped = bytearray(png)
+    flipped[20] ^= 0xFF  # corrupt an IHDR byte -> CRC mismatch
+    for bad in (b"", b"\x89PNG", png[:30], png[:-4], bytes(flipped)):
+        with pytest.raises(ValueError):
+            decode_png(bad)
+    # CRC detection: flip one IDAT payload byte
+    idat_at = png.index(b"IDAT")
+    corrupted = bytearray(png)
+    corrupted[idat_at + 8] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupted))
+
+
+def test_media_png_matches_bmp_stage_and_ground_truth():
+    """The PNG actor stage emits the identical stats contract as the
+    BMP stage on the same synthetic images, and both match direct
+    ground truth."""
+    from raytiles.ops.image import media_decode, synth_image
+    from raytiles.ops.png import media_png_decode
+    png = media_png_decode(SF_SMOKE).to_pandas() \
+        .sort_values("img_id").reset_index(drop=True)
+    bmp = media_decode(SF_SMOKE).to_pandas() \
+        .sort_values("img_id").reset_index(drop=True)
+    assert len(png) == len(bmp) > 0
+    assert png["ok"].all()
+    for c in ("width", "height", "mean_r_milli", "mean_g_milli",
+              "mean_b_milli"):
+        assert np.array_equal(png[c].to_numpy(), bmp[c].to_numpy())
+    for i in (0, 3, 11):
+        img = synth_image(i)
+        row = png[png["img_id"] == i].iloc[0]
+        s = img.reshape(-1, 3).sum(0, dtype=np.int64)
+        npx = img.shape[0] * img.shape[1]
+        assert row["width"] == img.shape[1]
+        assert row["height"] == img.shape[0]
+        assert row["mean_r_milli"] == s[0] * 1000 // npx
