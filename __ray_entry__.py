@@ -1254,6 +1254,17 @@ def _q_cell_compact(sf_dir: str):
     return cell_compact(webpages_path(sf_dir), 12)
 
 
+def _q_mvt_labels(sf_dir: str):
+    """Greedy label placement with Chebyshev collision suppression
+    (priority = mention_idx, fid tiebreak); suppressed count surfaced.
+    Rows-only; exact greedy-recompute pytest."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_label_place
+    from raytiles.pipeline.synth import webpages_path
+    return mvt_label_place(tiles_pipeline(webpages_path(sf_dir), 12),
+                           b"mention_idx", min_dist=512)
+
+
 def _q_mvt_merge(sf_dir: str):
     """True layer merge (feature union + dictionary re-interning) of
     the flagship set with its first-mention subset. Rows-only;
@@ -1674,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_feature_cap": _q_mvt_feature_cap,
         "mvt_downzoom": _q_mvt_downzoom,
         "mvt_merge": _q_mvt_merge,
+        "mvt_labels": _q_mvt_labels,
         "cell_compact": _q_cell_compact,
         "tilestats": _q_tilestats,
         "point_clusters": _q_point_clusters,

@@ -668,3 +668,74 @@ def mvt_merge_layers(a: ray.data.Dataset,
 
     return tagged.groupby("bucket").map_groups(
         merge_bucket, batch_format="pandas")
+
+
+def mvt_label_place(tiles: ray.data.Dataset, priority_key: bytes,
+                    min_dist: int = 256) -> ray.data.Dataset:
+    """Greedy label placement (the tile-server collision pass that
+    decides which point labels actually render): per tile, point
+    features order by (priority value ascending, fid ascending) and
+    are accepted greedily iff their anchor (first point) is at least
+    ``min_dist`` extent units away — Chebyshev metric, the square
+    label-box model — from every already-accepted anchor. Determinism
+    is total: the order is a pure function of the tile. Shuffle-free
+    decode -> place -> re-encode; suppressed count surfaced per tile.
+    The pairwise check is vectorized against the accepted-anchor
+    array (labels per tile are display-bounded, so the greedy loop is
+    O(accepted) per candidate)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        z = t["z"].to_numpy()
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        mvts = t["mvt"].to_pylist()
+        oz, ox, oy, om, op_, os_ = [], [], [], [], [], []
+        for i, raw in enumerate(mvts):
+            tile = decode_tile(raw)
+            out_layers = {}
+            placed = suppressed = 0
+            for name, lay in tile.layers.items():
+                feats = [f for f in lay.points
+                         if priority_key in f.metadata]
+                order = sorted(
+                    range(len(feats)),
+                    key=lambda j: (feats[j].metadata[priority_key][1],
+                                   feats[j].fid))
+                acc_idx = []
+                ax = np.empty(len(feats), np.int64)
+                ay = np.empty(len(feats), np.int64)
+                n_acc = 0
+                for j in order:
+                    g = np.asarray(feats[j].geometry).reshape(-1, 2)
+                    px, py = int(g[0, 0]), int(g[0, 1])
+                    if n_acc:
+                        cheb = np.maximum(np.abs(ax[:n_acc] - px),
+                                          np.abs(ay[:n_acc] - py))
+                        if (cheb < min_dist).any():
+                            suppressed += 1
+                            continue
+                    ax[n_acc] = px
+                    ay[n_acc] = py
+                    n_acc += 1
+                    acc_idx.append(j)
+                placed += n_acc
+                if acc_idx:
+                    out_layers[name] = Layer(
+                        name=lay.name, version=lay.version,
+                        extent=lay.extent,
+                        points=[feats[j] for j in sorted(acc_idx)])
+            if out_layers:
+                oz.append(int(z[i]))
+                ox.append(int(x[i]))
+                oy.append(int(y[i]))
+                om.append(encode_tile(VectorTile(out_layers)))
+                op_.append(placed)
+                os_.append(suppressed)
+        return pa.table({
+            "z": pa.array(oz, pa.int64()), "x": pa.array(ox, pa.int64()),
+            "y": pa.array(oy, pa.int64()),
+            "mvt": pa.array(om, pa.binary()),
+            "n_placed": pa.array(op_, pa.int64()),
+            "n_suppressed": pa.array(os_, pa.int64())})
+
+    return tiles.map_batches(fn, batch_format="pyarrow")

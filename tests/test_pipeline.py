@@ -1204,3 +1204,54 @@ def test_mvt_merge_layers_union():
         else:
             assert r["mvt"] == fkey[key]  # one-sided passthrough bytes
     assert merged_any
+
+
+def test_mvt_label_place_greedy_oracle():
+    """Accepted anchors are pairwise >= min_dist apart (Chebyshev),
+    the accepted set equals a single-process greedy recompute, and
+    placed + suppressed accounts for every labeled feature."""
+    from raytiles.pipeline.flagship import tiles_pipeline
+    from raytiles.pipeline.overlay import mvt_label_place
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    md = 512
+    base = tiles_pipeline(wp, 12).to_pandas()
+    got = mvt_label_place(tiles_pipeline(wp, 12), b"mention_idx",
+                          min_dist=md).to_pandas()
+    bkey = {(z, x, y): m for z, x, y, m in
+            zip(base["z"], base["x"], base["y"], base["mvt"])}
+    any_suppressed = False
+    for _, r in got.iterrows():
+        src = decode_tile(bkey[(r["z"], r["x"], r["y"])])
+        out = decode_tile(r["mvt"])
+        n_src = n_acc = 0
+        for name, lay in out.layers.items():
+            sl = src.layers[name]
+            feats = [f for f in sl.points if b"mention_idx" in f.metadata]
+            n_src += len(feats)
+            # single-process greedy recompute
+            order = sorted(range(len(feats)),
+                           key=lambda j: (feats[j].metadata
+                                          [b"mention_idx"][1],
+                                          feats[j].fid))
+            acc = []
+            for j in order:
+                g = np.asarray(feats[j].geometry).reshape(-1, 2)
+                p = (int(g[0, 0]), int(g[0, 1]))
+                if all(max(abs(a[0] - p[0]), abs(a[1] - p[1])) >= md
+                       for a in acc):
+                    acc.append(p)
+            anchors = [tuple(np.asarray(f.geometry).reshape(-1, 2)[0])
+                       for f in lay.points]
+            n_acc += len(anchors)
+            assert sorted(anchors) == sorted(acc)
+            for a in range(len(anchors)):
+                for b in range(a + 1, len(anchors)):
+                    assert max(abs(anchors[a][0] - anchors[b][0]),
+                               abs(anchors[a][1] - anchors[b][1])) >= md
+        assert r["n_placed"] == n_acc
+        assert r["n_placed"] + r["n_suppressed"] == n_src
+        if r["n_suppressed"] > 0:
+            any_suppressed = True
+    assert any_suppressed
