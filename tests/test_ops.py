@@ -2480,3 +2480,55 @@ def test_media_png_matches_bmp_stage_and_ground_truth():
         assert row["width"] == img.shape[1]
         assert row["height"] == img.shape[0]
         assert row["mean_r_milli"] == s[0] * 1000 // npx
+
+
+def test_skyline_mask_randomized_bruteforce():
+    """Seeded randomized skyline kernel vs O(n^2) dominance, including
+    heavy ties on both axes and the mergeability property."""
+    from raytiles.ops.relational import _skyline_mask
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        n = int(rng.integers(1, 120))
+        d = rng.integers(0, 8, n).astype(np.int64)   # heavy date ties
+        c = rng.integers(0, 10, n).astype(np.int64)  # heavy price ties
+        keep = _skyline_mask(d, c)
+        for i in range(n):
+            dom = (d <= d[i]) & (c >= c[i]) & ((d < d[i]) | (c > c[i]))
+            assert keep[i] == (not dom.any()), (trial, i)
+        # mergeability: skyline(A U B) == skyline(skyline(A) U skyline(B))
+        half = n // 2
+        ka = _skyline_mask(d[:half], c[:half])
+        kb = _skyline_mask(d[half:], c[half:])
+        md = np.concatenate([d[:half][ka], d[half:][kb]])
+        mc = np.concatenate([c[:half][ka], c[half:][kb]])
+        km = _skyline_mask(md, mc)
+        got = sorted(zip(md[km], mc[km]))
+        want = sorted(set(zip(d[keep], c[keep])))
+        assert sorted(set(got)) == want
+
+
+def test_marching_squares_randomized_bruteforce():
+    """Seeded random grids: the vectorized kernel's segments equal a
+    per-block brute-force case evaluation."""
+    from raytiles.ops.raster import _MS_TABLE, _ms_edge_xy, _ms_segments
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        g = int(rng.integers(3, 24))
+        grid = (rng.random((g, g)) < 0.4).astype(np.uint32) * \
+            rng.integers(1, 5, (g, g)).astype(np.uint32)
+        x0, y0, x1, y1 = _ms_segments(grid, 1, 16)
+        got = sorted(zip(x0, y0, x1, y1))
+        want = []
+        B = grid >= 1
+        for by in range(g - 1):
+            for bx in range(g - 1):
+                c = (int(B[by, bx]) << 3) | (int(B[by, bx + 1]) << 2) \
+                    | (int(B[by + 1, bx + 1]) << 1) | int(B[by + 1, bx])
+                for ea, eb in _MS_TABLE.get(c, []):
+                    ax, ay = _ms_edge_xy(ea, np.array([bx]),
+                                         np.array([by]), 16)
+                    bx2, by2 = _ms_edge_xy(eb, np.array([bx]),
+                                           np.array([by]), 16)
+                    want.append((int(ax[0]), int(ay[0]),
+                                 int(bx2[0]), int(by2[0])))
+        assert got == sorted(want), trial
