@@ -1182,7 +1182,7 @@ cum AS (
          sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin_key) AS c,
          sum(n) OVER (PARTITION BY l_returnflag) AS tot
   FROM k)
-SELECT l_returnflag, q,
+SELECT l_returnflag, CAST(q AS DOUBLE) AS q,
        min((1::BIGINT << (bin_key // {s}))
            + ((1::BIGINT << (bin_key // {s})) * (bin_key % {s})) // {s})
          AS est_cents
@@ -1685,8 +1685,8 @@ SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
 
 PROPS_EXTRACT_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
-         AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_k,
        min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
          AS min_k,
        max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))

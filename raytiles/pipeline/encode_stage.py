@@ -17,7 +17,9 @@ import pyarrow.compute as pc
 import ray
 
 from ..codec.encode import encode_tile
-from ..codec.fastpoint import encode_point_tiles
+from ..codec.fastpoint import (encode_feature_section, encode_point_tiles,
+                               encode_value_section, st_payload_for,
+                               stitch_tile_sections, tile_value_dictionary)
 from ..codec.model import I64V, ST, Feature, Layer, VectorTile
 
 LAYER_NAME = b"mentions"
@@ -44,6 +46,18 @@ def _encode_point_chunk(tile_offsets: np.ndarray, urls, midx, lx, ly,
     (pickled as just the sliced region)."""
     return encode_point_tiles(tile_offsets, urls, midx, lx, ly,
                               extent=extent, version=version)
+
+
+@ray.remote(num_cpus=1)
+def _encode_feature_section_task(fid0: int, v_url, v_midx, lx, ly) -> bytes:
+    """One sectioned-mega-tile feature run (numpy slices pickle as just
+    the sliced region)."""
+    return encode_feature_section(fid0, v_url, v_midx, lx, ly)
+
+
+@ray.remote(num_cpus=1)
+def _encode_value_section_task(is_url, st_payload: bytes, st_len, iv) -> bytes:
+    return encode_value_section(is_url, st_payload, st_len, iv)
 
 
 def _chunk_tile_cuts(tile_offsets: np.ndarray,
@@ -116,30 +130,76 @@ class FastPointEncoder:
         self.version = layer_version
         self.chunk_features = chunk_features
 
+    def _dispatch_sectioned(self, urls_slice, midx, lx, ly):
+        """Sectioned MEGA-tile encode: the parent computes the value
+        dictionary once (vectorized O(n) ints — the cheap part), then
+        feature-run and value-run byte assembly — the memory- and
+        CPU-heavy part — fans out to nested tasks in feature sections.
+        Wire layout permits it: Feature messages carry only dictionary
+        indices (reference Feature.hs:23-63) and layer field order is
+        fixed (Layer.hs:51-55). Returns (feat_refs, val_refs); stitch
+        with stitch_tile_sections. At 100x skew this bounds a task's
+        working set to one SECTION of the hottest tile instead of the
+        whole tile."""
+        v_url, v_midx, u_codes, is_url_u, dict_arr = \
+            tile_value_dictionary(urls_slice, midx)
+        sec = self.chunk_features
+        n = v_url.size
+        feat_refs = [_encode_feature_section_task.remote(
+            a, v_url[a:min(n, a + sec)], v_midx[a:min(n, a + sec)],
+            lx[a:min(n, a + sec)], ly[a:min(n, a + sec)])
+            for a in range(0, n, sec)]
+        val_refs = []
+        m = u_codes.size
+        for a in range(0, m, sec):
+            b = min(m, a + sec)
+            mask = is_url_u[a:b]
+            st_payload, st_len = st_payload_for(dict_arr, u_codes[a:b][mask] // 2)
+            iv = ((u_codes[a:b][~mask] - 1) // 2).astype(np.uint64)
+            val_refs.append(_encode_value_section_task.remote(
+                mask, st_payload, st_len, iv))
+        return feat_refs, val_refs
+
     def _encode_fanout(self, tile_offsets, urls, midx, lx, ly) -> list[bytes]:
         """Fan a fat batch's encode out to nested Ray tasks over runs
         of whole tiles, gather in order. The parent releases its CPU
         while blocked in ray.get, so the chunks fill the cluster's
         idle slots — this is the straggler-tail fix for the hot-city
-        reducer block. Byte-identical: each tile is still encoded by
-        encode_point_tiles, just grouped into smaller calls."""
+        reducer block. A single MEGA tile (>= 2x chunk budget on its
+        own) is further SECTIONED across tasks (_dispatch_sectioned) —
+        without it one tile = one task, a latency tail and, at extreme
+        skew, a memory hazard. Byte-identical either way: whole-tile
+        chunks still run encode_point_tiles; sectioned tiles stitch the
+        same wire bytes (pinned by test_pipeline byte-equality)."""
         if isinstance(urls, pa.ChunkedArray):
             urls = urls.combine_chunks()
         cuts = _chunk_tile_cuts(tile_offsets, target=self.chunk_features)
-        refs = []
+        jobs = []  # ("chunk", ref) | ("mega", (feat_refs, val_refs))
         for a, b in zip(cuts[:-1], cuts[1:]):
             fa, fb = int(tile_offsets[a]), int(tile_offsets[b])
             # concat_arrays compacts the slice: a bare Arrow slice
             # pickles its FULL underlying buffers (measured 10MB for a
             # 64-element slice), which would re-ship the whole batch
             # to every chunk task
-            refs.append(_encode_point_chunk.remote(
-                tile_offsets[a:b + 1] - fa,
-                pa.concat_arrays([urls.slice(fa, fb - fa)]),
-                midx[fa:fb], lx[fa:fb], ly[fa:fb],
-                self.extent, self.version))
-        parts = ray.get(refs)
-        return [m for part in parts for m in part]
+            urls_slice = pa.concat_arrays([urls.slice(fa, fb - fa)])
+            if b - a == 1 and fb - fa >= 2 * self.chunk_features:
+                jobs.append(("mega", self._dispatch_sectioned(
+                    urls_slice, midx[fa:fb], lx[fa:fb], ly[fa:fb])))
+            else:
+                jobs.append(("chunk", _encode_point_chunk.remote(
+                    tile_offsets[a:b + 1] - fa, urls_slice,
+                    midx[fa:fb], lx[fa:fb], ly[fa:fb],
+                    self.extent, self.version)))
+        out: list[bytes] = []
+        for kind, payload in jobs:
+            if kind == "chunk":
+                out.extend(ray.get(payload))
+            else:
+                feat_refs, val_refs = payload
+                out.append(stitch_tile_sections(
+                    ray.get(feat_refs), ray.get(val_refs),
+                    self.extent, self.version))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # NOTE: no lazy raytiles imports here — this body runs on ray

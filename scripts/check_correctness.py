@@ -38,6 +38,25 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+def _dtype_class(dt) -> str:
+    """Dtype equivalence class for the strict gate: the driver's value
+    hash distinguishes int from float (pandas renders 99111 vs 99111.0),
+    so int-vs-float is a FAILURE here even when values are numerically
+    equal.  Width within a class (int32 vs int64) hashes identically
+    through the driver's sorted-value path, so classes, not exact
+    dtypes, are compared."""
+    k = dt.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
     if len(mine) != len(oracle):
         return f"ROWS {len(mine)} vs {len(oracle)}"
@@ -46,6 +65,10 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
     a, b = norm(mine), norm(oracle)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        ka, kb = _dtype_class(av.dtype), _dtype_class(bv.dtype)
+        if ka != kb and len(a):
+            return (f"DTYPE col={c} engine={av.dtype}({ka}) vs "
+                    f"oracle={bv.dtype}({kb})")
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             ok = np.allclose(av.astype(np.float64), bv.astype(np.float64),
                              rtol=0, atol=0, equal_nan=True)

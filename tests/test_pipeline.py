@@ -152,6 +152,56 @@ def test_encoder_fanout_byte_equality():
     assert fan == inline
 
 
+def test_sectioned_tile_byte_equality_serial():
+    """encode_point_tile_sectioned (dictionary once, independent
+    feature/value sections, wire-order stitch) must emit exactly the
+    bytes of the one-pass encoder for a single tile, at every section
+    size including 1 and >n."""
+    from raytiles.codec.fastpoint import (encode_point_tile_sectioned,
+                                          encode_point_tiles)
+    rng = np.random.default_rng(11)
+    n = 977
+    urls = pa.array([f"https://s{rng.integers(0, 5)}.example.com/"
+                     f"p{rng.integers(0, 150)}" for _ in range(n)], pa.string())
+    midx = rng.integers(0, 30, n).astype(np.int64)
+    lx = rng.integers(0, 4096, n).astype(np.int64)
+    ly = rng.integers(0, 4096, n).astype(np.int64)
+    ref = encode_point_tiles(np.array([0, n], np.int64), urls, midx, lx, ly)[0]
+    for sec in (1, 63, 256, n, 5 * n):
+        got = encode_point_tile_sectioned(urls, midx, lx, ly,
+                                          section_features=sec)
+        assert got == ref, f"section_features={sec}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_encoder_mega_tile_sectioned_fanout():
+    """A batch whose single tile exceeds 2x the chunk budget takes the
+    sectioned-mega-tile fanout (parallel feature/value section tasks,
+    stitched) and must still be byte-identical to the inline path."""
+    from raytiles.pipeline.encode_stage import FastPointEncoder
+    rng = np.random.default_rng(23)
+    k = 700  # one mega tile (>= 2 * chunk_features=100) + two normal tiles
+    urls = [[f"https://m{rng.integers(0, 11)}.example.com/q{i % 97}"
+             for i in range(k)],
+            ["https://a.example.com/1"] * 3,
+            [f"https://b.example.com/{i}" for i in range(5)]]
+    batch = pa.table({
+        "z": pa.array([12, 12, 12], pa.int32()),
+        "x": pa.array([100, 101, 102], pa.int32()),
+        "y": pa.array([50, 50, 50], pa.int32()),
+        "urls": pa.array(urls, pa.list_(pa.string())),
+        "mention_idx": pa.array([rng.integers(0, 20, len(u)).tolist()
+                                 for u in urls], pa.list_(pa.int32())),
+        "local_x": pa.array([rng.integers(0, 4096, len(u)).tolist()
+                             for u in urls], pa.list_(pa.int32())),
+        "local_y": pa.array([rng.integers(0, 4096, len(u)).tolist()
+                             for u in urls], pa.list_(pa.int32())),
+    })
+    inline = FastPointEncoder()(batch)["mvt"].to_pylist()
+    fanned = FastPointEncoder(chunk_features=100)(batch)["mvt"].to_pylist()
+    assert fanned == inline
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestDistributed:
     def test_assignments_match_oracle(self, webpages_500, tmp_path):
