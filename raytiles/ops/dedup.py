@@ -173,15 +173,15 @@ class MinHasher:
     def __init__(self) -> None:
         self.consts = np.array(SEED_CONSTS, dtype=np.uint64)
 
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, b: pa.Table) -> pa.Table:
         doc_ids = b["doc_id"].to_numpy()
-        sh_lists = [_shingles(t) for t in b["text"]]
+        sh_lists = [_shingles(t) for t in b["text"].to_pylist()]
         counts = np.array([len(s) for s in sh_lists], dtype=np.int64)
         keep = counts > 0
         if not keep.any():
-            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
-                                 "band_id": np.empty(0, np.int64),
-                                 "band_hash": np.empty(0, np.int64)})
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band_id": pa.array([], pa.int64()),
+                             "band_hash": pa.array([], pa.int64())})
         flat = np.array([s for lst in sh_lists for s in lst], dtype=object)
         uniq, inv = np.unique(flat, return_inverse=True)
         base = _md5_u64(uniq)[inv]  # (total_shingles,)
@@ -205,10 +205,10 @@ class MinHasher:
                 (int.from_bytes(md5(hx[i * w:(i + 1) * w]).digest()[:8], "big")
                  for i in range(n)),
                 dtype=np.uint64, count=n)
-        return pd.DataFrame({
-            "doc_id": np.tile(kept_ids, N_BANDS),
-            "band_id": np.repeat(np.arange(N_BANDS, dtype=np.int64), n),
-            "band_hash": out_hash.astype(np.int64)})
+        return pa.table({
+            "doc_id": pa.array(np.tile(kept_ids, N_BANDS), pa.int64()),
+            "band_id": pa.array(np.repeat(np.arange(N_BANDS, dtype=np.int64), n)),
+            "band_hash": pa.array(out_hash.astype(np.int64), pa.int64())})
 
 
 _MINHASHER = MinHasher()  # per-process singleton: state is one 8-const array
@@ -219,7 +219,7 @@ def minhash_bands(sf_dir: str) -> ray.data.Dataset:
     # this cluster (measured round 1) while MinHasher carries no heavy
     # per-actor state — the module-level instance is reused per worker
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _MINHASHER, batch_format="pandas")
+        _MINHASHER, batch_format="pyarrow")
 
 
 def minhash_pairs(sf_dir: str) -> ray.data.Dataset:

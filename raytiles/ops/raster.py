@@ -69,25 +69,69 @@ def raster_cells(assignments: ray.data.Dataset) -> ray.data.Dataset:
         final_sum, batch_format="pyarrow")
 
 
+_RASTER_BYTES = None  # set below once GRID is final
+
+
+def _binary_from_grids(grids: np.ndarray) -> pa.Array:
+    """(T, GRID, GRID) uint32 -> BinaryArray of T fixed-size blobs,
+    built from the contiguous buffer directly — zero Python bytes
+    objects. Chunked construction keeps int32 offsets valid for any
+    group size (one chunk covers <= 8191 tiles at GRID=256)."""
+    T = grids.shape[0]
+    blob = GRID * GRID * 4
+    per = max(1, (2**31 - 1) // blob)
+    parts = []
+    for a in range(0, T, per):
+        sub = np.ascontiguousarray(grids[a:min(T, a + per)])
+        k = sub.shape[0]
+        offsets = (np.arange(k + 1, dtype=np.int32) * blob)
+        parts.append(pa.Array.from_buffers(
+            pa.binary(), k,
+            [None, pa.py_buffer(offsets), pa.py_buffer(sub)]))
+    return pa.concat_arrays(parts)
+
+
+def densify_bucket(g: pa.Table) -> pa.Table:
+    """One bucket group's sparse cells -> dense per-tile grids, fully
+    Arrow/numpy (no pandas conversion, no per-tile Python loop): the
+    group's tiles stack into ONE (T, GRID, GRID) array scattered in a
+    single fancy-index pass, and the binary column is built straight
+    from that array's buffer."""
+    summed = pa.TableGroupBy(
+        g.select(["z", "x", "y", "gx", "gy", "n"]),
+        ["z", "x", "y", "gx", "gy"]).aggregate([("n", "sum")])
+    z = summed["z"].to_numpy()
+    x = summed["x"].to_numpy()
+    y = summed["y"].to_numpy()
+    gx = summed["gx"].to_numpy()
+    gy = summed["gy"].to_numpy()
+    n = summed["n_sum"].to_numpy().astype(np.int64)
+    order = np.lexsort((y, x, z))
+    z, x, y, gx, gy, n = (a[order] for a in (z, x, y, gx, gy, n))
+    key_change = np.empty(z.size, dtype=bool)
+    key_change[0] = True
+    key_change[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+    starts = np.flatnonzero(key_change)
+    T = starts.size
+    tidx = np.cumsum(key_change) - 1
+    grids = np.zeros((T, GRID, GRID), dtype=np.uint32)
+    grids[tidx, gy, gx] = n
+    n_points = np.add.reduceat(n, starts)
+    return pa.table({
+        "z": pa.array(z[starts].astype(np.int64), pa.int64()),
+        "x": pa.array(x[starts].astype(np.int64), pa.int64()),
+        "y": pa.array(y[starts].astype(np.int64), pa.int64()),
+        "raster": _binary_from_grids(grids),
+        "n_points": pa.array(n_points.astype(np.int64), pa.int64()),
+    })
+
+
 def rasterize_tiles(assignments: ray.data.Dataset) -> ray.data.Dataset:
     """Dense per-tile grids: {z, x, y, raster: binary} where raster is
     GRID*GRID little-endian uint32 counts (row-major, y-down). One
-    bucket group densifies all its tiles in one call."""
-    def densify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        summed = g.groupby(["z", "x", "y", "gx", "gy"], as_index=False)["n"].sum()
-        rows = {"z": [], "x": [], "y": [], "raster": [], "n_points": []}
-        for (z, x, y), t in summed.groupby(["z", "x", "y"]):
-            grid = np.zeros((GRID, GRID), dtype=np.uint32)
-            grid[t["gy"].to_numpy(), t["gx"].to_numpy()] = t["n"].to_numpy()
-            rows["z"].append(np.int64(z))
-            rows["x"].append(np.int64(x))
-            rows["y"].append(np.int64(y))
-            rows["raster"].append(grid.tobytes())
-            rows["n_points"].append(np.int64(t["n"].sum()))
-        return pd.DataFrame(rows)
-
+    bucket group densifies all its tiles in one vectorized call."""
     return _partial_cells(assignments).groupby("bucket").map_groups(
-        densify_bucket, batch_format="pandas")
+        densify_bucket, batch_format="pyarrow")
 
 
 def vectorize_raster(rasters: ray.data.Dataset, threshold: int = 1) -> ray.data.Dataset:
@@ -104,37 +148,36 @@ def vectorize_raster(rasters: ray.data.Dataset, threshold: int = 1) -> ray.data.
     the reference, Internal.hs feats; an all-cold tile has no valid
     "heat" tile to emit). With the default threshold=1 every input
     tile has a hot cell, so cardinality equals the input's."""
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        T = len(b)
-        offs = np.zeros(T + 1, dtype=np.int64)
-        gxs, gys, cnts, dens = [], [], [], []
-        for i, blob in enumerate(b["raster"]):
-            grid = np.frombuffer(blob, dtype=np.uint32).reshape(GRID, GRID)
-            gy, gx = np.nonzero(grid >= threshold)
-            cnt = grid[gy, gx].astype(np.int64)
-            total = float(grid.sum())
-            gxs.append(gx)
-            gys.append(gy)
-            cnts.append(cnt)
-            dens.append(np.floor(cnt / total * 1e6) / 1e6)
-            offs[i + 1] = offs[i] + gx.size
-        if T == 0 or offs[-1] == 0:
-            return pd.DataFrame({"z": np.empty(0, np.int64),
-                                 "x": np.empty(0, np.int64),
-                                 "y": np.empty(0, np.int64),
-                                 "mvt": pd.Series([], dtype=object),
-                                 "n_polys": np.empty(0, np.int64)})
-        mvts = encode_heat_tiles(offs, np.concatenate(gxs), np.concatenate(gys),
-                                 np.concatenate(cnts), np.concatenate(dens), CELL)
-        keep = np.flatnonzero(np.diff(offs) > 0)
-        return pd.DataFrame({
-            "z": b["z"].to_numpy()[keep].astype(np.int64),
-            "x": b["x"].to_numpy()[keep].astype(np.int64),
-            "y": b["y"].to_numpy()[keep].astype(np.int64),
-            "mvt": [mvts[i] for i in keep],
-            "n_polys": np.diff(offs)[keep].astype(np.int64)})
+    def fn(b: pa.Table) -> pa.Table:
+        EMPTY = pa.schema([("z", pa.int64()), ("x", pa.int64()),
+                           ("y", pa.int64()), ("mvt", pa.binary()),
+                           ("n_polys", pa.int64())])
+        T = b.num_rows
+        if T == 0:
+            return EMPTY.empty_table()
+        grids = _grids_from_binary(b["raster"])
+        # one 3D pass over the whole batch: hot cells in (tile,
+        # row-major) order — identical per-tile order to a per-tile
+        # nonzero, so encode_heat_tiles input (and bytes) is unchanged
+        tsel, gy, gx = np.nonzero(grids >= threshold)
+        if tsel.size == 0:
+            return EMPTY.empty_table()
+        cnt = grids[tsel, gy, gx].astype(np.int64)
+        totals = grids.sum(axis=(1, 2), dtype=np.int64).astype(np.float64)
+        dens = np.floor(cnt / totals[tsel] * 1e6) / 1e6
+        per_tile = np.bincount(tsel, minlength=T).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(per_tile)])
+        mvts = encode_heat_tiles(offs, gx.astype(np.int64),
+                                 gy.astype(np.int64), cnt, dens, CELL)
+        keep = np.flatnonzero(per_tile > 0)
+        return pa.table({
+            "z": pa.array(b["z"].to_numpy()[keep].astype(np.int64), pa.int64()),
+            "x": pa.array(b["x"].to_numpy()[keep].astype(np.int64), pa.int64()),
+            "y": pa.array(b["y"].to_numpy()[keep].astype(np.int64), pa.int64()),
+            "mvt": pa.array([mvts[i] for i in keep], pa.binary()),
+            "n_polys": pa.array(per_tile[keep], pa.int64())})
 
-    return rasters.map_batches(fn, batch_format="pandas", batch_size=64)
+    return rasters.map_batches(fn, batch_format="pyarrow", batch_size=64)
 
 
 def vectorize_raster_generic(grid: np.ndarray, threshold: int = 1) -> bytes:
@@ -501,40 +544,142 @@ def _ms_segments(grid: np.ndarray, threshold: int, s: int):
                  for i in range(4))
 
 
+def _grids_from_binary(col) -> np.ndarray:
+    """Zero-copy view of a batch's raster blobs as (T, GRID, GRID)
+    uint32 — the blobs are fixed-size by construction, so the binary
+    column's data buffer IS the stacked array. Handles binary (int32
+    offsets) and large_binary (int64 — Ray block coalescing can
+    promote the type, the r2 large_string lesson)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    T = len(col)
+    odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=odt)[
+        col.offset:col.offset + T + 1].astype(np.int64)
+    blob = GRID * GRID * 4
+    assert ((offs[1:] - offs[:-1]) == blob).all(), "non-uniform raster blob"
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[offs[0]:offs[-1]]
+    return data.view(np.uint32).reshape(T, GRID, GRID)
+
+
+def _ms_segments_sparse(tile: np.ndarray, gx: np.ndarray, gy: np.ndarray,
+                        s: int):
+    """Marching squares over SPARSE occupied cells of MANY tiles in one
+    vectorized pass — no dense grid ever materializes. The case array
+    is nonzero only on 2x2 blocks touching an occupied cell, so
+    candidates are the <= 4 clipped blocks per cell (work tracks the
+    contour length / occupancy, not grid area — mean occupancy measured
+    3.4 cells per 65k-cell tile at sf0.1, so a dense pass is ~all
+    waste). Corner membership is a searchsorted against the sorted
+    occupied-key set. Inputs: tile = opaque int64 tile key per occupied
+    cell (cells already threshold-filtered), gx/gy cell coords.
+    Returns (tile_key, x0, y0, x1, y1); per-tile segment multiset and
+    within-tile (case-major, scan) order match the dense kernel
+    (np.unique sorts candidates tile-major then scan-order)."""
+    G = GRID
+    occ_key = (tile * G + gy) * G + gx
+    occ_sorted = np.sort(occ_key)
+    cands = []
+    for dby in (-1, 0):
+        for dbx in (-1, 0):
+            by = gy + dby
+            bx = gx + dbx
+            ok = (by >= 0) & (by <= G - 2) & (bx >= 0) & (bx <= G - 2)
+            cands.append((tile[ok] * G + by[ok]) * G + bx[ok])
+    cand = np.unique(np.concatenate(cands)) if cands else np.empty(0, np.int64)
+    if cand.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z, z
+    bt = cand // (G * G)
+    rem = cand % (G * G)
+    by = rem // G
+    bx = rem % G
+
+    def member(cy, cx):
+        k = (bt * G + cy) * G + cx
+        i = np.searchsorted(occ_sorted, k)
+        i[i >= occ_sorted.size] = occ_sorted.size - 1
+        return (occ_sorted[i] == k).astype(np.uint8)
+
+    case = (member(by, bx) << 3) | (member(by, bx + 1) << 2) \
+        | (member(by + 1, bx + 1) << 1) | member(by + 1, bx)
+    sel = (case > 0) & (case < 15)
+    bt, bx, by, cvals = bt[sel], bx[sel], by[sel], case[sel]
+    outs = []
+    for c, pairs in _MS_TABLE.items():
+        m = cvals == c
+        if not m.any():
+            continue
+        cbx, cby, ct = bx[m], by[m], bt[m]
+        for ea, eb in pairs:
+            x0, y0 = _ms_edge_xy(ea, cbx, cby, s)
+            x1, y1 = _ms_edge_xy(eb, cbx, cby, s)
+            outs.append((ct, x0, y0, x1, y1))
+    if not outs:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z, z
+    return tuple(np.concatenate([o[i] for o in outs]).astype(np.int64)
+                 for i in range(5))
+
+
+def _iso_cells_group(g: pa.Table, threshold: int):
+    """One bucket group's sparse cell partials -> threshold-filtered
+    occupied cells with a DENSE per-group tile index (the kernel packs
+    tile*G*G + cell into int64, so tile ids must stay small — a packed
+    (z,x,y) key would overflow). All of a tile's cells co-locate in
+    its bucket group by construction. Returns (tidx, gx, gy, uz, ux,
+    uy): cell rows indexed into the group's unique sorted tiles."""
+    summed = pa.TableGroupBy(
+        g.select(["z", "x", "y", "gx", "gy", "n"]),
+        ["z", "x", "y", "gx", "gy"]).aggregate([("n", "sum")])
+    keep = pc.greater_equal(summed["n_sum"], threshold)
+    summed = summed.filter(keep)
+    z = summed["z"].to_numpy().astype(np.int64)
+    x = summed["x"].to_numpy().astype(np.int64)
+    y = summed["y"].to_numpy().astype(np.int64)
+    tkey = (z << np.int64(52)) | (x << np.int64(26)) | y
+    ut, tidx = np.unique(tkey, return_inverse=True)
+    mask = np.int64((1 << 26) - 1)
+    return (tidx.astype(np.int64), summed["gx"].to_numpy(),
+            summed["gy"].to_numpy(),
+            ut >> np.int64(52), (ut >> np.int64(26)) & mask, ut & mask)
+
+
 def iso_segments(webpages_path: str, zoom: int = 8,
                  threshold: int = 1) -> ray.data.Dataset:
-    """Marching-squares isoline SEGMENTS over per-tile density grids:
-    for every interior 2x2 block of cell centers straddling
-    ``threshold``, the standard case table emits 1-2 segments between
-    edge midpoints (integer tile-local pixels). Embarrassingly
-    parallel after the rasterize shuffle — each tile's grid is dense
-    and local, so the whole case computation is one vectorized pass;
-    work tracks the contour length, not grid area."""
+    """Marching-squares isoline SEGMENTS: for every 2x2 block of cell
+    centers straddling ``threshold``, the standard case table emits
+    1-2 segments between edge midpoints (integer tile-local pixels).
+
+    Fully SPARSE end to end: sparse per-batch cell partials -> ONE
+    bounded-bucket shuffle -> per-group threshold filter + sparse
+    marching squares (_ms_segments_sparse). The dense raster (256KB
+    per tile, ~11GB at sf0.1) never materializes for this query; work
+    and memory track occupied cells only."""
     from ..pipeline.flagship import assign, geoparse, read_webpages
 
     s = 4096 // GRID
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        rows = {"z": [], "x": [], "y": [],
-                "x0": [], "y0": [], "x1": [], "y1": []}
-        for i in range(len(b)):
-            grid = np.frombuffer(b["raster"].iloc[i], dtype=np.uint32) \
-                .reshape(GRID, GRID)
-            x0, y0, x1, y1 = _ms_segments(grid, threshold, s)
-            rows["z"].append(np.full(x0.size, b["z"].iloc[i], np.int64))
-            rows["x"].append(np.full(x0.size, b["x"].iloc[i], np.int64))
-            rows["y"].append(np.full(x0.size, b["y"].iloc[i], np.int64))
-            rows["x0"].append(x0)
-            rows["y0"].append(y0)
-            rows["x1"].append(x1)
-            rows["y1"].append(y1)
-        return pd.DataFrame({k: np.concatenate(v) if v else
-                             np.zeros(0, np.int64)
-                             for k, v in rows.items()})
+    def fn(g: pa.Table) -> pa.Table:
+        EMPTY = pa.schema([(c, pa.int64()) for c in
+                           ("z", "x", "y", "x0", "y0", "x1", "y1")])
+        tidx, gx, gy, uz, ux, uy = _iso_cells_group(g, threshold)
+        if tidx.size == 0:
+            return EMPTY.empty_table()
+        tt, x0, y0, x1, y1 = _ms_segments_sparse(tidx, gx, gy, s)
+        if tt.size == 0:
+            return EMPTY.empty_table()
+        return pa.table({
+            "z": pa.array(uz[tt], pa.int64()),
+            "x": pa.array(ux[tt], pa.int64()),
+            "y": pa.array(uy[tt], pa.int64()),
+            "x0": pa.array(x0, pa.int64()), "y0": pa.array(y0, pa.int64()),
+            "x1": pa.array(x1, pa.int64()), "y1": pa.array(y1, pa.int64())})
 
     ds = assign(geoparse(read_webpages(webpages_path)), zoom,
                 with_cells=False)
-    return rasterize_tiles(ds).map_batches(fn, batch_format="pandas")
+    return _partial_cells(ds).groupby("bucket").map_groups(
+        fn, batch_format="pyarrow")
 
 
 def isolines_pipeline(webpages_path: str, zoom: int = 8,
@@ -586,27 +731,46 @@ def isolines_pipeline(webpages_path: str, zoom: int = 8,
                 lines.append([(int(x0[i]), int(y0[i]))] + path)
         return [np.array(p, np.int64) for p in lines]
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
+    def fn(g: pa.Table) -> pa.Table:
+        EMPTY = pa.schema([("z", pa.int64()), ("x", pa.int64()),
+                           ("y", pa.int64()), ("mvt", pa.binary()),
+                           ("n_lines", pa.int64())])
+        tidx, gx, gy, uz, ux, uy = _iso_cells_group(g, threshold)
+        if tidx.size == 0:
+            return EMPTY.empty_table()
+        tt, x0, y0, x1, y1 = _ms_segments_sparse(tidx, gx, gy, s)
+        if tt.size == 0:
+            return EMPTY.empty_table()
+        # stable sort by tile: within a tile the sparse pass's
+        # case-major-then-scan order equals the old per-tile order, so
+        # chaining (order-sensitive) emits the same polylines/bytes
+        order = np.argsort(tt, kind="stable")
+        tt, x0, y0, x1, y1 = (a[order] for a in (tt, x0, y0, x1, y1))
+        starts = np.flatnonzero(np.concatenate([[True], tt[1:] != tt[:-1]]))
+        bounds = np.append(starts, tt.size)
         rows = {"z": [], "x": [], "y": [], "mvt": [], "n_lines": []}
-        for i in range(len(b)):
-            grid = np.frombuffer(b["raster"].iloc[i], dtype=np.uint32) \
-                .reshape(GRID, GRID)
-            x0, y0, x1, y1 = _ms_segments(grid, threshold, s)
-            if not x0.size:
-                continue
-            lines = chain(x0, y0, x1, y1)
+        for k in range(starts.size):
+            lo, hi = bounds[k], bounds[k + 1]
+            lines = chain(x0[lo:hi], y0[lo:hi], x1[lo:hi], y1[lo:hi])
             feat = Feature(threshold,
                            {b"threshold": (I64V, threshold),
                             b"n_lines": (I64V, len(lines))}, lines)
             layer = Layer(name=b"isolines", version=2, extent=4096,
                           linestrings=[feat])
-            rows["z"].append(np.int64(b["z"].iloc[i]))
-            rows["x"].append(np.int64(b["x"].iloc[i]))
-            rows["y"].append(np.int64(b["y"].iloc[i]))
+            t = int(tt[lo])
+            rows["z"].append(int(uz[t]))
+            rows["x"].append(int(ux[t]))
+            rows["y"].append(int(uy[t]))
             rows["mvt"].append(encode_tile(VectorTile({b"isolines": layer})))
-            rows["n_lines"].append(np.int64(len(lines)))
-        return pd.DataFrame(rows)
+            rows["n_lines"].append(len(lines))
+        return pa.table({
+            "z": pa.array(rows["z"], pa.int64()),
+            "x": pa.array(rows["x"], pa.int64()),
+            "y": pa.array(rows["y"], pa.int64()),
+            "mvt": pa.array(rows["mvt"], pa.binary()),
+            "n_lines": pa.array(rows["n_lines"], pa.int64())})
 
     ds = assign(geoparse(read_webpages(webpages_path)), zoom,
                 with_cells=False)
-    return rasterize_tiles(ds).map_batches(fn, batch_format="pandas")
+    return _partial_cells(ds).groupby("bucket").map_groups(
+        fn, batch_format="pyarrow")

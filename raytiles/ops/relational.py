@@ -1596,7 +1596,8 @@ def events_gapfill(sf_dir: str) -> ray.data.Dataset:
 
     HOUR = np.timedelta64(1, "h")
 
-    def densify(g: pd.DataFrame) -> pd.DataFrame:
+    def densify(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         w = g["window_start"].to_numpy().astype("datetime64[us]")
         lo, hi = w.min(), w.max()
         full = np.arange(lo, hi + HOUR, HOUR)
@@ -1605,15 +1606,19 @@ def events_gapfill(sf_dir: str) -> ray.data.Dataset:
         pos = np.searchsorted(full, w)
         n[pos] = g["n_events"].to_numpy().astype(np.int64)
         s[pos] = g["sum_value"].to_numpy()
-        return pd.DataFrame({
-            "event_type": g["event_type"].iloc[0],
-            "window_start": pd.Series(full).dt.strftime(
-                "%Y-%m-%d %H:%M:%S"),
-            "n_events": n,
-            "sum_value": _fq(s, 6)})
+        # pc.strftime on timestamp[s] == pandas dt.strftime for this
+        # format (the events_rollup partial already relies on it)
+        ws = pc.strftime(pa.array(full.astype("datetime64[s]")),
+                         format="%Y-%m-%d %H:%M:%S")
+        et = g["event_type"][0].as_py()
+        return pa.table({
+            "event_type": pa.array([et] * len(full), pa.string()),
+            "window_start": ws,
+            "n_events": pa.array(n),
+            "sum_value": pa.array(_fq(s, 6))})
 
     return agg.groupby("event_type").map_groups(
-        densify, batch_format="pandas")
+        densify, batch_format="pyarrow")
 
 
 def events_rollup(sf_dir: str) -> ray.data.Dataset:

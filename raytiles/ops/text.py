@@ -138,10 +138,14 @@ KR_BASE = np.uint64(1000003)
 KR_K = 16  # char k-grams
 
 
-def _rolling_hashes(text: bytes) -> np.ndarray:
+def _rolling_hashes(text) -> np.ndarray:
     """uint64 wraparound polynomial hashes of all K-grams, vectorized:
-    K shifted adds instead of a per-gram loop."""
-    b = np.frombuffer(text, dtype=np.uint8).astype(np.uint64)
+    K shifted adds instead of a per-gram loop. Accepts bytes or a
+    contiguous uint8 array (an Arrow string-buffer slice)."""
+    if isinstance(text, np.ndarray):
+        b = text.astype(np.uint64)
+    else:
+        b = np.frombuffer(text, dtype=np.uint8).astype(np.uint64)
     n = b.size
     if n < KR_K:
         return np.empty(0, np.uint64)
@@ -159,11 +163,22 @@ class WinnowFingerprint:
     def __init__(self, window: int = 8) -> None:
         self.window = window
 
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        fps = np.zeros(len(b), dtype=np.uint64)
-        sketch = np.zeros(len(b), dtype=np.int64)
-        for i, t in enumerate(b["text"]):
-            h = _rolling_hashes(t.encode("utf-8"))
+    def __call__(self, b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        fps = np.zeros(n, dtype=np.uint64)
+        sketch = np.zeros(n, dtype=np.int64)
+        # per-doc utf-8 straight off the Arrow string buffers — the
+        # rolling hash consumes bytes, so no Python str materializes
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_string(col.type):
+            col = col.cast(pa.string())
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset:col.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        for i in range(n):
+            h = _rolling_hashes(data[offs[i]:offs[i + 1]])
             if h.size == 0:
                 continue
             fps[i] = h.min()
@@ -173,9 +188,10 @@ class WinnowFingerprint:
                 sketch[i] = np.unique(mins).size
             else:
                 sketch[i] = 1
-        return pd.DataFrame({"doc_id": b["doc_id"].astype(np.int64),
-                             "fingerprint": fps.astype(np.int64),  # two's-complement view
-                             "sketch_size": sketch})
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "fingerprint": pa.array(fps.view(np.int64)),  # two's-complement view
+            "sketch_size": pa.array(sketch)})
 
 
 _WINNOW = WinnowFingerprint()  # stateless bar the window constant
@@ -185,7 +201,7 @@ def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
     # task-based: actor pools cost ~2s spin-up per execution and the
     # stage state is one integer
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _WINNOW, batch_format="pandas")
+        _WINNOW, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -2370,6 +2370,41 @@ def test_marching_squares_goldens():
     assert _ms_goldens()
 
 
+def test_ms_sparse_matches_dense_kernel():
+    """_ms_segments_sparse over occupied cells of many random sparse
+    tiles must emit exactly the dense per-tile kernel's segments —
+    same multiset AND same within-tile (case-major, scan) order."""
+    from raytiles.ops.raster import GRID, _ms_segments, _ms_segments_sparse
+    rng = np.random.default_rng(5)
+    s = 16
+    tiles, gxs, gys = [], [], []
+    dense = {}
+    for t in range(7):
+        k = int(rng.integers(1, 40))
+        # clustered + edge/corner cells to hit clipping
+        gx = np.clip(rng.integers(0, GRID, k), 0, GRID - 1)
+        gy = np.clip(rng.integers(0, GRID, k), 0, GRID - 1)
+        if t == 0:  # force border/corner coverage
+            gx = np.concatenate([gx, [0, GRID - 1, 0, GRID - 1]])
+            gy = np.concatenate([gy, [0, 0, GRID - 1, GRID - 1]])
+        grid = np.zeros((GRID, GRID), np.uint32)
+        grid[gy, gx] = 1
+        dense[t] = _ms_segments(grid, 1, s)
+        oy, ox = np.nonzero(grid)
+        tiles.append(np.full(ox.size, t, np.int64))
+        gxs.append(ox.astype(np.int64))
+        gys.append(oy.astype(np.int64))
+    tt, x0, y0, x1, y1 = _ms_segments_sparse(
+        np.concatenate(tiles), np.concatenate(gxs), np.concatenate(gys), s)
+    order = np.argsort(tt, kind="stable")
+    tt, x0, y0, x1, y1 = (a[order] for a in (tt, x0, y0, x1, y1))
+    for t in range(7):
+        m = tt == t
+        dx0, dy0, dx1, dy1 = dense[t]
+        assert np.array_equal(x0[m], dx0) and np.array_equal(y0[m], dy0)
+        assert np.array_equal(x1[m], dx1) and np.array_equal(y1[m], dy1)
+
+
 def test_iso_segments_local_separation_property():
     """Every emitted segment vertex is an edge midpoint whose two
     flanking cell centers straddle the threshold — the defining
