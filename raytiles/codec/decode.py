@@ -296,8 +296,168 @@ def _decode_layer_exact(buf, start: int, end: int) -> Layer:
     return layer
 
 
+SMALL_TILE_BYTES = 64  # below this, the fused one-pass decoder wins
+
+
+def _decode_tile_small(buf, n: int):
+    """Fused straight-line decode for TINY tiles: one pass, no span
+    lists, no per-level dispatch — the fixed per-call costs of the
+    general three-level scan dominate a 26-byte tile. Specializes the
+    common shape only (single-byte field headers and varints, no
+    keys/values/tags, packed geometry, known geometry type); returns
+    None on ANYTHING else so the exact path owns all semantics and
+    error messages (anomalies decode twice — errors are cold)."""
+    tile = VectorTile()
+    pos = 0
+    while pos < n:
+        if buf[pos] != 0x1A:  # tag(3, LEN), single-byte
+            return None
+        pos += 1
+        if pos >= n:
+            return None
+        ln = buf[pos]
+        pos += 1
+        if ln & 0x80:
+            return None
+        e = pos + ln
+        if e > n:
+            return None
+        version = 1
+        name = b""
+        extent = None
+        fspans = []
+        p = pos
+        while p < e:
+            k = buf[p]
+            p += 1
+            if k & 0x80 or p >= e:
+                return None
+            fno = k >> 3
+            wt = k & 7
+            if wt == 2:
+                l2 = buf[p]
+                p += 1
+                if l2 & 0x80:
+                    return None
+                s2 = p
+                p += l2
+                if p > e:
+                    return None
+                if fno == 2:
+                    fspans.append((s2, p))
+                elif fno == 1:
+                    name = bytes(buf[s2:p])
+                else:  # keys/values/unknown LEN field: exact path owns
+                    return None
+            elif wt == 0:
+                v = buf[p]
+                p += 1
+                if v & 0x80:  # multi-byte varint value (e.g. extent 4096)
+                    b2 = buf[p]
+                    if b2 & 0x80:  # 3+ bytes: shared decoder
+                        v, p = wire.uvarint_decode(buf, p - 1)
+                    else:
+                        v = (v & 0x7F) | (b2 << 7)
+                        p += 1
+                    if p > e:
+                        return None
+                if fno == 15:
+                    version = v
+                elif fno == 5:
+                    extent = v
+                # other varint fields are ignored, as in the exact scan
+            else:
+                return None
+        if not fspans:
+            return None  # empty-layer error owned by the exact path
+        layer = Layer(name=name, version=version,
+                      extent=DEFAULT_EXTENT if extent is None else extent)
+        for s2, e2 in fspans:
+            fid = 0
+            gt = None
+            geom = None
+            p = s2
+            while p < e2:
+                k = buf[p]
+                p += 1
+                if k & 0x80 or p >= e2:
+                    return None
+                fno = k >> 3
+                wt = k & 7
+                if wt == 0:
+                    v = buf[p]
+                    p += 1
+                    if v & 0x80:  # multi-byte varint (e.g. a big fid)
+                        v, p = wire.uvarint_decode(buf, p - 1)
+                        if p > e2:
+                            return None
+                    if fno == 1:
+                        fid = v
+                    elif fno == 3:
+                        gt = v
+                    else:  # unpacked tag/geom word: exact path owns
+                        return None
+                elif wt == 2:
+                    l2 = buf[p]
+                    p += 1
+                    if l2 & 0x80:
+                        return None
+                    s3 = p
+                    p += l2
+                    if p > e2:
+                        return None
+                    if fno == 4 and geom is None:
+                        seg = buf[s3:p]
+                        geom = (list(seg) if not seg or max(seg) < 0x80
+                                else wire.uvarint_decode_list(seg))
+                    else:  # tags / repeated geom / unknown LEN field
+                        return None
+                else:
+                    return None
+            if geom is None:
+                geom = []
+            try:
+                if gt == GEOM_POINT:
+                    if len(geom) == 3 and geom[0] == 9:
+                        # inline single-MoveTo point (the dominant tiny
+                        # shape): unzig with int32 truncation, exactly
+                        # decode_points' fast path
+                        u = geom[1] & 0xFFFFFFFF
+                        x = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                        u = geom[2] & 0xFFFFFFFF
+                        y = ((u >> 1) ^ (-(u & 1) & 0xFFFFFFFF)) & 0xFFFFFFFF
+                        pt = np.empty((1, 2), dtype=np.int64)
+                        pt[0, 0] = x - 0x100000000 if x >= 0x80000000 else x
+                        pt[0, 1] = y - 0x100000000 if y >= 0x80000000 else y
+                        layer.points.append(Feature(fid, {}, pt))
+                    else:
+                        layer.points.append(
+                            Feature(fid, {}, decode_points(geom)))
+                elif gt == GEOM_LINESTRING:
+                    layer.linestrings.append(
+                        Feature(fid, {}, decode_linestrings(geom)))
+                elif gt == GEOM_POLYGON:
+                    layer.polygons.append(
+                        Feature(fid, {}, decode_polygons(geom)))
+                else:  # UNKNOWN/missing: error text owned by exact path
+                    return None
+            except GeometryError:
+                return None  # exact path re-raises with reference text
+        tile.layers[layer.name] = layer
+        pos = e
+    return tile
+
+
 def decode_tile(buf: bytes) -> VectorTile:
     """`tile` (lib/Geography/VectorTile.hs:70-71). Raises CodecError."""
+    n_small = len(buf)
+    if n_small <= SMALL_TILE_BYTES:
+        try:
+            tile = _decode_tile_small(buf, n_small)
+        except (IndexError, wire.WireError):
+            tile = None  # general path re-raises with wrapped text
+        if tile is not None:
+            return tile
     try:
         tile = VectorTile()
         # inline outer scan (no generator): one pass over the tile's

@@ -179,3 +179,53 @@ def test_mutated_fixture_path_parity_and_fixpoint():
             t2, _ = decode_tile_safe(enc)
             assert t2 is not None and tiles_equal(ta, t2)
     assert decodable > 50  # the fuzz actually exercises the happy path
+
+
+def test_small_tile_fast_path_parity():
+    """Seeded fuzz over TINY tiles: the fused small-tile decoder
+    (decode.SMALL_TILE_BYTES path) must produce the same outcome —
+    structure AND error text — as the exact path, on mutations,
+    truncations, extensions of onepoint.mvt and on random small
+    byte strings."""
+    import random
+    from raytiles.codec import decode as D
+    from raytiles.codec.decode import decode_tile_safe
+    from raytiles.codec.encode import encode_tile
+    from raytiles.codec.model import tiles_equal
+
+    base = open("/root/reference/test/onepoint.mvt", "rb").read()
+    rng = random.Random(4042026)
+    cases = []
+    for _ in range(800):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cases.append(bytes(b))
+    for _ in range(200):
+        cases.append(base[:rng.randrange(len(base) + 1)])  # truncations
+    for _ in range(200):
+        cases.append(base + bytes(rng.randrange(256)
+                                  for _ in range(rng.randint(1, 8))))
+    for _ in range(300):  # random noise, layer-tagged half the time
+        k = rng.randint(0, 40)
+        body = bytes(rng.randrange(256) for _ in range(k))
+        cases.append((b"\x1a" + bytes([k]) + body) if rng.random() < 0.5
+                     else body)
+    decodable = 0
+    for raw in cases:
+        assert len(raw) <= D.SMALL_TILE_BYTES + 16
+        ta, ea = decode_tile_safe(raw)
+        saved = D.SMALL_TILE_BYTES
+        D.SMALL_TILE_BYTES = -1  # force the general path
+        try:
+            tb, eb = decode_tile_safe(raw)
+        finally:
+            D.SMALL_TILE_BYTES = saved
+        assert (ta is None) == (tb is None), raw.hex()
+        if ta is None:
+            assert ea == eb, (raw.hex(), ea, eb)
+        else:
+            assert tiles_equal(ta, tb), raw.hex()
+            decodable += 1
+            assert encode_tile(ta) == encode_tile(tb)
+    assert decodable > 30
