@@ -403,11 +403,11 @@ def simhash(sf_dir: str) -> ray.data.Dataset:
     powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
     shifts = np.arange(64, dtype=np.uint64)
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        n = len(b)
+    def fn(b: pa.Table) -> pa.Table:
+        n = b.num_rows
         hi = np.zeros(n, dtype=np.int64)
         lo = np.zeros(n, dtype=np.int64)
-        tok_lists = [_TOK_RE.findall(t) for t in b["text"]]
+        tok_lists = [_TOK_RE.findall(t) for t in b["text"].to_pylist()]
         counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
         keep = counts > 0
         if keep.any():
@@ -421,10 +421,10 @@ def simhash(sf_dir: str) -> ray.data.Dataset:
             words = (vote * powers[None, :]).sum(axis=1, dtype=np.uint64)
             hi[keep] = (words >> np.uint64(32)).astype(np.int64)
             lo[keep] = (words & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        return pd.DataFrame({"doc_id": b["doc_id"].astype(np.int64),
-                             "simhash_hi": hi, "simhash_lo": lo})
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "simhash_hi": pa.array(hi), "simhash_lo": pa.array(lo)})
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -121,12 +121,22 @@ def doc_md5(sf_dir: str) -> ray.data.Dataset:
     SQL twin: md5(text)."""
     import hashlib
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": b["doc_id"].astype(np.int64),
-            "h": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in b["text"]],
-        })
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+    def fn(b: pa.Table) -> pa.Table:
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_string(col.type):
+            col = col.cast(pa.string())
+        n = b.num_rows
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset:col.offset + n + 1].astype(np.int64)
+        data = memoryview(col.buffers()[2])  # md5 over zero-copy slices
+        md5 = hashlib.md5
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "h": pa.array([md5(data[offs[i]:offs[i + 1]]).hexdigest()
+                           for i in range(n)], pa.string())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
