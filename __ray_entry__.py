@@ -332,6 +332,13 @@ def _q_source_kl(sf_dir: str):
     return source_kl(sf_dir)
 
 
+def _q_train_split(sf_dir: str):
+    """Deterministic hash train/val/test split (stable across reruns),
+    stratified summary per (source, split)."""
+    from raytiles.ops.webcorpus import train_split
+    return train_split(sf_dir)
+
+
 def _q_curation_manifest(sf_dir: str):
     """End-to-end curation decision per doc: distributed dedup
     survivorship x quality x lang x broadcast mixture weight, joined
@@ -1757,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "per_source_cap": _q_per_source_cap,
         "source_kl": _q_source_kl,
+        "train_split": _q_train_split,
         "temperature_weights": _q_temperature_weights,
         "curation_manifest": _q_curation_manifest,
         "dedup_survivors": _q_dedup_survivors,
@@ -1928,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": oracles.dup_spans_sql(),
         "per_source_cap": oracles.PER_SOURCE_CAP_SQL,
         "source_kl": oracles.source_kl_sql(),
+        "train_split": oracles.train_split_sql(),
         "temperature_weights": oracles.TEMPERATURE_WEIGHTS_SQL,
         "curation_manifest": oracles.CURATION_MANIFEST_SQL,
         "dedup_survivors": oracles.dedup_survivors_sql(),

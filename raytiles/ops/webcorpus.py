@@ -42,6 +42,53 @@ def _md5_u64(strings) -> np.ndarray:
         dtype=np.uint64, count=len(strings))
 
 
+def train_split(sf_dir: str, val_pct: int = 5,
+                test_pct: int = 10) -> ray.data.Dataset:
+    """Deterministic hash train/val/test split of the corpus — the
+    assignment step every training-data pipeline needs to be STABLE
+    across reruns and machines (never random.random(): re-ingesting a
+    shard must land every doc in the same split).
+
+    slot = md5(CAST(doc_id AS VARCHAR)) first-8-bytes-u64 % 100 (the
+    repo's md5-derived-hash parity rule); split = 'test' if slot <
+    test_pct, 'val' if slot < test_pct + val_pct, else 'train'.
+    Returns the stratified summary per (source, split): n_docs,
+    sum_chars — per-batch partials collapse first, then ONE groupby on
+    the BOUNDED composite key (sources x 3). SQL twin:
+    oracles.train_split_sql."""
+    def partial(b: pa.Table) -> pa.Table:
+        slot = (_md5_u64([str(i) for i in b["doc_id"].to_pylist()])
+                % np.uint64(100)).astype(np.int64)
+        split = np.where(slot < test_pct, "test",
+                         np.where(slot < test_pct + val_pct, "val",
+                                  "train"))
+        t = pa.table({"source": b["source"],
+                      "split": pa.array(split.tolist(), pa.string()),
+                      "n_chars": pc.cast(b["n_chars"], pa.int64())})
+        g = pa.TableGroupBy(t, ["source", "split"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")])
+        g = g.rename_columns(["source", "split", "n_docs", "sum_chars"])
+        return pa.table({
+            "source": g["source"], "split": g["split"],
+            "n_docs": pc.cast(g["n_docs"], pa.int64()),
+            "sum_chars": pc.cast(g["sum_chars"], pa.int64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g, ["source", "split"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")])
+        out = out.rename_columns(["source", "split", "n_docs", "sum_chars"])
+        return pa.table({
+            "source": out["source"], "split": out["split"],
+            "n_docs": pc.cast(out["n_docs"], pa.int64()),
+            "sum_chars": pc.cast(out["sum_chars"], pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    # groupby on the bounded composite key (|sources| x 3 groups)
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "split"]).map_groups(merge, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # per-host aggregation over the webpages table
 # ---------------------------------------------------------------------------

@@ -2360,3 +2360,24 @@ def cell_compact_sql(webpages_parquet: str, zoom: int = 12,
             + " SELECT CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x, "
               "CAST(y AS BIGINT) AS y FROM ("
             + " UNION ALL ".join(emits) + ")")
+
+
+def train_split_sql(val_pct: int = 5, test_pct: int = 10) -> str:
+    """Twin of ops.webcorpus.train_split: slot = first-8-md5-bytes of
+    the doc_id's decimal string, modulo 100 (the repo's md5 parity
+    rule); sums CAST to BIGINT (DuckDB BIGINT sum returns HUGEINT —
+    the props_extract lesson)."""
+    return f"""
+WITH s AS (
+  SELECT source, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+           % 100 AS slot
+  FROM documents)
+SELECT source,
+       CASE WHEN slot < {test_pct} THEN 'test'
+            WHEN slot < {test_pct} + {val_pct} THEN 'val'
+            ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY 1, 2
+"""

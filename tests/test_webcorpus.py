@@ -212,3 +212,33 @@ def test_boilerplate_ngrams_single_process_oracle():
         assert df.loc[did, "n_boiler"] == nb
         assert df.loc[did, "boiler_ratio"] == np.floor(
             nb / len(gs) * 1e6) / 1e6
+
+
+def test_train_split_deterministic_and_exhaustive():
+    """Split is a pure function of doc_id (md5 slot), covers every doc
+    exactly once, and matches a direct per-doc recompute."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from raytiles.ops.webcorpus import train_split
+    got = train_split(SF_SMOKE).to_pandas()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"]).to_pandas()
+    slot = docs["doc_id"].map(
+        lambda i: int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[:8], "big") % 100)
+    split = np.where(slot < 10, "test", np.where(slot < 15, "val", "train"))
+    want = docs.assign(split=split).groupby(
+        ["source", "split"], as_index=False).agg(
+        n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+    key = ["source", "split"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["n_docs"].to_numpy() == w["n_docs"].to_numpy()).all()
+    assert (g["sum_chars"].to_numpy() == w["sum_chars"].to_numpy()).all()
+    assert int(g["n_docs"].sum()) == len(docs)  # every doc exactly once
+    # rerun -> identical assignment (stability is the point)
+    again = train_split(SF_SMOKE).to_pandas().sort_values(key).reset_index(drop=True)
+    assert again.equals(g)
