@@ -332,6 +332,21 @@ def _q_source_kl(sf_dir: str):
     return source_kl(sf_dir)
 
 
+def _q_video_frames(sf_dir: str):
+    """REAL video pipeline: RVC container parse -> uniform temporal
+    frame sampling -> real BMP decode per sampled frame (exact channel
+    sums). Rows-only; pytest pins bit-exact ground truth."""
+    from raytiles.ops.video import video_frames
+    return video_frames(sf_dir)
+
+
+def _q_video_meta(sf_dir: str):
+    """Container-level video manifest (frame counts, fps, byte sizes)
+    without decoding any frame body."""
+    from raytiles.ops.video import video_meta
+    return video_meta(sf_dir)
+
+
 def _q_train_split(sf_dir: str):
     """Deterministic hash train/val/test split (stable across reruns),
     stratified summary per (source, split)."""
@@ -1765,6 +1780,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": _q_per_source_cap,
         "source_kl": _q_source_kl,
         "train_split": _q_train_split,
+        "video_frames": _q_video_frames,
+        "video_meta": _q_video_meta,
         "temperature_weights": _q_temperature_weights,
         "curation_manifest": _q_curation_manifest,
         "dedup_survivors": _q_dedup_survivors,

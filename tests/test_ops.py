@@ -2567,3 +2567,56 @@ def test_marching_squares_randomized_bruteforce():
                     want.append((int(ax[0]), int(ay[0]),
                                  int(bx2[0]), int(by2[0])))
         assert got == sorted(want), trial
+
+
+def test_rvc_container_roundtrip_and_sampling():
+    """Container framing: encode -> parse recovers every frame span,
+    sampled frames decode to the exact source pixels; malformed
+    containers raise."""
+    import pytest as _pytest
+
+    from raytiles.ops.image import decode_bmp
+    from raytiles.ops.video import (encode_rvc, parse_rvc, sample_indices,
+                                    synth_video)
+    frames = synth_video(7)
+    payload = encode_rvc(frames, fps_milli=9000)
+    fps, spans = parse_rvc(payload)
+    assert fps == 9000 and len(spans) == len(frames)
+    for (off, ln), f in zip(spans, frames):
+        assert np.array_equal(decode_bmp(payload[off:off + ln]), f)
+    for bad in (payload[:-3], payload[:9], b"XXXX" + payload[4:],
+                payload + b"\x00"):
+        with _pytest.raises(ValueError):
+            parse_rvc(bad)
+    # uniform sampling: first+last always included, monotone
+    idx = sample_indices(10, 4)
+    assert idx[0] == 0 and idx[-1] == 9 and (np.diff(idx) > 0).all()
+    assert sample_indices(3, 4).tolist() == [0, 1, 2]
+    assert sample_indices(5, 1).tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_video_frames_ground_truth():
+    """Distributed sampler output matches a direct recompute: same
+    sampled indices, bit-exact channel sums from the real decoder."""
+    from raytiles.ops.video import (sample_indices, synth_video,
+                                    video_frames, video_meta)
+    got = video_frames(SF_SMOKE, k=4).to_pandas() \
+        .sort_values(["vid_id", "frame_idx"]).reset_index(drop=True)
+    assert got["ok"].all()
+    vids = sorted(got["vid_id"].unique())
+    for vid in vids[:10]:
+        frames = synth_video(int(vid))
+        idx = sample_indices(len(frames), 4)
+        sub = got[got["vid_id"] == vid]
+        assert sub["frame_idx"].tolist() == idx.tolist()
+        for _, r in sub.iterrows():
+            f = frames[int(r["frame_idx"])]
+            s = f.reshape(-1, 3).sum(0, dtype=np.int64)
+            assert (r["height"], r["width"]) == f.shape[:2]
+            assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(s)
+    meta = video_meta(SF_SMOKE).to_pandas()
+    assert meta["ok"].all()
+    m0 = meta.set_index("vid_id")
+    for vid in vids[:5]:
+        assert m0.loc[vid, "n_frames"] == len(synth_video(int(vid)))
