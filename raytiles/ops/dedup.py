@@ -586,14 +586,14 @@ def dup_spans(sf_dir: str) -> ray.data.Dataset:
     splitmix(doc_id): merges each doc's per-bucket partials into its
     final counts. Shuffle payload: 24 B per distinct (doc, shingle)
     for phase 1, 32 B per (doc, bucket) for phase 2."""
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    def partial(b: pa.Table) -> pa.Table:
         doc_ids = b["doc_id"].to_numpy().astype(np.int64)
-        sh_lists = [_shingles(t) for t in b["text"]]
+        sh_lists = [_shingles(t) for t in b["text"].to_pylist()]
         counts = np.array([len(s) for s in sh_lists], dtype=np.int64)
         if counts.sum() == 0:
-            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
-                                 "h": np.empty(0, np.int64),
-                                 "bucket": np.empty(0, np.int64)})
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
         flat = np.array([s for lst in sh_lists for s in lst], dtype=object)
         uniq, inv = np.unique(flat, return_inverse=True)
         h = _md5_u64(uniq)[inv]
@@ -605,9 +605,9 @@ def dup_spans(sf_dir: str) -> ray.data.Dataset:
         first = np.ones(hs_.size, dtype=bool)
         first[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
         ds_, hs_ = ds_[first], hs_[first]
-        return pd.DataFrame({"doc_id": doc_ids[ds_],
-                             "h": hs_.view(np.int64),
-                             "bucket": bucket_of(hs_, N_DEDUP_BUCKETS)})
+        return pa.table({"doc_id": pa.array(doc_ids[ds_]),
+                         "h": pa.array(hs_.view(np.int64)),
+                         "bucket": pa.array(bucket_of(hs_, N_DEDUP_BUCKETS))})
 
     def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # rows are distinct (doc, h); per-h row count == distinct-doc
@@ -632,6 +632,6 @@ def dup_spans(sf_dir: str) -> ray.data.Dataset:
             "dup_ppm": n_dup * 1_000_000 // n_sh})
 
     return _docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(partial, batch_format="pandas") \
+        .map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(count_bucket, batch_format="pandas") \
         .groupby("obucket").map_groups(merge_doc, batch_format="pandas")

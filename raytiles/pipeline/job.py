@@ -44,7 +44,7 @@ def stage_a(webpages_path: str, root: str, zoom: int = 12,
     if os.path.exists(marker):
         return out_dir
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(b: pa.Table) -> pa.Table:
         cx = (b["x"].to_numpy() >> COARSE_SHIFT).astype(np.int64)
         cy = (b["y"].to_numpy() >> COARSE_SHIFT).astype(np.int64)
         z = b["z"].to_numpy().astype(np.int64)
@@ -52,13 +52,13 @@ def stage_a(webpages_path: str, root: str, zoom: int = 12,
         k = ((z << np.int64(52)) | (cx << np.int64(26)) | cy).astype(np.uint64)
         k = (k ^ (k >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
         k ^= k >> np.uint64(33)
-        b["bucket"] = (k % np.uint64(n_buckets)).astype(np.int64)
-        return b
+        return b.append_column(
+            "bucket", pa.array((k % np.uint64(n_buckets)).astype(np.int64)))
 
     ds = read_webpages(webpages_path)
     ds = geoparse(ds)
     ds = assign(ds, zoom, with_cells=False)
-    ds = ds.map_batches(add_bucket, batch_format="pandas")
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     tmp_dir = os.path.join(root, ".stage_a.tmp")
     import shutil
     shutil.rmtree(tmp_dir, ignore_errors=True)
