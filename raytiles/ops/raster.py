@@ -346,24 +346,27 @@ def point_clusters(webpages_path: str, zoom: int = 12, radius: int = 256,
 
     partial, n, cells = _cluster_partials(zoom, radius, n_buckets)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("key", as_index=False)[["n", "sx", "sy"]].sum()
+    def merge(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.select(["key", "n", "sx", "sy"]),
+                            "key").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum")])
         key = m["key"].to_numpy()
-        npts = m["n"].to_numpy()
+        npts = m["n_sum"].to_numpy().astype(np.int64)
         gy = key % cells
         gx = (key // cells) % cells
         tile = key // (cells * cells)
-        return pd.DataFrame({
-            "z": np.full(key.size, zoom, np.int64),
-            "x": tile // n, "y": tile % n, "gx": gx, "gy": gy,
-            "n": npts,
-            "cx": m["sx"].to_numpy() // npts,
-            "cy": m["sy"].to_numpy() // npts})
+        return pa.table({
+            "z": pa.array(np.full(key.size, zoom, np.int64)),
+            "x": pa.array(tile // n), "y": pa.array(tile % n),
+            "gx": pa.array(gx), "gy": pa.array(gy),
+            "n": pa.array(npts),
+            "cx": pa.array(m["sx_sum"].to_numpy().astype(np.int64) // npts),
+            "cy": pa.array(m["sy_sum"].to_numpy().astype(np.int64) // npts)})
 
     ds = assign(geoparse(read_webpages(webpages_path)), zoom,
                 with_cells=False)
     return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pandas")
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def cluster_tiles_pipeline(webpages_path: str, zoom: int = 12,
@@ -378,14 +381,16 @@ def cluster_tiles_pipeline(webpages_path: str, zoom: int = 12,
 
     partial, n, cells = _cluster_partials(zoom, radius, n_buckets)
 
-    def encode_group(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("key", as_index=False)[["n", "sx", "sy"]].sum()
+    def encode_group(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.select(["key", "n", "sx", "sy"]),
+                            "key").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum")])
         key = m["key"].to_numpy()
         order = np.argsort(key)
         key = key[order]
-        npts = m["n"].to_numpy()[order]
-        cx = m["sx"].to_numpy()[order] // npts
-        cy = m["sy"].to_numpy()[order] // npts
+        npts = m["n_sum"].to_numpy().astype(np.int64)[order]
+        cx = m["sx_sum"].to_numpy().astype(np.int64)[order] // npts
+        cy = m["sy_sum"].to_numpy().astype(np.int64)[order] // npts
         cell = key % (cells * cells)
         tile = key // (cells * cells)
         ut, start = np.unique(tile, return_index=True)
@@ -404,16 +409,16 @@ def cluster_tiles_pipeline(webpages_path: str, zoom: int = 12,
             oy.append(int(ut[t] % n))
             om.append(encode_tile(VectorTile({b"clusters": layer})))
             on.append(hi - lo)
-        return pd.DataFrame({"z": np.asarray(oz, np.int64),
-                             "x": np.asarray(ox, np.int64),
-                             "y": np.asarray(oy, np.int64),
-                             "mvt": om,
-                             "n_clusters": np.asarray(on, np.int64)})
+        return pa.table({"z": pa.array(oz, pa.int64()),
+                         "x": pa.array(ox, pa.int64()),
+                         "y": pa.array(oy, pa.int64()),
+                         "mvt": pa.array(om, pa.binary()),
+                         "n_clusters": pa.array(on, pa.int64())})
 
     ds = assign(geoparse(read_webpages(webpages_path)), zoom,
                 with_cells=False)
     return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(encode_group, batch_format="pandas")
+        .groupby("bucket").map_groups(encode_group, batch_format="pyarrow")
 
 
 def raster_blur(webpages_path: str, zoom: int = 8, grid_cell: int = 16,
@@ -462,16 +467,19 @@ def raster_blur(webpages_path: str, zoom: int = 8, grid_cell: int = 16,
             "key": tgt, "v": np.concatenate(tw).astype(np.int64),
             "bucket": bucket_of(tgt, n_buckets)})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("key", as_index=False)["v"].sum()
+    def merge(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.select(["key", "v"]), "key").aggregate(
+            [("v", "sum")])
         key = m["key"].to_numpy()
-        return pd.DataFrame({"gx": key // span, "gy": key % span,
-                             "blurred": m["v"].to_numpy()})
+        return pa.table({"gx": pa.array(key // span),
+                         "gy": pa.array(key % span),
+                         "blurred": pa.array(
+                             m["v_sum"].to_numpy().astype(np.int64))})
 
     ds = assign(geoparse(read_webpages(webpages_path)), zoom,
                 with_cells=False)
     return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pandas")
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
 # marching squares: case index = 8*TL + 4*TR + 2*BR + 1*BL (inside
