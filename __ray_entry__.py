@@ -1505,6 +1505,25 @@ def _q_ipc_roundtrip(sf_dir: str):
     return geoparse(read_webpages_ipc(root))
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """ORC source/sink roundtrip -> geoparse — the Hive/Spark
+    warehouse format via pyarrow.orc, with real column pruning at the
+    read; value-checked against the geoparse SQL twin."""
+    import tempfile
+
+    import ray.data as _rd
+
+    from raytiles.pipeline.flagship import geoparse
+    from raytiles.pipeline.sources import (read_webpages_orc,
+                                           write_webpages_orc)
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    root = tempfile.mkdtemp(prefix="raytiles_orc_")
+    write_webpages_orc(
+        _rd.read_parquet(wp, columns=["url", "text"]), root)
+    return geoparse(read_webpages_orc(root, columns=["url", "text"]))
+
+
 def _q_csv_roundtrip(sf_dir: str):
     """CSV source/sink roundtrip: parquet webpages -> CSV shards ->
     geoparse. Oracle: the geoparse SQL twin over the original parquet
@@ -1616,6 +1635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "ipc_roundtrip": _q_ipc_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "tile_features": _q_tile_features,
         # relational operators
@@ -1821,6 +1841,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": oracles.geoparse_sql(wp),
         "ipc_roundtrip": oracles.geoparse_sql(wp),
         "csv_roundtrip": oracles.geoparse_sql(wp),
+        "orc_roundtrip": oracles.geoparse_sql(wp),
         "tile_assign": oracles.tile_assign_sql(wp),
         "tile_counts": oracles.tile_counts_sql(wp),
         "cell_counts": oracles.cell_counts_sql(wp),

@@ -1305,3 +1305,25 @@ def test_mvt_label_place_greedy_oracle():
         if r["n_suppressed"] > 0:
             any_suppressed = True
     assert any_suppressed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orc_roundtrip_lossless(tmp_path):
+    """ORC sink/source roundtrip preserves url/text exactly, and the
+    column projection drops unrequested columns."""
+    import ray.data as rd
+
+    from raytiles.pipeline.sources import (read_webpages_orc,
+                                           write_webpages_orc)
+    from raytiles.pipeline.synth import webpages_path
+    from tests.conftest import SF_SMOKE
+    wp = webpages_path(SF_SMOKE)
+    src = rd.read_parquet(wp, columns=["url", "text"])
+    root = str(tmp_path / "orc")
+    write_webpages_orc(src, root)
+    back = read_webpages_orc(root, columns=["url", "text"]).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = src.to_pandas().sort_values("url").reset_index(drop=True)
+    assert back.equals(want)
+    just_url = read_webpages_orc(root, columns=["url"]).schema().names
+    assert just_url == ["url"]
