@@ -2620,3 +2620,59 @@ def test_video_frames_ground_truth():
     m0 = meta.set_index("vid_id")
     for vid in vids[:5]:
         assert m0.loc[vid, "n_frames"] == len(synth_video(int(vid)))
+
+
+def test_rvc_property_roundtrip():
+    """Property: ANY list of valid frames survives the container
+    roundtrip bit-exactly, and sampling indices are always sorted,
+    unique, in-range, with first/last pinned for k >= 2."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from raytiles.ops.image import decode_bmp
+    from raytiles.ops.video import encode_rvc, parse_rvc, sample_indices
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.tuples(st.integers(1, 12), st.integers(1, 12),
+                              st.integers(0, 2**32 - 1)),
+                    min_size=0, max_size=6),
+           st.integers(1, 30000))
+    def check(specs, fps):
+        rng_frames = []
+        for h, w, seed in specs:
+            rs = np.random.default_rng(seed)
+            rng_frames.append(rs.integers(0, 256, (h, w, 3)).astype(np.uint8))
+        payload = encode_rvc(rng_frames, fps_milli=fps)
+        got_fps, spans = parse_rvc(payload)
+        assert got_fps == fps and len(spans) == len(rng_frames)
+        for (off, ln), f in zip(spans, rng_frames):
+            assert np.array_equal(decode_bmp(payload[off:off + ln]), f)
+        for k in (1, 2, 3, 7):
+            idx = sample_indices(len(rng_frames), k)
+            assert idx.size == min(k, len(rng_frames))
+            assert (np.diff(idx) > 0).all() if idx.size > 1 else True
+            if len(rng_frames) >= 2 and k >= 2:
+                assert idx[0] == 0 and idx[-1] == len(rng_frames) - 1
+
+    check()
+
+
+def test_train_split_slot_properties():
+    """Property: the md5 slot is uniform-ish, total-preserving, and
+    threshold-monotone (raising test_pct only ever moves docs
+    train/val -> test, never the reverse)."""
+    import hashlib
+
+    def slot(i):
+        return int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[:8], "big") % 100
+
+    slots = np.array([slot(i) for i in range(5000)])
+    frac_test10 = (slots < 10).mean()
+    frac_val5 = ((slots >= 10) & (slots < 15)).mean()
+    assert 0.07 < frac_test10 < 0.13
+    assert 0.03 < frac_val5 < 0.08
+    # monotone: the slot<j sets are nested in j
+    for j in (5, 10, 20, 50):
+        assert ((slots < j) <= (slots < j + 5)).all()
