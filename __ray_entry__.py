@@ -784,6 +784,90 @@ def _q_nation_revenue(sf_dir: str):
     return nation_revenue(sf_dir)
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: segment-broadcast order filter, per-order
+    int-cent lineitem partials, bounded hash join, partial top-k."""
+    from raytiles.ops.warehouse import shipping_priority
+    return shipping_priority(sf_dir)
+
+
+def _q_ship_volume(sf_dir: str):
+    """TPC-H Q7 shape (region pair): broadcast supp/cust region dims,
+    per-(order, region, year) partials, one bounded hash join."""
+    from raytiles.ops.warehouse import ship_volume
+    return ship_volume(sf_dir)
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: per-year revenue share of one nation; exact
+    int-cent num/den carried separately, share divided at the end."""
+    from raytiles.ops.warehouse import market_share
+    return market_share(sf_dir)
+
+
+def _q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape: signed profit cents per supplier nation x ship
+    year; dual broadcast dims, shuffle-free bounded-domain partials."""
+    from raytiles.ops.warehouse import product_profit
+    return product_profit(sf_dir)
+
+
+def _q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: global-revenue-share threshold as an exact
+    integer cross-multiplication over catalog-bounded per-part sums."""
+    from raytiles.ops.warehouse import important_parts
+    return important_parts(sf_dir)
+
+
+def _q_custdist(sf_dir: str):
+    """TPC-H Q13 shape: order-count histogram per customer including
+    the zero bin (derived arithmetically, no join against customer)."""
+    from raytiles.ops.warehouse import custdist
+    return custdist(sf_dir)
+
+
+def _q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: max-revenue supplier(s) over a ship window,
+    scalar-max filter in the catalog-bounded merge block."""
+    from raytiles.ops.warehouse import top_supplier
+    return top_supplier(sf_dir)
+
+
+def _q_part_supp_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per part attribute group
+    from the observed pair relation; two bounded distinct shuffles."""
+    from raytiles.ops.warehouse import part_supp_counts
+    return part_supp_counts(sf_dir)
+
+
+def _q_big_orders(sf_dir: str):
+    """TPC-H Q18 shape: HAVING sum(qty) > T on int quantities, then a
+    bounded hash join back to orders + broadcast customer names."""
+    from raytiles.ops.warehouse import big_orders
+    return big_orders(sf_dir)
+
+
+def _q_banded_revenue(sf_dir: str):
+    """TPC-H Q19 shape: OR of three (brand, size, qty) bands folded to
+    a broadcast partkey -> band map; shuffle-free filter + fold."""
+    from raytiles.ops.warehouse import banded_revenue
+    return banded_revenue(sf_dir)
+
+
+def _q_excess_shippers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers shipping > 30% of a part's windowed
+    volume; exact integer fraction test inside part-bucketed groups."""
+    from raytiles.ops.warehouse import excess_shippers
+    return excess_shippers(sf_dir)
+
+
+def _q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: argmin-per-part supplier by exact total cents
+    with suppkey tie-break, inside one part-bucketed shuffle."""
+    from raytiles.ops.warehouse import min_cost_supplier
+    return min_cost_supplier(sf_dir)
+
+
 def _q_promo_revenue(sf_dir: str):
     """TPC-H Q14-shape: monthly PROMO revenue share; broadcast
     partkey -> is_promo lookup + exact-cents partial sums."""
@@ -939,6 +1023,35 @@ def _q_trajectory_lengths(sf_dir: str):
     from raytiles.ops.spatial import trajectory_lengths
     from raytiles.pipeline.synth import webpages_path
     return trajectory_lengths(webpages_path(sf_dir))
+
+
+def _q_segment_bearings(sf_dir: str):
+    """Compass-sector histogram of trajectory leg bearings (atan2
+    great-circle initial bearing, 8x45-degree fold, bincount merge)."""
+    from raytiles.ops.spatial import segment_bearings
+    from raytiles.pipeline.synth import webpages_path
+    return segment_bearings(webpages_path(sf_dir))
+
+
+def _q_kmv_distinct(sf_dir: str):
+    """KMV distinct-token sketch per source — k smallest md5 hashes,
+    EXACT order-statistics DuckDB twin (unlike HLL)."""
+    from raytiles.ops.sketch import kmv_distinct
+    return kmv_distinct(sf_dir)
+
+
+def _q_zipf_slope(sf_dir: str):
+    """Zipf rank-frequency OLS slope per source over micro-nat
+    quantized logs of the top-100 tokens."""
+    from raytiles.ops.text import zipf_slope
+    return zipf_slope(sf_dir)
+
+
+def _q_type_token_ratio(sf_dir: str):
+    """Per-doc lexical diversity (tokens, types, TTR) — shuffle-free
+    two-hash-aggregate pass."""
+    from raytiles.ops.text import type_token_ratio
+    return type_token_ratio(sf_dir)
 
 
 def _q_nearest_city(sf_dir: str):
@@ -1486,6 +1599,46 @@ def _q_warc_roundtrip(sf_dir: str):
     return geoparse(read_webpages_warc(root))
 
 
+def _q_tfrecord_roundtrip(sf_dir: str):
+    """TFRecord source/sink roundtrip -> geoparse: real TensorFlow
+    record framing (8-byte length + BOTH masked CRC32Cs, verified on
+    read via the lockstep-vectorized CRC kernel) around from-scratch
+    tf.train.Example protos. Value-checked against the geoparse SQL
+    twin like the parquet path."""
+    import tempfile
+
+    import ray.data as _rd
+
+    from raytiles.pipeline.flagship import geoparse
+    from raytiles.pipeline.sources import (read_webpages_tfrecord,
+                                           write_webpages_tfrecord)
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    root = tempfile.mkdtemp(prefix="raytiles_tfrec_")
+    write_webpages_tfrecord(
+        _rd.read_parquet(wp, columns=["url", "text"]), root)
+    return geoparse(read_webpages_tfrecord(root))
+
+
+def _q_wds_roundtrip(sf_dir: str):
+    """WebDataset source/sink roundtrip -> geoparse: tar shards of
+    {md5(url)}.url/.txt member pairs (the multimodal training-corpus
+    layout), deterministic member metadata, shard-parallel read."""
+    import tempfile
+
+    import ray.data as _rd
+
+    from raytiles.pipeline.flagship import geoparse
+    from raytiles.pipeline.sources import (read_webpages_wds,
+                                           write_webpages_wds)
+    from raytiles.pipeline.synth import webpages_path
+    wp = webpages_path(sf_dir)
+    root = tempfile.mkdtemp(prefix="raytiles_wds_")
+    write_webpages_wds(
+        _rd.read_parquet(wp, columns=["url", "text"]), root)
+    return geoparse(read_webpages_wds(root))
+
+
 def _q_ipc_roundtrip(sf_dir: str):
     """Arrow IPC (Feather V2) source/sink roundtrip -> geoparse —
     full-fidelity zero-copy interchange; value-checked against the
@@ -1636,6 +1789,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip": _q_ipc_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
+        "tfrecord_roundtrip": _q_tfrecord_roundtrip,
+        "wds_roundtrip": _q_wds_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "tile_features": _q_tile_features,
         # relational operators
@@ -1685,6 +1840,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_ranks": _q_order_price_ranks,
         "idle_customers": _q_idle_customers,
         "waiting_suppliers": _q_waiting_suppliers,
+        "shipping_priority": _q_shipping_priority,
+        "ship_volume": _q_ship_volume,
+        "market_share": _q_market_share,
+        "product_profit": _q_product_profit,
+        "important_parts": _q_important_parts,
+        "custdist": _q_custdist,
+        "top_supplier": _q_top_supplier,
+        "part_supp_counts": _q_part_supp_counts,
+        "big_orders": _q_big_orders,
+        "banded_revenue": _q_banded_revenue,
+        "excess_shippers": _q_excess_shippers,
+        "min_cost_supplier": _q_min_cost_supplier,
         "promo_revenue": _q_promo_revenue,
         "top_suppliers": _q_top_suppliers,
         "brand_type_stats": _q_brand_type_stats,
@@ -1745,6 +1912,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_triangles": _q_cell_triangles,
         "hotspot_regions": _q_hotspot_regions,
         "trajectory_lengths": _q_trajectory_lengths,
+        "segment_bearings": _q_segment_bearings,
+        "kmv_distinct": _q_kmv_distinct,
+        "zipf_slope": _q_zipf_slope,
+        "type_token_ratio": _q_type_token_ratio,
         "nearest_city": _q_nearest_city,
         "host_bbox": _q_host_bbox,
         "host_tile_cover": _q_host_tile_cover,
@@ -1842,6 +2013,8 @@ def oracle_sql() -> dict[str, str]:
         "ipc_roundtrip": oracles.geoparse_sql(wp),
         "csv_roundtrip": oracles.geoparse_sql(wp),
         "orc_roundtrip": oracles.geoparse_sql(wp),
+        "tfrecord_roundtrip": oracles.geoparse_sql(wp),
+        "wds_roundtrip": oracles.geoparse_sql(wp),
         "tile_assign": oracles.tile_assign_sql(wp),
         "tile_counts": oracles.tile_counts_sql(wp),
         "cell_counts": oracles.cell_counts_sql(wp),
@@ -1893,6 +2066,18 @@ def oracle_sql() -> dict[str, str]:
         "order_price_ranks": oracles.ORDER_PRICE_RANKS_SQL,
         "idle_customers": oracles.IDLE_CUSTOMERS_SQL,
         "waiting_suppliers": oracles.WAITING_SUPPLIERS_SQL,
+        "shipping_priority": oracles.SHIPPING_PRIORITY_SQL,
+        "ship_volume": oracles.SHIP_VOLUME_SQL,
+        "market_share": oracles.MARKET_SHARE_SQL,
+        "product_profit": oracles.PRODUCT_PROFIT_SQL,
+        "important_parts": oracles.IMPORTANT_PARTS_SQL,
+        "custdist": oracles.CUSTDIST_SQL,
+        "top_supplier": oracles.TOP_SUPPLIER_SQL,
+        "part_supp_counts": oracles.PART_SUPP_COUNTS_SQL,
+        "big_orders": oracles.BIG_ORDERS_SQL,
+        "banded_revenue": oracles.BANDED_REVENUE_SQL,
+        "excess_shippers": oracles.EXCESS_SHIPPERS_SQL,
+        "min_cost_supplier": oracles.MIN_COST_SUPPLIER_SQL,
         "promo_revenue": oracles.PROMO_REVENUE_SQL,
         "top_suppliers": oracles.TOP_SUPPLIERS_SQL,
         "brand_type_stats": oracles.BRAND_TYPE_STATS_SQL,
@@ -1927,6 +2112,10 @@ def oracle_sql() -> dict[str, str]:
         "cell_triangles": oracles.cell_triangles_sql(wp),
         "hotspot_regions": oracles.hotspot_regions_sql(wp),
         "trajectory_lengths": oracles.trajectory_lengths_sql(wp),
+        "segment_bearings": oracles.segment_bearings_sql(wp),
+        "kmv_distinct": oracles.KMV_DISTINCT_SQL,
+        "zipf_slope": oracles.ZIPF_SLOPE_SQL,
+        "type_token_ratio": oracles.TYPE_TOKEN_RATIO_SQL,
         "nearest_city": oracles.nearest_city_sql(wp),
         "host_bbox": oracles.host_bbox_sql(wp),
         "host_tile_cover": oracles.host_tile_cover_sql(wp),

@@ -336,3 +336,90 @@ def hll_union(sf_dir: str, p: int = 12, n_buckets: int = 64) -> ray.data.Dataset
     # per-block partial unions, then one tiny final row
     return sketches.map_batches(union, batch_format="pyarrow") \
         .repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def kmv_distinct(sf_dir: str, k: int = 16) -> ray.data.Dataset:
+    """KMV (k-minimum-values) distinct-token sketch per source — the
+    third sketch family (after HLL and Misra-Gries): keep the k
+    smallest md5-derived hash values of the distinct tokens; the k-th
+    smallest hash as a [0,1) fraction estimates distinct count as
+    (k-1)/frac. Unlike HLL this sketch has an EXACT DuckDB twin (the
+    k-th smallest md5 hash is order-statistics SQL), so the oracle
+    checks values, not just shape.
+
+    Per-batch partial: distinct (source, token) via one C++ hash
+    aggregate, md5 the distinct tokens only, keep each source's k
+    smallest. Hashes ride the shuffle as order-preserving SIGNED
+    int64 (h XOR 2^63 — the uint64 column ban in CLAUDE.md), so the
+    merge's sort equals unsigned hash order. Merge is one block:
+    partial rows are bounded by k x sources x blocks. Sources with
+    fewer than k distinct tokens drop (no k-th value), mirroring the
+    twin's rn = k row."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .text import NON_TOKEN_RE
+
+    FLIP = np.uint64(1 << 63)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b["text"], NON_TOKEN_RE)
+        flat = pc.list_flatten(toks)
+        src = pc.take(b["source"], pc.list_parent_indices(toks))
+        t = pa.table({"source": src, "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        t = pa.TableGroupBy(t, ["source", "token"]).aggregate([]) \
+            .rename_columns(["source", "token"])
+        toks_py = t["token"].to_pylist()
+        h = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                     "big") for s in toks_py], np.uint64)
+        signed = (h ^ FLIP).view(np.int64)
+        src_np = np.asarray(t["source"])
+        order = np.lexsort((signed, src_np))
+        src_s, sig_s = src_np[order], signed[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], src_s[1:] != src_s[:-1]))) if len(src_s) else \
+            np.zeros(0, np.int64)
+        ends = np.concatenate((starts[1:], [len(src_s)])) if len(src_s) \
+            else starts
+        keep = np.zeros(len(src_s), dtype=bool)
+        for s, e in zip(starts, ends):  # bounded: one iteration per source
+            keep[s:min(s + k, e)] = True
+        return pa.table({"source": pa.array(src_s[keep].tolist(), pa.string()),
+                         "hsigned": pa.array(sig_s[keep])})
+
+    def merge(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"])
+        sig = b["hsigned"].to_numpy(zero_copy_only=False)
+        # distinct (source, hash): same token seen in many blocks
+        key = np.char.add(np.char.add(src.astype(str), "|"),
+                          sig.astype(str))
+        _, first = np.unique(key, return_index=True)
+        src, sig = src[first], sig[first]
+        order = np.lexsort((sig, src))
+        src, sig = src[order], sig[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], src[1:] != src[:-1]))) if len(src) else \
+            np.zeros(0, np.int64)
+        ends = np.concatenate((starts[1:], [len(src)])) if len(src) \
+            else starts
+        out_src, out_frac, out_est = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < k:
+                continue  # twin's rn = k row does not exist
+            h64 = sig[s + k - 1].astype(np.int64).view(np.uint64) ^ FLIP
+            frac = float(h64) / 18446744073709551616.0
+            out_src.append(str(src[s]))
+            out_frac.append(frac)
+            out_est.append((k - 1.0) / frac)
+        from .relational import _fq
+        return pa.table({
+            "source": pa.array(out_src, pa.string()),
+            "kth_frac": pa.array(_fq(np.array(out_frac, np.float64), 9)),
+            "est_distinct": pa.array(_fq(np.array(out_est, np.float64), 4))})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow")

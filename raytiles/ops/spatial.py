@@ -702,3 +702,49 @@ def cell_compact(webpages_path: str, zoom: int = 12, min_zoom: int = 6,
                        "x": np.concatenate(out_x),
                        "y": np.concatenate(out_y)})
     return df.sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+
+def segment_bearings(webpages_path: str) -> ray.data.Dataset:
+    """Compass-sector histogram of trajectory leg bearings: each
+    consecutive mention pair (per url, mention order) gets its initial
+    great-circle bearing, folded into 8 sectors of 45 deg centered on
+    N/NE/E/... (sector = floor(fmod(deg + 382.5, 360) / 45)).
+
+    Shuffle shape mirrors trajectory_lengths (legs complete per batch
+    via geoparse's in-batch url contiguity); the output domain is 8
+    rows, so per-batch bincount partials merge in one block. The twin
+    runs the IDENTICAL double-op sequence (radians -> sin/cos ->
+    atan2 -> degrees -> +382.5 -> fmod -> /45 -> floor), the same
+    libm-parity contract trajectory_lengths has relied on since r3."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        url = np.asarray(b["url"])
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        if len(url) < 2:
+            return pa.table({"sector": pa.array([], pa.int64()),
+                             "n_legs": pa.array([], pa.int64())})
+        adj = url[1:] == url[:-1]
+        plat, clat = lat[:-1][adj], lat[1:][adj]
+        plon, clon = lon[:-1][adj], lon[1:][adj]
+        dlon_r = np.radians(clon - plon)
+        y = np.sin(dlon_r) * np.cos(np.radians(clat))
+        x = np.cos(np.radians(plat)) * np.sin(np.radians(clat)) \
+            - np.sin(np.radians(plat)) * np.cos(np.radians(clat)) \
+            * np.cos(dlon_r)
+        deg = np.degrees(np.arctan2(y, x))
+        sector = np.floor(np.fmod(deg + 382.5, 360.0) / 45.0) \
+            .astype(np.int64)
+        cnt = np.bincount(sector, minlength=8).astype(np.int64)
+        return pa.table({"sector": pa.array(np.arange(8, dtype=np.int64)),
+                         "n_legs": pa.array(cnt)})
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, "sector").aggregate([("n_legs", "sum")])
+        g = g.rename_columns(["sector", "n_legs"])
+        g = g.filter(pc.greater(g["n_legs"], 0)).sort_by("sector")
+        return pa.table({"sector": pc.cast(g["sector"], pa.int64()),
+                         "n_legs": pc.cast(g["n_legs"], pa.int64())})
+
+    return _mentions(webpages_path).map_batches(fn, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow")

@@ -1441,3 +1441,144 @@ def oov_rate(sf_dir: str, vocab_k: int = 100) -> ray.data.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(score, batch_format="pyarrow")
+
+
+def zipf_slope(sf_dir: str, topn: int = 100,
+               n_buckets: int = 64) -> ray.data.Dataset:
+    """Zipf rank-frequency fit per source: OLS slope of ln(tf) on
+    ln(rank) over the top-``topn`` tokens (ties tf DESC, token ASC) —
+    the corpus-health statistic a curation pipeline tracks (natural
+    text sits near -1; templated/spam sources flatten or steepen).
+
+    Shape: vocab_topk's bounded plan (per-batch (source, token) tf
+    partials, ONE md5-bucket shuffle, per-bucket top-n) then a single
+    merge block sees <= topn x buckets x sources rows. Exactness: the
+    regression runs over INT64 micro-nat quantized logs (the unigram
+    trick), so every sum is order-free and the twin's HUGEINT sums
+    cast to DOUBLE the same way."""
+    import hashlib
+
+    from ..util import bucket_of
+    from .relational import _fq
+
+    _EMPTY = pa.schema([("source", pa.string()), ("token", pa.string()),
+                        ("tf", pa.int64()), ("bucket", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b["text"], NON_TOKEN_RE)
+        flat = pc.list_flatten(toks)
+        src = pc.take(b["source"], pc.list_parent_indices(toks))
+        t = pa.table({"source": src, "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        if t.num_rows == 0:
+            return _EMPTY.empty_table()
+        tf = pa.TableGroupBy(t, ["source", "token"]).aggregate(
+            [("token", "count")]).rename_columns(["source", "token", "tf"])
+        toks_py = tf["token"].to_pylist()
+        h = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                     "big") for s in toks_py], dtype=np.uint64)
+        return pa.table({
+            "source": tf["source"], "token": tf["token"],
+            "tf": pc.cast(tf["tf"], pa.int64()),
+            "bucket": pa.array(bucket_of(h, n_buckets))})
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.select(["source", "token", "tf"]),
+                            ["source", "token"]).aggregate([("tf", "sum")]) \
+            .rename_columns(["source", "token", "tf"])
+        m = m.sort_by([("source", "ascending"), ("tf", "descending"),
+                       ("token", "ascending")])
+        src = np.asarray(m["source"])
+        n = len(src)
+        if n == 0:
+            return m
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(n, dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
+        return m.filter(pa.array(rank <= topn))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        m = b.sort_by([("source", "ascending"), ("tf", "descending"),
+                       ("token", "ascending")])
+        src = np.asarray(m["source"])
+        tf = m["tf"].to_numpy(zero_copy_only=False)
+        n = len(src)
+        if n == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_top": pa.array([], pa.int64()),
+                             "slope": pa.array([], pa.float64())})
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(n, dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
+        keep = rank <= topn
+        src, tf, rank = src[keep], tf[keep], rank[keep]
+        xi = np.floor(np.log(rank.astype(np.float64)) * 1e6 + 0.5) \
+            .astype(np.int64)
+        yi = np.floor(np.log(tf.astype(np.float64)) * 1e6 + 0.5) \
+            .astype(np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], src[1:] != src[:-1])))
+        cnt = np.diff(np.concatenate((starts, [len(src)])))
+        sx = np.add.reduceat(xi, starts)
+        sy = np.add.reduceat(yi, starts)
+        sxy = np.add.reduceat(xi * yi, starts)
+        sxx = np.add.reduceat(xi * xi, starts)
+        nf = cnt.astype(np.float64)
+        num = nf * sxy.astype(np.float64) \
+            - sx.astype(np.float64) * sy.astype(np.float64)
+        den = nf * sxx.astype(np.float64) \
+            - sx.astype(np.float64) * sx.astype(np.float64)
+        return pa.table({
+            "source": pa.array(src[starts].tolist(), pa.string()),
+            "n_top": pa.array(cnt.astype(np.int64)),
+            "slope": pa.array(_fq(num / den, 6))})
+
+    return _docs(sf_dir, ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow") \
+        .repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+def type_token_ratio(sf_dir: str) -> ray.data.Dataset:
+    """Per-document lexical diversity: token count, distinct-token
+    count, type-token ratio (round 6; 0.0 for empty docs, mirroring
+    the twin's CASE). Embarrassingly parallel — docs never split
+    across batches, so both counts complete with two C++ hash
+    aggregates per batch and zero shuffles."""
+    from .relational import _fq
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        per = pa.TableGroupBy(t, ["doc_id", "token"]).aggregate(
+            [("token", "count")]).rename_columns(["doc_id", "token", "tf"])
+        agg = pa.TableGroupBy(per, "doc_id").aggregate(
+            [("tf", "sum"), ("token", "count")]).rename_columns(
+            ["doc_id", "n_tokens", "n_types"])
+        keys = agg["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        ntok_s = agg["n_tokens"].to_numpy(zero_copy_only=False)[order]
+        ntyp_s = agg["n_types"].to_numpy(zero_copy_only=False)[order]
+        all_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys_s, all_ids)
+        pos = np.clip(pos, 0, max(len(keys_s) - 1, 0))
+        ok = (keys_s[pos] == all_ids) if len(keys_s) else \
+            np.zeros(len(all_ids), dtype=bool)
+        n_tokens = np.where(ok, ntok_s[pos] if len(keys_s) else 0, 0) \
+            .astype(np.int64)
+        n_types = np.where(ok, ntyp_s[pos] if len(keys_s) else 0, 0) \
+            .astype(np.int64)
+        ttr = np.where(n_tokens > 0,
+                       _fq(n_types / np.maximum(n_tokens, 1), 6), 0.0)
+        return pa.table({
+            "doc_id": pa.array(all_ids.astype(np.int64)),
+            "n_tokens": pa.array(n_tokens),
+            "n_types": pa.array(n_types),
+            "ttr": pa.array(ttr)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

@@ -2381,3 +2381,318 @@ SELECT source,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM s GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Warehouse wave two (ops/warehouse.py): the remaining TPC-H shapes.
+# Parity rules as everywhere: per-row INT64-cent quantization with
+# floor(x*100+0.5) for non-negative money (round(x*100, 0) where the
+# value can be negative, matching the engine's signed half-away-from-
+# zero), BIGINT casts on every aggregate output, epoch_us timestamps.
+# ---------------------------------------------------------------------------
+
+# Twin of ops.warehouse.shipping_priority (TPC-H Q3 shape).
+SHIPPING_PRIORITY_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem WHERE l_shipdate > DATE '1998-01-01' GROUP BY 1)
+SELECT o_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+       li.cents AS revenue_cents
+FROM li
+JOIN orders ON o_orderkey = li.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-01-01'
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10"""
+
+
+# Twin of ops.warehouse.ship_volume (TPC-H Q7 shape, region pair).
+SHIP_VOLUME_SQL = """
+SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+       CAST(year(l_shipdate) AS BIGINT) AS year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+WHERE r1.r_name IN ('ASIA', 'AMERICA') AND r2.r_name IN ('ASIA', 'AMERICA')
+  AND r1.r_name <> r2.r_name
+GROUP BY 1, 2, 3"""
+
+
+# Twin of ops.warehouse.market_share (TPC-H Q8 shape). share divides
+# the two exact int-cent sums as doubles and rounds to 6 like the
+# engine's _fq(num/den, 6).
+MARKET_SHARE_SQL = """
+WITH r AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents,
+         (n1.n_name = 'NATION_2') AS from_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n2.n_regionkey AND r_name = 'ASIA')
+SELECT year,
+       CAST(sum(CASE WHEN from_nation THEN cents ELSE 0 END) AS BIGINT)
+         AS num_cents,
+       CAST(sum(cents) AS BIGINT) AS den_cents,
+       round(CAST(sum(CASE WHEN from_nation THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cents) AS DOUBLE), 6) AS share
+FROM r GROUP BY year"""
+
+
+# Twin of ops.warehouse.product_profit (TPC-H Q9 shape). Profit can be
+# negative: round(x*100, 0) is DuckDB's half-away-from-zero, matching
+# the engine's signed _cents.
+PRODUCT_PROFIT_SQL = """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS year,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                            - 0.5 * l_quantity * p_retailprice) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS profit_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red %'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2"""
+
+
+# Twin of ops.warehouse.important_parts (TPC-H Q11 shape). The theta
+# predicate is the exact integer cross-multiplication on both sides.
+IMPORTANT_PARTS_SQL = """
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY 1)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey, p_name, revenue_cents
+FROM pr JOIN part ON p_partkey = l_partkey
+WHERE revenue_cents * 10000 > 8 * (SELECT sum(revenue_cents) FROM pr)"""
+
+
+# Twin of ops.warehouse.custdist (TPC-H Q13 shape, zero bin included
+# via the LEFT JOIN).
+CUSTDIST_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey
+                   AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY 1"""
+
+
+# Twin of ops.warehouse.top_supplier (TPC-H Q15 shape).
+TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT rev.s_suppkey, s_name, total_cents
+FROM rev JOIN supplier ON supplier.s_suppkey = rev.s_suppkey
+WHERE total_cents = (SELECT max(total_cents) FROM rev)"""
+
+
+# Twin of ops.warehouse.part_supp_counts (TPC-H Q16 shape over the
+# observed lineitem pair relation).
+PART_SUPP_COUNTS_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 9, 15, 25, 35, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3"""
+
+
+# Twin of ops.warehouse.big_orders (TPC-H Q18 shape). Quantities are
+# integral doubles; both sides carry them as BIGINT.
+BIG_ORDERS_SQL = """
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+SELECT c_name, CAST(o_custkey AS BIGINT) AS o_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS orderdate_us,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+       sum_qty
+FROM q
+JOIN orders ON o_orderkey = q.l_orderkey
+JOIN customer ON c_custkey = o_custkey"""
+
+
+# Twin of ops.warehouse.banded_revenue (TPC-H Q19 shape). The engine's
+# first-match band ids equal this OR because bands are brand-disjoint.
+BANDED_REVENUE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                    + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)"""
+
+
+# Twin of ops.warehouse.excess_shippers (TPC-H Q20 shape). The shipped
+# fraction test is the exact integer cross-multiplication q*10 > 3*tq.
+EXCESS_SHIPPERS_SQL = """
+WITH sp AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red %'
+    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY 1, 2),
+tot AS (SELECT pk, CAST(sum(q) AS BIGINT) AS tq FROM sp GROUP BY 1)
+SELECT DISTINCT s_name
+FROM sp JOIN tot USING (pk) JOIN supplier ON s_suppkey = sp.sk
+WHERE sp.q * 10 > 3 * tot.tq"""
+
+
+# Twin of ops.warehouse.min_cost_supplier (TPC-H Q2 shape): argmin by
+# exact int cents with suppkey tie-break, via row_number() = 1.
+MIN_COST_SUPPLIER_SQL = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_size = 15
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY cents, l_suppkey) AS rn
+  FROM costs)
+SELECT CAST(ranked.l_partkey AS BIGINT) AS p_partkey, p_name,
+       CAST(ranked.l_suppkey AS BIGINT) AS s_suppkey, s_name,
+       cents AS min_cents
+FROM ranked
+JOIN part ON p_partkey = ranked.l_partkey
+JOIN supplier ON s_suppkey = ranked.l_suppkey
+WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Wave three twins: KMV sketch (exact order-statistics twin), Zipf
+# slope (micro-nat quantized regression), type-token ratio, bearing
+# sectors (libm-parity contract like trajectory_lengths).
+# ---------------------------------------------------------------------------
+
+# Twin of ops.sketch.kmv_distinct: the k-th smallest md5-derived
+# 64-bit hash of each source's distinct tokens, as a [0,1) fraction,
+# and the KMV estimate (k-1)/frac. Both sides convert the SAME uint64
+# to double and divide by 2^64, so the doubles are identical.
+KMV_DISTINCT_SQL = """
+WITH toks AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok
+    FROM documents)),
+h AS (
+  SELECT source, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h64
+  FROM toks),
+r AS (
+  SELECT source, h64,
+         row_number() OVER (PARTITION BY source ORDER BY h64) AS rn
+  FROM h)
+SELECT source,
+       round(CAST(h64 AS DOUBLE) / 18446744073709551616.0, 9) AS kth_frac,
+       round((16.0 - 1.0)
+             / (CAST(h64 AS DOUBLE) / 18446744073709551616.0), 4)
+         AS est_distinct
+FROM r WHERE rn = 16"""
+
+
+# Twin of ops.text.zipf_slope: top-100 tokens per source by (tf DESC,
+# token ASC), OLS slope of ln(tf) on ln(rank) over INT64 micro-nat
+# quantized logs; HUGEINT sums cast to DOUBLE exactly like the
+# engine's int64 -> float64 conversions.
+ZIPF_SLOPE_SQL = """
+WITH t AS (
+  SELECT source, unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok
+  FROM documents),
+tf AS (SELECT source, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+r AS (
+  SELECT source, tf,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tf DESC, tok) AS rank
+  FROM tf),
+q AS (
+  SELECT source,
+         CAST(floor(ln(rank) * 1000000 + 0.5) AS BIGINT) AS xi,
+         CAST(floor(ln(tf) * 1000000 + 0.5) AS BIGINT) AS yi
+  FROM r WHERE rank <= 100),
+s AS (
+  SELECT source, count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
+         sum(xi * yi) AS sxy, sum(xi * xi) AS sxx
+  FROM q GROUP BY 1)
+SELECT source, CAST(n AS BIGINT) AS n_top,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+FROM s"""
+
+
+# Twin of ops.text.type_token_ratio (zero-token docs keep a 0.0 row
+# via the LEFT JOIN + CASE).
+TYPE_TOKEN_RATIO_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok
+  FROM documents),
+a AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_types
+  FROM t GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_types, 0) AS BIGINT) AS n_types,
+       CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+            ELSE round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       END AS ttr
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"""
+
+
+def segment_bearings_sql(webpages_parquet: str) -> str:
+    """Twin of ops.spatial.segment_bearings: lag window per url, the
+    identical bearing double-op sequence, 45-degree sector fold."""
+    return f"""
+WITH {mentions_cte(webpages_parquet)},
+legs AS (
+  SELECT url,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lat, lon
+  FROM mentions
+  WINDOW w AS (PARTITION BY url ORDER BY mention_idx)),
+d AS (
+  SELECT CAST(floor(fmod(degrees(atan2(
+           sin(radians(lon - plon)) * cos(radians(lat)),
+           cos(radians(plat)) * sin(radians(lat))
+             - sin(radians(plat)) * cos(radians(lat))
+               * cos(radians(lon - plon))
+         )) + 382.5, 360.0) / 45.0) AS BIGINT) AS sector
+  FROM legs WHERE plat IS NOT NULL)
+SELECT sector, CAST(count(*) AS BIGINT) AS n_legs
+FROM d GROUP BY sector"""

@@ -420,3 +420,257 @@ def read_webpages_hive(root: str, lang: str | None = None,
         return ds
     # full-table read: hive discovery re-materializes the column
     return ray.data.read_parquet(root, columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# TFRecord source/sink — the TensorFlow training-data container
+# (public spec: 8-byte LE length + masked CRC32C of the length bytes +
+# payload + masked CRC32C of the payload; payload = tf.train.Example).
+# ---------------------------------------------------------------------------
+
+def _pb_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _pb_example(fields: list[tuple[bytes, bytes]]) -> bytes:
+    """Serialize a tf.train.Example proto from scratch (no protobuf
+    lib, same policy as codec/wire.py): Example.features(1) ->
+    Features.feature(1) map entries -> Feature.bytes_list(1) ->
+    BytesList.value(1). All fields length-delimited (wire type 2)."""
+    entries = bytearray()
+    for key, val in fields:
+        blist = b"\x0a" + _pb_varint(len(val)) + val
+        feat = b"\x0a" + _pb_varint(len(blist)) + blist
+        entry = (b"\x0a" + _pb_varint(len(key)) + key
+                 + b"\x12" + _pb_varint(len(feat)) + feat)
+        entries += b"\x0a" + _pb_varint(len(entry)) + entry
+    return b"\x0a" + _pb_varint(len(entries)) + bytes(entries)
+
+
+def _pb_read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _pb_example_fields(data: bytes) -> dict[str, bytes]:
+    """Inverse of _pb_example for the bytes_list-only Examples this
+    sink writes (unknown field numbers / wire types are skipped, like
+    the MVT decoder's unknown-tag policy)."""
+    out: dict[str, bytes] = {}
+
+    def walk_msg(buf: bytes):
+        pos = 0
+        while pos < len(buf):
+            tag, pos = _pb_read_varint(buf, pos)
+            wt = tag & 7
+            if wt == 2:
+                ln, pos = _pb_read_varint(buf, pos)
+                yield tag >> 3, buf[pos:pos + ln]
+                pos += ln
+            elif wt == 0:
+                _, pos = _pb_read_varint(buf, pos)
+            elif wt == 5:
+                pos += 4
+            elif wt == 1:
+                pos += 8
+            else:
+                raise ValueError(f"tfrecord: bad wire type {wt}")
+
+    for fno, features in walk_msg(data):
+        if fno != 1:
+            continue
+        for eno, entry in walk_msg(features):
+            if eno != 1:
+                continue
+            key = val = None
+            for kno, payload in walk_msg(entry):
+                if kno == 1:
+                    key = payload
+                elif kno == 2:  # Feature -> bytes_list -> value
+                    for bno, blist in walk_msg(payload):
+                        if bno == 1:
+                            for vno, v in walk_msg(blist):
+                                if vno == 1:
+                                    val = v
+            if key is not None and val is not None:
+                out[key.decode()] = val
+    return out
+
+
+def write_webpages_tfrecord(ds: ray.data.Dataset, root: str) -> None:
+    """TFRecord sink: one ``.tfrecord`` shard per block, one
+    tf.train.Example per page with bytes features ``url`` and ``text``
+    — the standard text-corpus layout for TF input pipelines. Record
+    framing CRC32Cs (both of them, per record) are computed by the
+    lockstep-vectorized kernel in raytiles.util — no per-byte Python
+    loop even though every record is checksummed twice."""
+    import hashlib
+    import os
+    import struct
+
+    from ..util import crc32c_batch, crc32c_masked
+
+    os.makedirs(root, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        payloads = [
+            _pb_example([(b"url", u.encode()), (b"text", x.encode())])
+            for u, x in zip(t["url"].to_pylist(), t["text"].to_pylist())]
+        n = len(payloads)
+        lens = np.array([len(p) for p in payloads], np.int64)
+        buf = np.frombuffer(b"".join(payloads), np.uint8)
+        offs = np.concatenate([[0], np.cumsum(lens[:-1])]) if n else \
+            np.zeros(0, np.int64)
+        data_crc = crc32c_masked(crc32c_batch(buf, offs, lens))
+        len_bytes = lens.astype("<u8").view(np.uint8).reshape(n, 8) if n \
+            else np.zeros((0, 8), np.uint8)
+        len_crc = crc32c_masked(crc32c_batch(
+            len_bytes.reshape(-1), np.arange(n, dtype=np.int64) * 8,
+            np.full(n, 8, np.int64)))
+        parts = []
+        for i, p in enumerate(payloads):
+            parts.append(struct.pack("<Q", lens[i])
+                         + struct.pack("<I", int(len_crc[i]))
+                         + p + struct.pack("<I", int(data_crc[i])))
+        payload = b"".join(parts)
+        name = hashlib.md5(payload).hexdigest()[:16]
+        with open(os.path.join(root, f"part-{name}.tfrecord"), "wb") as fh:
+            fh.write(payload)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(dump, batch_format="pyarrow").materialize()
+
+
+def read_webpages_tfrecord(root: str) -> ray.data.Dataset:
+    """TFRecord source: shard = parallel unit (read_binary_files), the
+    framing walk is sequential per shard by construction. BOTH masked
+    CRC32Cs of every record are verified (vectorized) — a corrupt
+    shard fails loudly instead of yielding garbage Examples."""
+    import struct
+
+    from ..util import crc32c_batch, crc32c_masked
+
+    ds = ray.data.read_binary_files(root, file_extensions=["tfrecord"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        urls, texts = [], []
+        for blob in b["bytes"]:
+            data = blob.as_py()
+            pos = 0
+            offs, lens, want_len_crc, want_data_crc = [], [], [], []
+            while pos < len(data):
+                (ln,) = struct.unpack_from("<Q", data, pos)
+                (lcrc,) = struct.unpack_from("<I", data, pos + 8)
+                offs.append(pos + 12)
+                lens.append(ln)
+                want_len_crc.append(lcrc)
+                (dcrc,) = struct.unpack_from("<I", data, pos + 12 + ln)
+                want_data_crc.append(dcrc)
+                pos += 16 + ln
+            n = len(lens)
+            buf = np.frombuffer(data, np.uint8)
+            lens_a = np.array(lens, np.int64)
+            offs_a = np.array(offs, np.int64)
+            got_data = crc32c_masked(crc32c_batch(buf, offs_a, lens_a))
+            len_bytes = lens_a.astype("<u8").view(np.uint8).reshape(n, 8) \
+                if n else np.zeros((0, 8), np.uint8)
+            got_len = crc32c_masked(crc32c_batch(
+                len_bytes.reshape(-1), np.arange(n, dtype=np.int64) * 8,
+                np.full(n, 8, np.int64)))
+            if not (np.array_equal(got_data,
+                                   np.array(want_data_crc, np.uint32))
+                    and np.array_equal(got_len,
+                                       np.array(want_len_crc, np.uint32))):
+                raise ValueError("tfrecord: CRC32C mismatch")
+            for o, ln in zip(offs, lens):
+                f = _pb_example_fields(bytes(data[o:o + ln]))
+                urls.append(f.get("url", b"").decode())
+                texts.append(f.get("text", b"").decode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# WebDataset source/sink — tar shards of {key}.{ext} member files, the
+# standard multimodal training-corpus layout (one sample = adjacent
+# members sharing a key stem).
+# ---------------------------------------------------------------------------
+
+def write_webpages_wds(ds: ray.data.Dataset, root: str) -> None:
+    """WebDataset sink: one ``.tar`` shard per block; each page
+    becomes two adjacent members ``<md5(url)>.url`` / ``<...>.txt``.
+    Member metadata is pinned (mtime/uid/gid = 0) so shard bytes are
+    deterministic for a given block content."""
+    import hashlib
+    import io
+    import os
+    import tarfile
+
+    os.makedirs(root, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        bio = io.BytesIO()
+        with tarfile.open(fileobj=bio, mode="w") as tf:
+            for url, text in zip(t["url"].to_pylist(),
+                                 t["text"].to_pylist()):
+                key = hashlib.md5(url.encode()).hexdigest()
+                for ext, data in (("url", url.encode()),
+                                  ("txt", text.encode())):
+                    info = tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(data))
+        payload = bio.getvalue()
+        name = hashlib.md5(payload).hexdigest()[:16]
+        with open(os.path.join(root, f"part-{name}.tar"), "wb") as fh:
+            fh.write(payload)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(dump, batch_format="pyarrow").materialize()
+
+
+def read_webpages_wds(root: str) -> ray.data.Dataset:
+    """WebDataset source: shard-parallel tar scan; members are grouped
+    into samples by key stem (adjacency not required on read — a
+    permuted tar still parses), yielding the (url, text) schema."""
+    import io
+    import tarfile
+
+    ds = ray.data.read_binary_files(root, file_extensions=["tar"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        urls, texts = [], []
+        for blob in b["bytes"]:
+            samples: dict[str, dict[str, bytes]] = {}
+            order: list[str] = []
+            with tarfile.open(fileobj=io.BytesIO(blob.as_py())) as tf:
+                for m in tf.getmembers():
+                    if not m.isfile():
+                        continue
+                    key, _, ext = m.name.rpartition(".")
+                    if key not in samples:
+                        samples[key] = {}
+                        order.append(key)
+                    samples[key][ext] = tf.extractfile(m).read()
+            for key in order:
+                s = samples[key]
+                urls.append(s.get("url", b"").decode())
+                texts.append(s.get("txt", b"").decode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ds.map_batches(parse, batch_format="pyarrow")
