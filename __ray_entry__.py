@@ -1047,6 +1047,20 @@ def _q_zipf_slope(sf_dir: str):
     return zipf_slope(sf_dir)
 
 
+def _q_events_ewma(sf_dir: str):
+    """Finite-window EWMA per user: one bounded user-bucket shuffle,
+    W-1 vectorized shift passes, literal-weight parity with the twin."""
+    from raytiles.ops.relational import events_ewma
+    return events_ewma(sf_dir)
+
+
+def _q_nb_lang_classify(sf_dir: str):
+    """Multinomial naive Bayes trained + applied distributed; exact
+    INT64 micro-nat score arithmetic, argmax with lang-ASC ties."""
+    from raytiles.ops.cluster import nb_lang_classify
+    return nb_lang_classify(sf_dir)
+
+
 def _q_type_token_ratio(sf_dir: str):
     """Per-doc lexical diversity (tokens, types, TTR) — shuffle-free
     two-hash-aggregate pass."""
@@ -1916,6 +1930,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": _q_kmv_distinct,
         "zipf_slope": _q_zipf_slope,
         "type_token_ratio": _q_type_token_ratio,
+        "nb_lang_classify": _q_nb_lang_classify,
+        "events_ewma": _q_events_ewma,
         "nearest_city": _q_nearest_city,
         "host_bbox": _q_host_bbox,
         "host_tile_cover": _q_host_tile_cover,
@@ -2116,6 +2132,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": oracles.KMV_DISTINCT_SQL,
         "zipf_slope": oracles.ZIPF_SLOPE_SQL,
         "type_token_ratio": oracles.TYPE_TOKEN_RATIO_SQL,
+        "nb_lang_classify": oracles.NB_LANG_CLASSIFY_SQL,
+        "events_ewma": oracles.events_ewma_sql(),
         "nearest_city": oracles.nearest_city_sql(wp),
         "host_bbox": oracles.host_bbox_sql(wp),
         "host_tile_cover": oracles.host_tile_cover_sql(wp),

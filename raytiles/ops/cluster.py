@@ -38,6 +38,7 @@ import ray.data
 
 from .similarity import _cached_stage, _emb, _stack
 from .text import LANG_MARKERS, STOP_RE, TOKEN_RE
+from .warehouse import _cached_ref
 
 MAX_SEM_CLUSTER = 4096  # pairwise-compare cap per k-means cluster
 
@@ -350,3 +351,102 @@ def train_quality_lr(sf_dir: str, n_iters: int = 40,
             "score_micro": np.floor(p * 1e6).astype(np.int64)})
 
     return read().map_batches(score, batch_format="pyarrow")
+
+
+def nb_lang_classify(sf_dir: str) -> ray.data.Dataset:
+    """Multinomial naive-Bayes language classifier, trained AND
+    applied distributed with an EXACT DuckDB twin — the end-to-end
+    "train a model on the corpus, score the corpus" loop of a
+    curation pipeline, with zero float ambiguity:
+
+    train pass: per-batch (lang, token) term counts collapse through
+    Arrow hash aggregates; the merged count table is VOCABULARY x
+    CLASSES sized (bounded by the token vocabulary — broadcastable by
+    definition, the vocab_topk contract), so it folds on the driver
+    into Laplace-smoothed log-probabilities quantized to INT64
+    micro-nats: lq(tok, lang) = floor(ln((c+1)/(n_lang+V)) * 1e6),
+    prior pq(lang) = floor(ln(d_lang/D) * 1e6).
+
+    apply pass: the quantized model broadcasts via ray.put; each batch
+    tokenizes, maps tokens to vocab rows (searchsorted), and scores
+    every class with INTEGER sums score = pq + sum(tf * lq) — exact,
+    order-free, and identical to the twin's HUGEINT arithmetic.
+    argmax per doc, ties broken lang ASC like the twin's row_number.
+
+    Output: doc_id, pred_lang, lang (actual), is_correct (0/1)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+
+    from .text import NON_TOKEN_RE
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b["text"], NON_TOKEN_RE)
+        flat = pc.list_flatten(toks)
+        lang = pc.take(b["lang"], pc.list_parent_indices(toks))
+        t = pa.table({"lang": lang, "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = pa.TableGroupBy(t, ["lang", "token"]).aggregate(
+            [("token", "count")])
+        return g.rename_columns(["lang", "token", "c"])
+
+    def count_merge(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["lang", "token"]).aggregate([("c", "sum")])
+        return g.rename_columns(["lang", "token", "c"])
+
+    # vocabulary x classes — bounded, driver fold is scale-safe
+    counts = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(count_merge, batch_format="pyarrow") \
+        .to_pandas()
+
+    langs = np.sort(counts["lang"].unique())
+    vocab = np.sort(counts["token"].unique())
+    L, V = len(langs), len(vocab)
+    c = np.zeros((V, L), np.int64)
+    li = np.searchsorted(langs, counts["lang"].to_numpy())
+    vi = np.searchsorted(vocab, counts["token"].to_numpy())
+    c[vi, li] = counts["c"].to_numpy()
+    n_l = c.sum(axis=0)
+    # INT64 micro-nat quantized log-probs (pure floor on both sides)
+    lq = np.floor(np.log((c + 1.0) / (n_l + V)) * 1e6).astype(np.int64)
+
+    docs_meta = pq_mod.read_table(f"{sf_dir}/documents.parquet",
+                                  columns=["lang"])
+    lang_all = np.asarray(docs_meta["lang"])
+    d_l = np.array([(lang_all == g).sum() for g in langs], np.int64)
+    D = int(len(lang_all))
+    pq_prior = np.floor(np.log(d_l.astype(np.float64) / D) * 1e6) \
+        .astype(np.int64)
+
+    model_ref = ray.put((langs, vocab, lq, pq_prior))
+
+    def apply_batch(b: pa.Table) -> pa.Table:
+        langs_m, vocab_m, lq_m, pq_m = _cached_ref(model_ref)
+        toks = pc.split_pattern_regex(b["text"], NON_TOKEN_RE)
+        flat = pc.list_flatten(toks)
+        row = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        tok_np = np.asarray(flat)
+        keep = tok_np != ""
+        tok_np, row = tok_np[keep], row[keep]
+        vi_a = np.searchsorted(vocab_m, tok_np)
+        n_docs = b.num_rows
+        scores = np.tile(pq_m, (n_docs, 1))  # (docs, L) int64
+        contrib = lq_m[vi_a]                 # (tokens, L) int64
+        for col in range(len(langs_m)):      # bounded: one per class
+            np.add.at(scores[:, col], row, contrib[:, col])
+        # argmax with lang-ASC tie-break: argmax picks the FIRST max
+        # and langs_m is sorted ascending
+        pred = np.argmax(scores, axis=1)
+        actual = np.asarray(b["lang"])
+        pred_lang = langs_m[pred]
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "pred_lang": pa.array(pred_lang.tolist(), pa.string()),
+            "lang": b["lang"],
+            "is_correct": pa.array((pred_lang == actual).astype(np.int64))})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "text"]) \
+        .map_batches(apply_batch, batch_format="pyarrow")

@@ -3604,3 +3604,69 @@ def order_price_ranks(sf_dir: str, n_parts: int = 64,
     return ray.data.read_parquet(_p(sf_dir, "orders"), columns=cols) \
         .map_batches(part_batch, batch_format="pyarrow") \
         .groupby("bucket").map_groups(rank_group, batch_format="pandas")
+
+
+EWMA_ALPHA = 0.2
+EWMA_WINDOW = 8
+# decay weights (1-alpha)^k, computed ONCE here and injected into the
+# SQL twin as full-precision literals (repr), so engine and oracle
+# share the exact same doubles with no pow() libm dependence.
+EWMA_WEIGHTS = tuple((1.0 - EWMA_ALPHA) ** k for k in range(EWMA_WINDOW))
+
+
+def events_ewma(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Exponentially weighted moving value per user over the last
+    EWMA_WINDOW events in (ts, event_id) order — the decaying-window
+    smoother a metrics pipeline runs (finite FIR form, so the state
+    is bounded and the twin is a closed-form lag() expression, not a
+    recursive CTE).
+
+    Shape: events_lag's plan — ONE bounded splitmix(user) bucket
+    shuffle, whole-bucket lexsort, then W-1 vectorized shift-compare
+    passes (no per-row loop). Exactness: values quantize to INT64
+    micro-units first; the weighted sums accumulate in the IDENTICAL
+    left-to-right addition order as the twin's literal + chain, with
+    the same weight doubles (EWMA_WEIGHTS is injected into the SQL as
+    repr literals)."""
+    from ..util import bucket_of
+
+    c = EWMA_WEIGHTS
+    W = EWMA_WINDOW
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table({
+            "event_id": pa.compute.cast(b["event_id"], pa.int64()),
+            "user_id": uid.astype(np.int64),
+            "ts_us": pa.compute.cast(b["ts"], pa.int64()),
+            "vm": np.floor(b["value"].to_numpy() * 1e6).astype(np.int64),
+            "bucket": bucket_of(uid, n_buckets)})
+
+    def ewma_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        vm = g["vm"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, vm = uid[order], ts[order], eid[order], vm[order]
+        n = len(uid)
+        vmf = vm.astype(np.float64)
+        num = c[0] * vmf
+        den = np.full(n, c[0])
+        for k in range(1, W):
+            if k >= n:
+                break
+            ok = np.concatenate((np.zeros(k, dtype=bool),
+                                 uid[k:] == uid[:-k]))
+            vshift = np.concatenate((np.zeros(k), vmf[:-k]))
+            num = num + c[k] * np.where(ok, vshift, 0.0)
+            den = den + c[k] * ok.astype(np.float64)
+        ewma = _fq(num / den / 1000000.0, 6)
+        return pa.table({"event_id": eid, "user_id": uid, "ts_us": ts,
+                         "ewma": ewma})
+
+    return ray.data.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "value"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(ewma_bucket, batch_format="pyarrow")

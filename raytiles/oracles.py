@@ -2696,3 +2696,81 @@ d AS (
   FROM legs WHERE plat IS NOT NULL)
 SELECT sector, CAST(count(*) AS BIGINT) AS n_legs
 FROM d GROUP BY sector"""
+
+
+# Twin of ops.cluster.nb_lang_classify: Laplace-smoothed multinomial
+# naive Bayes with INT64 micro-nat quantized log-probs (pure floor on
+# both sides) so scores are exact integer sums; argmax per doc with
+# lang-ASC tie-break via row_number.
+NB_LANG_CLASSIFY_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+ctl AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2),
+nl AS (SELECT lang, sum(c) AS n FROM ctl GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v FROM t),
+langs AS (SELECT DISTINCT lang FROM documents),
+vocab AS (SELECT DISTINCT tok FROM t),
+lp AS (
+  SELECT l.lang, vb.tok,
+         CAST(floor(ln((coalesce(ctl.c, 0) + 1.0) / (nl.n + v.v)) * 1000000)
+              AS BIGINT) AS lq
+  FROM langs l
+  CROSS JOIN vocab vb
+  CROSS JOIN v
+  JOIN nl ON nl.lang = l.lang
+  LEFT JOIN ctl ON ctl.lang = l.lang AND ctl.tok = vb.tok),
+pri AS (
+  SELECT lang,
+         CAST(floor(ln(CAST(dl.dcnt AS DOUBLE) / dd.dtot) * 1000000)
+              AS BIGINT) AS pq
+  FROM (SELECT lang, count(*) AS dcnt FROM documents GROUP BY 1) dl
+  CROSS JOIN (SELECT count(*) AS dtot FROM documents) dd),
+scores AS (
+  SELECT f.doc_id, lp.lang AS cand, pri.pq + sum(f.tf * lp.lq) AS score
+  FROM tf f
+  JOIN lp ON lp.tok = f.tok
+  JOIN pri ON pri.lang = lp.lang
+  GROUP BY 1, 2, pri.pq),
+ranked AS (
+  SELECT doc_id, cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scores)
+SELECT r.doc_id, r.cand AS pred_lang, d.lang,
+       CAST(CASE WHEN r.cand = d.lang THEN 1 ELSE 0 END AS BIGINT)
+         AS is_correct
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE rn = 1"""
+
+
+def events_ewma_sql() -> str:
+    """Twin of ops.relational.events_ewma: the finite-window EWMA as a
+    literal lag() + chain whose weight doubles are injected from
+    EWMA_WEIGHTS (repr full precision — no pow() parity dependence),
+    added in the engine's exact left-to-right order."""
+    from .ops.relational import EWMA_WEIGHTS
+    c = [repr(w) for w in EWMA_WEIGHTS]
+    num_terms = [f"CAST(vm AS DOUBLE) * {c[0]}"]
+    den_terms = [c[0]]
+    for k in range(1, len(c)):
+        num_terms.append(
+            f"coalesce(CAST(lag(vm, {k}) OVER win AS DOUBLE) * {c[k]}, 0.0)")
+        den_terms.append(
+            f"CASE WHEN lag(vm, {k}) OVER win IS NULL THEN 0.0 ELSE {c[k]} END")
+    num = "\n           + ".join(num_terms)
+    den = "\n           + ".join(den_terms)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events),
+w AS (
+  SELECT event_id, user_id, ts_us,
+         ({num}) AS num,
+         ({den}) AS den
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+SELECT event_id, user_id, ts_us, round(num / den / 1000000.0, 6) AS ewma
+FROM w"""

@@ -70,3 +70,39 @@ def test_segment_bearings_totals_match_leg_count():
     legs = trajectory_lengths(wp).to_pandas()
     assert int(bear["n_legs"].sum()) == int(legs["n_legs"].sum())
     assert set(bear["sector"]) <= set(range(8))
+
+
+def test_nb_lang_classify_beats_majority_baseline():
+    from raytiles.ops.cluster import nb_lang_classify
+    df = nb_lang_classify(SF_SMOKE).to_pandas()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["lang"]).to_pandas()
+    assert len(df) == len(docs)
+    majority = docs["lang"].value_counts(normalize=True).iloc[0]
+    acc = df["is_correct"].mean()
+    assert acc > majority, (acc, majority)
+    # predictions only over true classes
+    assert set(df["pred_lang"]) <= set(docs["lang"])
+
+
+def test_events_ewma_matches_pandas_recurrence():
+    from raytiles.ops.relational import (EWMA_WEIGHTS, EWMA_WINDOW,
+                                         events_ewma)
+    df = events_ewma(SF_SMOKE).to_pandas()
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    assert len(df) == len(ev)
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev["vm"] = np.floor(ev["value"].to_numpy() * 1e6).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    got = df.set_index("event_id")["ewma"]
+    # brute-force the FIR window for a sample of users
+    for uid, g in list(ev.groupby("user_id"))[:5]:
+        vm = g["vm"].to_numpy().astype(np.float64)
+        for i in range(len(g)):
+            num = den = 0.0
+            for k in range(min(i + 1, EWMA_WINDOW)):
+                num += EWMA_WEIGHTS[k] * vm[i - k]
+                den += EWMA_WEIGHTS[k]
+            want = num / den / 1e6
+            eid = g["event_id"].iloc[i]
+            assert got[eid] == pytest.approx(want, abs=1e-6)
