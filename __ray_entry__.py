@@ -1653,6 +1653,43 @@ def _q_wds_roundtrip(sf_dir: str):
     return geoparse(read_webpages_wds(root))
 
 
+def _q_npz_roundtrip(sf_dir: str):
+    """NPZ embedding-shard roundtrip: parquet embeddings -> .npz
+    shards (id vector + float32 matrix + labels) -> read back ->
+    per-vector micro-quantized squared norms. The twin recomputes the
+    norms from the parquet list column with the identical
+    floor(x*x*1e9) per element, so shard encode/decode AND row
+    alignment are value-checked."""
+    import tempfile
+
+    import numpy as np_
+    import pyarrow as pa_
+    import ray.data as _rd
+
+    from raytiles.pipeline.sources import (read_embeddings_npz,
+                                           write_embeddings_npz)
+    root = tempfile.mkdtemp(prefix="raytiles_npz_")
+    write_embeddings_npz(
+        _rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"]), root)
+
+    def norms(b):
+        mat = np_.stack(b["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np_.float64)
+        q = np_.floor(mat * mat * 1e9).astype(np_.int64).sum(axis=1)
+        return pa_.table({
+            "vec_id": pa_.array(
+                b["vec_id"].to_numpy(zero_copy_only=False)
+                .astype(np_.int64)),
+            "label": pa_.array(
+                b["label"].to_numpy(zero_copy_only=False)
+                .astype(np_.int64)),
+            "norm2_micro": pa_.array(q)})
+
+    return read_embeddings_npz(root).map_batches(
+        norms, batch_format="pyarrow")
+
+
 def _q_ipc_roundtrip(sf_dir: str):
     """Arrow IPC (Feather V2) source/sink roundtrip -> geoparse —
     full-fidelity zero-copy interchange; value-checked against the
@@ -1805,6 +1842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "tfrecord_roundtrip": _q_tfrecord_roundtrip,
         "wds_roundtrip": _q_wds_roundtrip,
+        "npz_roundtrip": _q_npz_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "tile_features": _q_tile_features,
         # relational operators
@@ -2031,6 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": oracles.geoparse_sql(wp),
         "tfrecord_roundtrip": oracles.geoparse_sql(wp),
         "wds_roundtrip": oracles.geoparse_sql(wp),
+        "npz_roundtrip": oracles.NPZ_ROUNDTRIP_SQL,
         "tile_assign": oracles.tile_assign_sql(wp),
         "tile_counts": oracles.tile_counts_sql(wp),
         "cell_counts": oracles.cell_counts_sql(wp),

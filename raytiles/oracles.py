@@ -2774,3 +2774,16 @@ w AS (
   WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
 SELECT event_id, user_id, ts_us, round(num / den / 1000000.0, 6) AS ewma
 FROM w"""
+
+
+# Twin of the npz_roundtrip query: per-vector squared norms from the
+# parquet list column, each element micro-quantized with the engine's
+# identical (x*x)*1e9 floor before the integer sum — so the check is
+# order-free and bit-exact through the float32 shard roundtrip.
+NPZ_ROUNDTRIP_SQL = """
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                           * 1000000000.0) AS BIGINT)) AS BIGINT)
+         AS norm2_micro
+FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+GROUP BY 1, 2"""

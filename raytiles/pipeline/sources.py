@@ -674,3 +674,65 @@ def read_webpages_wds(root: str) -> ray.data.Dataset:
                          "text": pa.array(texts, pa.string())})
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# NPZ source/sink — numpy-native embedding shards (the artifact format
+# training jobs checkpoint feature matrices in: one .npz per shard
+# holding the id vector + the float32 matrix).
+# ---------------------------------------------------------------------------
+
+def write_embeddings_npz(ds: ray.data.Dataset, root: str) -> None:
+    """NPZ sink: one ``part-<md5>.npz`` per block with ``vec_id``
+    (int64), ``mat`` (float32, rows aligned to vec_id) and ``label``
+    (int32). Uncompressed (np.savez) — the matrix bytes are already
+    dense, and shard read parallelism matters more than ~0% zip gain."""
+    import hashlib
+    import io
+    import os
+
+    os.makedirs(root, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float32)
+        label = t["label"].to_numpy(zero_copy_only=False).astype(np.int32)
+        bio = io.BytesIO()
+        np.savez(bio, vec_id=ids, mat=mat, label=label)
+        payload = bio.getvalue()
+        name = hashlib.md5(payload).hexdigest()[:16]
+        with open(os.path.join(root, f"part-{name}.npz"), "wb") as fh:
+            fh.write(payload)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(dump, batch_format="pyarrow").materialize()
+
+
+def read_embeddings_npz(root: str) -> ray.data.Dataset:
+    """NPZ source: shard-parallel np.load (allow_pickle=False — object
+    arrays in a data shard are a malformed input, not a feature),
+    re-emitting the (vec_id, embedding list<float>, label) schema."""
+    import io
+
+    ds = ray.data.read_binary_files(root, file_extensions=["npz"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        ids_all, emb_all, lab_all = [], [], []
+        for blob in b["bytes"]:
+            z = np.load(io.BytesIO(blob.as_py()), allow_pickle=False)
+            ids_all.append(z["vec_id"].astype(np.int64))
+            emb_all.append(z["mat"].astype(np.float32))
+            lab_all.append(z["label"].astype(np.int32))
+        ids = np.concatenate(ids_all) if ids_all else np.zeros(0, np.int64)
+        lab = np.concatenate(lab_all) if lab_all else np.zeros(0, np.int32)
+        mat = np.concatenate(emb_all) if emb_all else \
+            np.zeros((0, 0), np.float32)
+        flat = pa.array(mat.reshape(-1), pa.float32())
+        emb = pa.FixedSizeListArray.from_arrays(flat, mat.shape[1]) \
+            if mat.size else pa.array([], pa.list_(pa.float32()))
+        return pa.table({"vec_id": pa.array(ids),
+                         "embedding": emb.cast(pa.list_(pa.float32())),
+                         "label": pa.array(lab)})
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -103,3 +103,24 @@ def test_wds_roundtrip_and_member_layout(tmp_path):
         assert {a.name.rsplit(".", 1)[1], b.name.rsplit(".", 1)[1]} == \
             {"url", "txt"}
         assert a.mtime == 0 and a.uid == 0 and a.gid == 0
+
+
+def test_npz_roundtrip_preserves_vectors(tmp_path):
+    import ray.data as rd
+
+    from raytiles.pipeline.sources import (read_embeddings_npz,
+                                           write_embeddings_npz)
+    root = str(tmp_path / "npz")
+    src = f"{SF_SMOKE}/embeddings.parquet"
+    write_embeddings_npz(
+        rd.read_parquet(src, columns=["vec_id", "embedding", "label"]),
+        root)
+    got = read_embeddings_npz(root).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    want = pq.read_table(src).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert np.array_equal(got["vec_id"], want["vec_id"])
+    assert np.array_equal(got["label"], want["label"])
+    gm = np.stack(got["embedding"].to_numpy())
+    wm = np.stack(want["embedding"].to_numpy()).astype(np.float32)
+    assert np.array_equal(gm, wm)  # float32 roundtrip is bit-exact
