@@ -1047,6 +1047,28 @@ def _q_zipf_slope(sf_dir: str):
     return zipf_slope(sf_dir)
 
 
+def _q_hybrid_search(sf_dir: str):
+    """RRF hybrid retrieval: BM25 lexical leg + cosine vector leg,
+    per-leg nano-unit floors, exact fused integer scores."""
+    from raytiles.ops.similarity import hybrid_search
+    return hybrid_search(sf_dir)
+
+
+def _q_bm25_search(sf_dir: str):
+    """BM25 lexical top-k retrieval: bounded stats fold + broadcast
+    query model + micro-quantized integer scoring, partial top-k."""
+    from raytiles.ops.text import bm25_search
+    return bm25_search(sf_dir)
+
+
+def _q_kmeans_exact(sf_dir: str):
+    """Pure-integer distributed Lloyd k-means (micro-quantized
+    vectors, integer argmin, floor(sum/count) updates) — the exact
+    declarative twin unrolls the iterations as CTE pairs."""
+    from raytiles.ops.cluster import kmeans_exact
+    return kmeans_exact(sf_dir)
+
+
 def _q_events_ewma(sf_dir: str):
     """Finite-window EWMA per user: one bounded user-bucket shuffle,
     W-1 vectorized shift passes, literal-weight parity with the twin."""
@@ -1970,6 +1992,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": _q_type_token_ratio,
         "nb_lang_classify": _q_nb_lang_classify,
         "events_ewma": _q_events_ewma,
+        "kmeans_exact": _q_kmeans_exact,
+        "bm25_search": _q_bm25_search,
+        "hybrid_search": _q_hybrid_search,
         "nearest_city": _q_nearest_city,
         "host_bbox": _q_host_bbox,
         "host_tile_cover": _q_host_tile_cover,
@@ -2164,6 +2189,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_neighborhood": oracles.tile_neighborhood_sql(wp),
         "geofence_join": oracles.geofence_join_sql(wp),
         "comention_edges": oracles.comention_edges_sql(wp),
+        "cell_pagerank": oracles.pagerank_sql(wp),
+        "simhash": oracles.SIMHASH_SQL,
         "cell_triangles": oracles.cell_triangles_sql(wp),
         "hotspot_regions": oracles.hotspot_regions_sql(wp),
         "trajectory_lengths": oracles.trajectory_lengths_sql(wp),
@@ -2173,6 +2200,9 @@ def oracle_sql() -> dict[str, str]:
         "type_token_ratio": oracles.TYPE_TOKEN_RATIO_SQL,
         "nb_lang_classify": oracles.NB_LANG_CLASSIFY_SQL,
         "events_ewma": oracles.events_ewma_sql(),
+        "kmeans_exact": oracles.kmeans_exact_sql(),
+        "bm25_search": oracles.BM25_SEARCH_SQL,
+        "hybrid_search": oracles.HYBRID_SEARCH_SQL,
         "nearest_city": oracles.nearest_city_sql(wp),
         "host_bbox": oracles.host_bbox_sql(wp),
         "host_tile_cover": oracles.host_tile_cover_sql(wp),

@@ -220,6 +220,35 @@ def _burn(seconds: float) -> int:
     return x
 
 
+def _work_chunk(n_iter: int) -> float:
+    """Fixed-WORK memory-touching kernel (vs _burn's fixed-TIME spin):
+    n_iter xorshift-multiply passes over an 8 MB int64 array, so the
+    measured seconds capture per-core SPEED including turbo state and
+    shared cache/memory-bandwidth contention at the current
+    concurrency — the two things a fixed-time spin cannot see."""
+    import numpy as _np
+    a = _np.arange(1 << 20, dtype=_np.int64)
+    t0 = time.time()
+    for _ in range(n_iter):
+        a = (a * 7046029254386353131) ^ (a >> 13)
+    return time.time() - t0
+
+
+def _capability(n: int, n_iter: int = 120) -> float:
+    """Aggregate work rate (chunks/sec) of n concurrent workers right
+    now. The RATIO capability(hi)/capability(lo) is what a perfectly
+    scaling engine could achieve on THIS shared socket: 16 workers on
+    one socket share LLC/memory bandwidth that 4 workers do not (the
+    measured ratio here is routinely 3.2-3.6x, not 4x, at zero steal),
+    while real cluster NODES each bring their own. Reported alongside
+    the raw ratio, never replacing it."""
+    import multiprocessing as mp
+
+    with mp.Pool(n) as pool:
+        times = pool.map(_work_chunk, [n_iter] * n)
+    return round(sum(n_iter / t for t in times), 2)
+
+
 def _cpu_stat() -> tuple[float, float]:
     """(busy_jiffies, steal_jiffies) from /proc/stat — the sandbox is
     a shared VM and the hypervisor steals cycles in bursts (measured
@@ -352,6 +381,7 @@ def run_scaling() -> None:
         # short hi leg should spend the freshly-verified one (the long
         # lo leg is far less sensitive to ambient contention)
         p_hi = _effective_parallelism(hi)
+        cap_hi = _capability(hi)
         r_hi = one(hi)
         if (r_hi["steal_pct_during_leg"] > STEAL_GATE_LEG_PCT
                 or r_hi["other_busy_cores"] > 2.0):
@@ -360,6 +390,7 @@ def run_scaling() -> None:
                               "sec": r_hi["value"]})
             continue
         p_lo = _effective_parallelism(lo)
+        cap_lo = _capability(lo)
         r_lo = one(lo)
         if (r_lo["steal_pct_during_leg"] > STEAL_GATE_LEG_PCT
                 or r_lo["other_busy_cores"] > 2.0):
@@ -368,19 +399,24 @@ def run_scaling() -> None:
                               "sec": r_lo["value"],
                               "eff_if_kept": round(r_lo["value"] / r_hi["value"] / (hi / lo), 3)})
             continue
-        result = (p_lo, p_hi, r_lo, r_hi)
+        result = (p_lo, p_hi, r_lo, r_hi, cap_lo, cap_hi)
         break
     if result is None:
         print(json.dumps({"metric": "scaling_efficiency", "value": None,
                           "unit": "ratio", "error": "no steal-clean pair",
                           "discarded_attempts": discarded, "sf": scaling_dir}))
         return
-    p_lo, p_hi, r_lo, r_hi = result
+    p_lo, p_hi, r_lo, r_hi, cap_lo, cap_hi = result
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
     # noise-adjusted: scale by the core ratio the host actually
     # delivered during each run (shared-tenant background load)
     eff_adj = round(speedup / (p_hi / p_lo), 3) if p_lo else None
+    # capability-normalized: divide by the work-rate ratio this socket
+    # actually offers between the two concurrencies (captures turbo +
+    # shared LLC/memory-bandwidth saturation, which distinct cluster
+    # nodes would not share) — the raw value stays the headline
+    eff_cap = round(speedup / (cap_hi / cap_lo), 3) if cap_lo else None
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -391,6 +427,9 @@ def run_scaling() -> None:
         f"parallelism_delivered_{lo}": p_lo,
         f"parallelism_delivered_{hi}": p_hi,
         "efficiency_vs_delivered_cores": eff_adj,
+        f"capability_{lo}": cap_lo, f"capability_{hi}": cap_hi,
+        "capability_ratio": round(cap_hi / cap_lo, 3) if cap_lo else None,
+        "efficiency_vs_capability": eff_cap,
         f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
         f"docs_per_sec_{lo}": r_lo.get("docs_per_sec"),
         f"docs_per_sec_{hi}": r_hi.get("docs_per_sec"),

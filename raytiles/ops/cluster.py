@@ -450,3 +450,115 @@ def nb_lang_classify(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "text"]) \
         .map_batches(apply_batch, batch_format="pyarrow")
+
+
+def kmeans_exact(sf_dir: str, k: int = 16, iters: int = 5) -> ray.data.Dataset:
+    """PURE-INTEGER distributed k-means with an exact declarative twin
+    — the r4 exact-twin program applied to Lloyd's algorithm:
+
+    - vectors quantize ONCE to INT64 micro-units (floor(x * 1e6));
+      every subsequent distance, comparison and centroid update is
+      integer arithmetic, so there is NO float anywhere an ordering
+      decision is made;
+    - assignment: argmin_c of ||x - c||^2 computed via the integer
+      expansion -2*x.c + ||c||^2 (the ||x||^2 term is constant per
+      vector and cannot change the argmin); ties break on the SMALLER
+      surviving cluster id, matching the twin's row_number;
+    - update: new centroid dim = floor(sum(xq) / count) with the
+      division done in float64 (sums stay far below 2^53) — spelled
+      identically in the twin; clusters that lose every member DROP
+      (the twin's missing GROUP BY rows), surviving ids keep their
+      original labels;
+    - iterations unroll in the twin as one assignment + one update
+      CTE pair per step (oracles.kmeans_exact_sql).
+
+    Distributed shape: vectors never leave their batches — each batch
+    computes integer dot products against the ray.put centroid matrix
+    and emits (k x d)-bounded partial sums + counts; the driver folds
+    the bounded partials and re-broadcasts. Output: (vec_id, cluster)
+    from a final assignment pass."""
+    import pyarrow.compute as pc
+
+    def _xq(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(b["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        return ids, np.floor(mat * 1e6).astype(np.int64)
+
+    src = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    # init: the k smallest vec_ids' quantized vectors (bounded take)
+    import pyarrow.parquet as pq_mod
+    all_ids = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id"])["vec_id"] \
+        .to_numpy(zero_copy_only=False)
+    init_ids = np.sort(all_ids)[:k]
+    init_set = set(int(i) for i in init_ids)
+
+    def pick_init(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, init_ids)
+        return b.filter(pa.array(keep))
+
+    seed = src.map_batches(pick_init, batch_format="pyarrow").take_all()
+    seed_rows = sorted(seed, key=lambda r: r["vec_id"])
+    cq = np.stack([np.floor(np.asarray(r["embedding"], np.float64) * 1e6)
+                   for r in seed_rows]).astype(np.int64)
+    cluster_ids = np.arange(k, dtype=np.int64)
+
+    def assign(xq: np.ndarray, cq_m: np.ndarray) -> np.ndarray:
+        # integer argmin via -2 x.c + ||c||^2 (exact)
+        dots = xq @ cq_m.T                      # (n, k') int64
+        cnorm = np.einsum("ij,ij->i", cq_m, cq_m)  # (k',) int64
+        scores = cnorm[None, :] - 2 * dots
+        return np.argmin(scores, axis=1)        # first min = smallest id
+
+    for _ in range(iters):
+        state = ray.put((cluster_ids, cq))
+
+        def partials(b: pa.Table, _ref=state) -> pa.Table:
+            cids, cq_m = ray.get(_ref)
+            ids, xq = _xq(b)
+            a = assign(xq, cq_m)
+            kk, d = cq_m.shape
+            sums = np.zeros((kk, d), np.int64)
+            np.add.at(sums, a, xq)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            return pa.table({
+                "cluster": cids,
+                "cnt": cnt,
+                "sums": pa.array(list(sums), pa.list_(pa.int64()))})
+
+        folded: dict[int, tuple[np.ndarray, int]] = {}
+        for t in src.map_batches(partials, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            cl = t["cluster"].to_numpy(zero_copy_only=False)
+            cn = t["cnt"].to_numpy(zero_copy_only=False)
+            sm = t["sums"].to_pylist()
+            for c, n_c, s in zip(cl, cn, sm):
+                prev = folded.get(int(c))
+                arr = np.asarray(s, np.int64)
+                folded[int(c)] = (arr if prev is None else prev[0] + arr,
+                                  int(n_c) + (prev[1] if prev else 0))
+        keep_ids, new_cq = [], []
+        for c in cluster_ids:
+            s, n_c = folded[int(c)]
+            if n_c == 0:
+                continue  # empty cluster drops (twin's missing rows)
+            keep_ids.append(int(c))
+            new_cq.append(np.floor(s.astype(np.float64) / n_c)
+                          .astype(np.int64))
+        cluster_ids = np.array(keep_ids, np.int64)
+        cq = np.stack(new_cq)
+
+    state = ray.put((cluster_ids, cq))
+
+    def final_assign(b: pa.Table, _ref=state) -> pa.Table:
+        cids, cq_m = ray.get(_ref)
+        ids, xq = _xq(b)
+        a = assign(xq, cq_m)
+        return pa.table({"vec_id": pa.array(ids),
+                         "cluster": pa.array(cids[a])})
+
+    return src.map_batches(final_assign, batch_format="pyarrow")

@@ -32,7 +32,7 @@ def _fold(parts: list, n_ids: int, id_of: dict) -> np.ndarray:
     idx = np.fromiter((id_of[c] for c in cells), np.int64, len(cells))
     order = np.lexsort((vals, idx))
     idx, vals = idx[order], vals[order]
-    out = np.zeros(n_ids, np.float64)
+    out = np.zeros(n_ids, vals.dtype)  # int partials stay int (exact)
     if len(idx):
         new = np.empty(len(idx), dtype=bool)
         new[0] = True
@@ -130,9 +130,16 @@ def cell_pagerank(webpages_path: str, res: int = 5,
     docs (ops/spatial.comention_edges). Every node has degree >= 1 by
     construction (nodes ARE the edge endpoints; cells never
     co-mentioned aren't part of the graph), so there is no dangling
-    mass and the rank sum converges to 1. Output (cell, rank) with rank floor-quantized to micro-units for
-    stable downstream hashing; rows-only in the gate (iterative — no
-    SQL twin), pinned by a single-process power-iteration pytest."""
+    mass and the rank sum converges to 1.
+
+    EXACT-TWIN iteration (r4): the rank state is INT64 nano-units and
+    every edge contribution floors to INT64 pico-units BEFORE any sum,
+    so each power iteration is an order-free integer matrix-vector
+    product and the DuckDB twin (pagerank_sql — the iteration UNROLLED
+    as one CTE per step) reproduces rank_micro bit-exactly. The
+    quantization error per step is < 1e-12 per edge — far below the
+    power-iteration convergence tolerance — and buys full driver-hash
+    verifiability for an iterative algorithm."""
     from .spatial import comention_edges
 
     edges = comention_edges(webpages_path, res=res).materialize()
@@ -167,22 +174,29 @@ def cell_pagerank(webpages_path: str, res: int = 5,
             "cell": np.empty(0, np.int64),
             "rank_micro": np.empty(0, np.int64)}))
     id_of = {int(c): i for i, c in enumerate(all_cells)}
-    deg = _fold(deg_parts, n, id_of)
+    deg = _fold(deg_parts, n, id_of)  # int-valued weights: exact
+    degf = deg.astype(np.float64)
 
-    ranks = np.full(n, 1.0 / n)
+    rq = np.full(n, int(np.floor(1e9 / n)), np.int64)
     for _ in range(n_iters):
-        state = ray.put((all_cells, ranks / deg))
+        share = (rq.astype(np.float64) / 1e9) / degf
+        state = ray.put((all_cells, share))
 
         def contrib(b: pa.Table, _ref=state) -> pa.Table:
-            cells_v, share = ray.get(_ref)
+            cells_v, share_v = ray.get(_ref)
             a = b["cell_a"].to_numpy()
             c = b["cell_b"].to_numpy()
             w = b["n_docs"].to_numpy().astype(np.float64)
             ia = np.searchsorted(cells_v, a)
             ic = np.searchsorted(cells_v, c)
-            # undirected: each endpoint sends rank/deg * w to the other
+            # undirected: each endpoint sends rank/deg * w to the
+            # other — floored to INT64 pico-units PER EDGE so every
+            # downstream sum is order-free exact (the twin floors the
+            # identical double expression)
             dst = np.concatenate([c, a])
-            val = np.concatenate([share[ia] * w, share[ic] * w])
+            val = np.concatenate([
+                np.floor(share_v[ia] * w * 1e12),
+                np.floor(share_v[ic] * w * 1e12)]).astype(np.int64)
             order = np.argsort(dst, kind="stable")
             dst, val = dst[order], val[order]
             new = np.empty(len(dst), dtype=bool)
@@ -196,8 +210,10 @@ def cell_pagerank(webpages_path: str, res: int = 5,
                  for t in edges.map_batches(contrib, batch_format="pyarrow")
                  .iter_batches(batch_format="pyarrow")]
         inflow = _fold(parts, n, id_of)
-        ranks = (1.0 - damping) / n + damping * inflow
+        rq = np.floor(((1.0 - damping) / n
+                       + damping * (inflow.astype(np.float64) / 1e12))
+                      * 1e9).astype(np.int64)
 
     return ray.data.from_arrow(pa.table({
         "cell": all_cells.astype(np.int64),
-        "rank_micro": np.floor(ranks * 1e9).astype(np.int64)}))
+        "rank_micro": rq}))

@@ -471,3 +471,40 @@ def knn_pq(sf_dir: str, k: int = 10, n_queries: int = 8,
 
     return partials.groupby("query_id").map_groups(final_topk,
                                                    batch_format="pandas")
+
+
+def hybrid_search(sf_dir: str, k: int = 20, pool: int = 50,
+                  rrf_k: int = 60) -> ray.data.Dataset:
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, the standard
+    public formula score = sum 1/(rrf_k + rank)) of the LEXICAL leg
+    (ops.text.bm25_search top-``pool``) and the VECTOR leg
+    (knn_bruteforce of query vector 0 over the aligned vec_id space).
+    Each leg's contribution floors to INT64 nano-units independently,
+    so the fused score is an exact integer sum and ties break on
+    doc_id — bit-identical to the twin.
+
+    Both legs end bounded (<= pool rows), so the fusion is a
+    driver-side fold of two result-sized tables — the repo's bounded
+    take_all contract."""
+    from .text import bm25_search
+
+    lex = bm25_search(sf_dir, k=pool).to_pandas()  # bounded: pool rows
+    vec = knn_bruteforce(sf_dir, k=pool, n_queries=1).to_pandas()
+
+    contrib: dict[int, int] = {}
+    lex = lex.sort_values(["score_micro", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    for r, doc in enumerate(lex["doc_id"], start=1):
+        contrib[int(doc)] = contrib.get(int(doc), 0) \
+            + int(np.floor(1e9 / (rrf_k + r)))
+    for row in vec.itertuples():
+        d = int(row.neighbor_id)
+        contrib[d] = contrib.get(d, 0) \
+            + int(np.floor(1e9 / (rrf_k + int(row.rank))))
+
+    docs = np.array(sorted(contrib), np.int64)
+    scores = np.array([contrib[int(d)] for d in docs], np.int64)
+    order = np.lexsort((docs, -scores))[:k]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(docs[order]),
+        "rrf_micro": pa.array(scores[order])}))

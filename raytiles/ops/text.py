@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..util import cached_ref
+
 TOKEN_RE = r"[0-9A-Za-z_]+"
 STOP_RE = r"\b(?:the|a|of|and|to)\b"
 LANG_MARKERS = {
@@ -1582,3 +1584,99 @@ def type_token_ratio(sf_dir: str) -> ray.data.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "merge", "sort")
+
+
+def bm25_search(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """BM25 lexical retrieval (Robertson/Sparck-Jones, the classic
+    public formula) for a fixed query, top-k docs — the lexical leg of
+    a hybrid search pipeline next to the knn family.
+
+    Two passes, both bounded: (1) corpus stats — N, total tokens, and
+    per-query-token document frequencies — fold driver-side from
+    per-batch partials (|query| + 2 scalars); (2) scoring — per-batch
+    tf over the broadcast query set, each (doc, token) BM25 term
+    quantized to INT64 micro-units with the twin's IDENTICAL double
+    sequence, integer-summed per doc, per-block top-k partials then a
+    single-block final. Docs containing no query token never leave
+    their batch."""
+    from .relational import _p as _rp  # noqa: F401 (naming parity)
+
+    q_tokens = np.array(sorted(BM25_QUERY))
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        t = _tokens_table(b)
+        tq = t.filter(pc.is_in(t["token"], value_set=pa.array(
+            q_tokens.tolist(), pa.string())))
+        d = pa.TableGroupBy(tq, ["token", "doc_id"]).aggregate([]) \
+            .rename_columns(["token", "doc_id"])
+        dfp = pa.TableGroupBy(d, "token").aggregate([("doc_id", "count")]) \
+            .rename_columns(["token", "df"])
+        return pa.table({
+            "token": pa.concat_arrays([
+                dfp["token"].combine_chunks(),
+                pa.array(["__N__", "__TOT__"], pa.string())]),
+            "df": pa.concat_arrays([
+                pc.cast(dfp["df"], pa.int64()).combine_chunks(),
+                pa.array([b.num_rows, t.num_rows], pa.int64())])})
+
+    stats = {}
+    for t in _docs(sf_dir, ["doc_id", "text"]) \
+            .map_batches(stats_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for tok, v in zip(np.asarray(t["token"]),
+                          t["df"].to_numpy(zero_copy_only=False)):
+            stats[str(tok)] = stats.get(str(tok), 0) + int(v)
+    n_docs = stats.pop("__N__")
+    tot = stats.pop("__TOT__")
+    avgdl = tot / n_docs
+    idf = {tok: np.log((n_docs - stats.get(tok, 0) + 0.5)
+                       / (stats.get(tok, 0) + 0.5) + 1.0)
+           for tok in q_tokens}
+    idf_arr = np.array([idf[tok] for tok in q_tokens])
+    model_ref = ray.put((q_tokens, idf_arr, avgdl))
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        q_m, idf_m, avgdl_m = cached_ref(model_ref)
+        dl_all = pc.count_substring_regex(b["text"], TOKEN_RE) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        ids_all = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = _tokens_table(b)
+        tq = t.filter(pc.is_in(t["token"], value_set=pa.array(
+            q_m.tolist(), pa.string())))
+        tfb = pa.TableGroupBy(tq, ["doc_id", "token"]).aggregate(
+            [("token", "count")]).rename_columns(["doc_id", "token", "tf"])
+        doc = tfb["doc_id"].to_numpy(zero_copy_only=False)
+        tok = np.asarray(tfb["token"])
+        tf = tfb["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tpos = np.searchsorted(q_m, tok)
+        dpos = np.searchsorted(np.sort(ids_all), doc)
+        order_ids = np.argsort(ids_all, kind="stable")
+        dl = dl_all[order_ids][dpos]
+        ratio = (tf * (BM25_K1 + 1.0)) \
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl_m)))
+        term = np.floor(idf_m[tpos] * ratio * 1e6).astype(np.int64)
+        tt = pa.table({"doc_id": doc, "term": term})
+        g = pa.TableGroupBy(tt, "doc_id").aggregate([("term", "sum")])
+        g = g.rename_columns(["doc_id", "score_micro"])
+        # per-block top-k partial
+        sc = g["score_micro"].to_numpy(zero_copy_only=False)
+        di = g["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((di, -sc))[:k]
+        return pa.table({"doc_id": pa.array(di[o].astype(np.int64)),
+                         "score_micro": pa.array(sc[o].astype(np.int64))})
+
+    def topk_final(b: pa.Table) -> pa.Table:
+        sc = b["score_micro"].to_numpy(zero_copy_only=False)
+        di = b["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((di, -sc))[:k]
+        return pa.table({"doc_id": pa.array(di[o].astype(np.int64)),
+                         "score_micro": pa.array(sc[o].astype(np.int64))})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(score_partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(topk_final, batch_format="pyarrow")

@@ -38,29 +38,15 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..util import bucket_of
+from ..util import bucket_of, cached_ref
 from .dedup import _join_partitions
 from .relational import _p
 
 
-_DIM_CACHE: dict = {}
-
-
-def _cached_ref(ref):
-    """ray.get(ref) once per worker process — the make_assign_fn
-    worker-cache idiom (stages.py:130) instead of actor pools: every
-    warehouse stage is a plain TASK function, so dim lookups never
-    hold dedicated actor CPU slots. That matters because these
-    queries ALSO run bounded-partition hash joins whose aggregator
-    actors need the whole CPU budget on small test clusters (actor
-    pools + join aggregators deadlocked at num_cpus=4). Bounded: at
-    most 4 cached dims per worker, cleared wholesale beyond that."""
-    key = ref.hex()
-    if key not in _DIM_CACHE:
-        if len(_DIM_CACHE) >= 4:
-            _DIM_CACHE.clear()
-        _DIM_CACHE[key] = ray.get(ref)
-    return _DIM_CACHE[key]
+# dim lookups ride plain TASK functions via the shared worker cache
+# (util.cached_ref) instead of actor pools: actor pools + hash-join
+# aggregator actors deadlocked at num_cpus=4 (each needs a CPU slot).
+_cached_ref = cached_ref
 
 
 def _cents(x) -> np.ndarray:

@@ -2787,3 +2787,207 @@ SELECT vec_id, CAST(label AS BIGINT) AS label,
          AS norm2_micro
 FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
 GROUP BY 1, 2"""
+
+
+def pagerank_sql(webpages_parquet: str, res: int = 5,
+                 damping: float = 0.85, n_iters: int = 10) -> str:
+    """Twin of ops.graph.cell_pagerank: the power iteration UNROLLED
+    as one CTE per step over the comention edge list, with the
+    engine's exact quantization — INT64 nano-unit rank state, INT64
+    pico-unit per-edge contributions floored BEFORE the sum — so an
+    ITERATIVE algorithm gets a bit-exact declarative twin."""
+    d = repr(damping)
+    steps = []
+    for k in range(1, n_iters + 1):
+        steps.append(f"""r{k} AS (
+  SELECT e.dst AS cell,
+         CAST(floor(((1.0 - {d}) / nn.n
+              + {d} * (CAST(sum(CAST(floor(CAST(r.rq AS DOUBLE)
+                / 1000000000.0 / CAST(dg.d AS DOUBLE) * e.w
+                * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+                / 1000000000000.0)) * 1000000000.0) AS BIGINT) AS rq
+  FROM edges e
+  JOIN r{k - 1} r ON r.cell = e.src
+  JOIN deg dg ON dg.cell = e.src
+  CROSS JOIN nn
+  GROUP BY 1, nn.n)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH {mentions_cte(webpages_parquet)},
+cellsd AS (
+  SELECT DISTINCT url, {_cell_expr(res)} AS cell FROM mentions),
+e0 AS (
+  SELECT a.cell AS ca, b.cell AS cb, count(*) AS w
+  FROM cellsd a JOIN cellsd b ON a.url = b.url AND a.cell < b.cell
+  GROUP BY 1, 2),
+edges AS (
+  SELECT ca AS src, cb AS dst, w FROM e0
+  UNION ALL
+  SELECT cb AS src, ca AS dst, w FROM e0),
+deg AS (SELECT src AS cell, CAST(sum(w) AS BIGINT) AS d
+        FROM edges GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT cell, CAST(floor(1000000000.0 / nn.n) AS BIGINT) AS rq
+       FROM deg CROSS JOIN nn),
+{chain}
+SELECT cell, rq AS rank_micro FROM r{n_iters}"""
+
+
+# Twin of ops.dedup.simhash (r4 upgrade from rows-only): md5-u64 token
+# hashes, per-doc per-bit majority vote (2*ones >= n_tokens), the two
+# int32-range halves assembled with integer shifts — all exact.
+SIMHASH_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h64 FROM t),
+n AS (SELECT doc_id, count(*) AS n_tok FROM h GROUP BY 1),
+bits AS (
+  SELECT doc_id, bs.b AS b,
+         sum(CASE WHEN (h64 >> bs.b) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+  GROUP BY 1, 2),
+words AS (
+  SELECT bits.doc_id,
+         CAST(sum(CASE WHEN 2 * ones >= n_tok AND b >= 32
+                       THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT)
+           AS hi,
+         CAST(sum(CASE WHEN 2 * ones >= n_tok AND b < 32
+                       THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo
+  FROM bits JOIN n USING (doc_id) GROUP BY 1)
+SELECT d.doc_id, coalesce(hi, 0) AS simhash_hi, coalesce(lo, 0) AS simhash_lo
+FROM documents d LEFT JOIN words ON words.doc_id = d.doc_id"""
+
+
+def kmeans_exact_sql(k: int = 16, iters: int = 5) -> str:
+    """Twin of ops.cluster.kmeans_exact: Lloyd's algorithm UNROLLED
+    (one assignment + one update CTE pair per iteration) over INT64
+    micro-quantized vectors — distances are pure-integer sums, ties
+    break on cluster id, centroid updates floor(sum/count) in float64
+    exactly like the engine, and empty clusters vanish as missing
+    GROUP BY rows on both sides."""
+    parts = [f"""xq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS xq
+  FROM embeddings),
+c0 AS (
+  SELECT r.cl AS cluster, q.dim, q.xq AS cq
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})) r
+  JOIN xq q ON q.vec_id = r.vec_id)"""]
+    for s in range(1, iters + 1):
+        parts.append(f"""a{s} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT q.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY sum((q.xq - c.cq) * (q.xq - c.cq)), c.cluster) AS rn
+    FROM xq q JOIN c{s - 1} c ON c.dim = q.dim
+    GROUP BY q.vec_id, c.cluster)
+  WHERE rn = 1),
+c{s} AS (
+  SELECT a.cluster, q.dim,
+         CAST(floor(CAST(sum(q.xq) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+  FROM a{s} a JOIN xq q ON q.vec_id = a.vec_id
+  GROUP BY 1, 2)""")
+    parts.append(f"""afinal AS (
+  SELECT vec_id, cluster FROM (
+    SELECT q.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY sum((q.xq - c.cq) * (q.xq - c.cq)), c.cluster) AS rn
+    FROM xq q JOIN c{iters} c ON c.dim = q.dim
+    GROUP BY q.vec_id, c.cluster)
+  WHERE rn = 1)""")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {chain}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afinal"""
+
+
+# Twin of ops.text.bm25_search: the classic BM25 formula with each
+# (doc, token) term micro-quantized via the engine's identical double
+# sequence (idf * ratio * 1e6, floor) before the integer per-doc sum;
+# top-k by (score DESC, doc_id ASC).
+BM25_SEARCH_SQL = """
+WITH q(tok) AS (VALUES ('hash'), ('join'), ('merge'), ('sort')),
+t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM t) AS tot),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df
+       FROM t JOIN q USING (tok) GROUP BY 1),
+tf AS (SELECT doc_id, tok, count(*) AS tf
+       FROM t JOIN q USING (tok) GROUP BY 1, 2),
+terms AS (
+  SELECT tf.doc_id,
+         CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+              * ((tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * (dl.dl / (CAST(tot AS DOUBLE) / n)))))
+              * 1000000.0) AS BIGINT) AS term
+  FROM tf
+  JOIN df USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats)
+SELECT doc_id, CAST(sum(term) AS BIGINT) AS score_micro
+FROM terms GROUP BY 1
+ORDER BY score_micro DESC, doc_id
+LIMIT 20"""
+
+
+# Twin of ops.similarity.hybrid_search: RRF fusion of the BM25 CTE
+# chain (identical to BM25_SEARCH_SQL, pool 50) and the knn CTE for
+# query vector 0; each leg's 1/(60+rank) floors to INT64 nano-units
+# independently before the fused integer sum.
+HYBRID_SEARCH_SQL = """
+WITH q(tok) AS (VALUES ('hash'), ('join'), ('merge'), ('sort')),
+t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS tok
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM t) AS tot),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df
+       FROM t JOIN q USING (tok) GROUP BY 1),
+tf AS (SELECT doc_id, tok, count(*) AS tf
+       FROM t JOIN q USING (tok) GROUP BY 1, 2),
+terms AS (
+  SELECT tf.doc_id,
+         CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+              * ((tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * (dl.dl / (CAST(tot AS DOUBLE) / n)))))
+              * 1000000.0) AS BIGINT) AS term
+  FROM tf
+  JOIN df USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats),
+lex AS (
+  SELECT doc_id, CAST(sum(term) AS BIGINT) AS score_micro
+  FROM terms GROUP BY 1
+  ORDER BY score_micro DESC, doc_id LIMIT 50),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r
+  FROM lex),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT e.vec_id AS nid,
+         list_cosine_similarity(qv.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+  FROM qv, embeddings e WHERE e.vec_id <> 0),
+vecr AS (
+  SELECT nid, row_number() OVER (ORDER BY sim DESC, nid) AS r
+  FROM vs QUALIFY r <= 50),
+contrib AS (
+  SELECT doc_id, CAST(floor(1000000000.0 / (60 + r)) AS BIGINT) AS c
+  FROM lexr
+  UNION ALL
+  SELECT nid AS doc_id, CAST(floor(1000000000.0 / (60 + r)) AS BIGINT) AS c
+  FROM vecr)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+FROM contrib GROUP BY 1
+ORDER BY rrf_micro DESC, doc_id
+LIMIT 20"""

@@ -10,6 +10,7 @@ place that mixing lives so every operator derives buckets the same way
 from __future__ import annotations
 
 import numpy as np
+import ray
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
@@ -94,3 +95,21 @@ def crc32c_masked(crc: np.ndarray) -> np.ndarray:
     crc = np.asarray(crc, dtype=np.uint32)
     rot = (crc >> np.uint32(15)) | (crc << np.uint32(17))
     return (rot + np.uint32(0xA282EAD8)).astype(np.uint32)
+
+
+_REF_CACHE: dict = {}
+
+
+def cached_ref(ref):
+    """ray.get(ref) once per worker process — the make_assign_fn
+    worker-cache idiom (pipeline/stages.py:130) as a shared utility:
+    broadcast state rides plain TASK functions without actor-pool CPU
+    slots (which can starve hash-join aggregator actors on small
+    clusters). Bounded: at most 4 cached refs per worker, cleared
+    wholesale beyond that."""
+    key = ref.hex()
+    if key not in _REF_CACHE:
+        if len(_REF_CACHE) >= 4:
+            _REF_CACHE.clear()
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]

@@ -250,7 +250,9 @@ def test_comention_edges_matches_bruteforce():
 
 def test_cell_pagerank_matches_power_iteration():
     """Engine PageRank vs a dense single-process power iteration on
-    the same edge list; tolerance covers summation-order ulp only."""
+    the same edge list. The unquantized reference pins convergence
+    (allclose at quantization tolerance); the QUANTIZED single-process
+    recurrence — the r4 exact-twin iteration — must match bit-exactly."""
     from raytiles.ops.graph import cell_pagerank
     from raytiles.ops.spatial import comention_edges
     from raytiles.pipeline.synth import webpages_path
@@ -267,6 +269,7 @@ def test_cell_pagerank_matches_power_iteration():
         w[idx[r.cell_a], idx[r.cell_b]] += r.n_docs
         w[idx[r.cell_b], idx[r.cell_a]] += r.n_docs
     deg = w.sum(1)
+    # unquantized reference: convergence sanity
     p = np.full(n, 1.0 / n)
     for _ in range(10):
         p = (1 - 0.85) / n + 0.85 * (w.T @ (p / deg))
@@ -274,7 +277,20 @@ def test_cell_pagerank_matches_power_iteration():
     assert (got["cell"].to_numpy() == cells).all()
     assert abs(got["rank_micro"].sum() / 1e9 - 1.0) < 1e-6
     assert np.allclose(got["rank_micro"].to_numpy() / 1e9, p,
-                       rtol=1e-9, atol=1e-9)
+                       rtol=0, atol=1e-6)
+    # quantized recurrence: bit-exact
+    rq = np.full(n, int(np.floor(1e9 / n)), np.int64)
+    for _ in range(10):
+        share = (rq.astype(np.float64) / 1e9) / deg
+        inflow = np.zeros(n, np.int64)
+        for r in edges.itertuples():
+            a, b_, wt = idx[r.cell_a], idx[r.cell_b], float(r.n_docs)
+            inflow[b_] += int(np.floor(share[a] * wt * 1e12))
+            inflow[a] += int(np.floor(share[b_] * wt * 1e12))
+        rq = np.floor(((1.0 - 0.85) / n
+                       + 0.85 * (inflow.astype(np.float64) / 1e12))
+                      * 1e9).astype(np.int64)
+    assert np.array_equal(got["rank_micro"].to_numpy(), rq)
 
 
 def test_cell_triangles_matches_bruteforce():

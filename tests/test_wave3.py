@@ -106,3 +106,85 @@ def test_events_ewma_matches_pandas_recurrence():
             want = num / den / 1e6
             eid = g["event_id"].iloc[i]
             assert got[eid] == pytest.approx(want, abs=1e-6)
+
+
+def test_kmeans_exact_matches_integer_lloyd():
+    from raytiles.ops.cluster import kmeans_exact
+    got = kmeans_exact(SF_SMOKE).to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+    emb = pq.read_table(f"{SF_SMOKE}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    xq = np.floor(np.stack(emb["embedding"].to_numpy())
+                  .astype(np.float64) * 1e6).astype(np.int64)
+    k, iters = 16, 5
+    cq = xq[:k].copy()  # rows already sorted by vec_id
+    cids = np.arange(k, dtype=np.int64)
+
+    def assign(x, c):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        a = assign(xq, cq)
+        keep, new = [], []
+        for i, c in enumerate(cids):
+            m = a == i
+            if not m.any():
+                continue
+            keep.append(c)
+            new.append(np.floor(xq[m].sum(axis=0).astype(np.float64)
+                                / int(m.sum())).astype(np.int64))
+        cids = np.array(keep, np.int64)
+        cq = np.stack(new)
+    final = cids[assign(xq, cq)]
+    assert np.array_equal(got["cluster"].to_numpy(), final)
+    assert got["cluster"].nunique() >= 2
+
+
+def test_bm25_search_matches_rank_bm25_formula():
+    from raytiles.ops.text import (BM25_B, BM25_K1, BM25_QUERY,
+                                   bm25_search)
+    got = bm25_search(SF_SMOKE).to_pandas()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    tok = re.compile(r"[0-9A-Za-z_]+")
+    toks = {int(r.doc_id): tok.findall(r.text) for r in docs.itertuples()}
+    N = len(docs)
+    tot = sum(len(v) for v in toks.values())
+    avgdl = tot / N
+    df = {q: sum(1 for v in toks.values() if q in v) for q in BM25_QUERY}
+    idf = {q: np.log((N - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+           for q in BM25_QUERY}
+    scores = {}
+    for d, v in toks.items():
+        s = 0
+        for q in BM25_QUERY:
+            tf = v.count(q)
+            if tf == 0:
+                continue
+            ratio = (tf * (BM25_K1 + 1.0)) \
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (len(v) / avgdl)))
+            s += int(np.floor(idf[q] * ratio * 1e6))
+        if s:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["doc_id"], got["score_micro"])) == \
+        [(d, s) for d, s in want]
+
+
+def test_hybrid_search_is_rrf_of_both_legs():
+    from raytiles.ops.similarity import hybrid_search, knn_bruteforce
+    from raytiles.ops.text import bm25_search
+    got = hybrid_search(SF_SMOKE).to_pandas()
+    lex = bm25_search(SF_SMOKE, k=50).to_pandas() \
+        .sort_values(["score_micro", "doc_id"], ascending=[False, True])
+    vec = knn_bruteforce(SF_SMOKE, k=50, n_queries=1).to_pandas()
+    contrib = {}
+    for r, d in enumerate(lex["doc_id"], start=1):
+        contrib[int(d)] = contrib.get(int(d), 0) + int(np.floor(1e9 / (60 + r)))
+    for row in vec.itertuples():
+        d = int(row.neighbor_id)
+        contrib[d] = contrib.get(d, 0) + int(np.floor(1e9 / (60 + row.rank)))
+    want = sorted(contrib.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["doc_id"], got["rrf_micro"])) == want
