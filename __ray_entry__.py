@@ -1069,6 +1069,13 @@ def _q_kmeans_exact(sf_dir: str):
     return kmeans_exact(sf_dir)
 
 
+def _q_events_debounce(sf_dir: str):
+    """True stateful per-user debounce (kept-chain dependence),
+    vectorized in lockstep across users; recursive-CTE twin."""
+    from raytiles.ops.relational import events_debounce
+    return events_debounce(sf_dir)
+
+
 def _q_events_ewma(sf_dir: str):
     """Finite-window EWMA per user: one bounded user-bucket shuffle,
     W-1 vectorized shift passes, literal-weight parity with the twin."""
@@ -1992,6 +1999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": _q_type_token_ratio,
         "nb_lang_classify": _q_nb_lang_classify,
         "events_ewma": _q_events_ewma,
+        "events_debounce": _q_events_debounce,
         "kmeans_exact": _q_kmeans_exact,
         "bm25_search": _q_bm25_search,
         "hybrid_search": _q_hybrid_search,
@@ -2200,6 +2208,7 @@ def oracle_sql() -> dict[str, str]:
         "type_token_ratio": oracles.TYPE_TOKEN_RATIO_SQL,
         "nb_lang_classify": oracles.NB_LANG_CLASSIFY_SQL,
         "events_ewma": oracles.events_ewma_sql(),
+        "events_debounce": oracles.events_debounce_sql(),
         "kmeans_exact": oracles.kmeans_exact_sql(),
         "bm25_search": oracles.BM25_SEARCH_SQL,
         "hybrid_search": oracles.HYBRID_SEARCH_SQL,

@@ -147,6 +147,14 @@ def run_benchmarks() -> dict:
         queries["iso_segments"] = timed_min(
             lambda: iso_segments(wp, 8).count())
 
+        from raytiles.ops.warehouse import big_orders
+        queries["big_orders"] = timed_min(
+            lambda: big_orders(SF_DIR).count())
+
+        from raytiles.ops.text import bm25_search
+        queries["bm25_search"] = timed_min(
+            lambda: bm25_search(SF_DIR).to_pandas())
+
     # --- codec microbenchmarks: direct parity with the reference's
     # criterion numbers (BASELINE.md: decode roads 9.98ms, encode
     # roads 13.47ms, layer names 6.46ms, tiny fixtures ~2-3us) ---

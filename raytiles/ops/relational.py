@@ -3670,3 +3670,70 @@ def events_ewma(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
         columns=["event_id", "ts", "user_id", "value"]) \
         .map_batches(tag, batch_format="pyarrow") \
         .groupby("bucket").map_groups(ewma_bucket, batch_format="pyarrow")
+
+
+def events_debounce(sf_dir: str, gap_s: int = 86400,
+                    n_buckets: int = 256) -> ray.data.Dataset:
+    """TRUE stateful debounce per user: an event is kept iff it is the
+    user's first, or >= gap since the last KEPT event — the classic
+    sequential chain a rate-limiter / alert-dedup stage runs. Unlike a
+    lag filter (events_lag), the predicate depends on the running
+    RESULT, so there is no closed window form.
+
+    The chain is still vectorized: within each user bucket, rows sort
+    by (user, ts, event_id) and the loop runs over the per-user event
+    INDEX in lockstep across every user in the bucket (the CRC32C /
+    fastdecode cursor pattern) — each step is one vectorized
+    compare-and-update over all users whose chain is that deep, so
+    work is sum(chain lengths) with no per-event Python. Timestamps
+    are integers; the twin is a recursive CTE carrying last_kept per
+    user — bit-exact."""
+    from ..util import bucket_of
+
+    gap_us = int(gap_s) * 1_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table({
+            "event_id": pa.compute.cast(b["event_id"], pa.int64()),
+            "user_id": uid.astype(np.int64),
+            "ts_us": pa.compute.cast(b["ts"], pa.int64()),
+            "bucket": bucket_of(uid, n_buckets)})
+
+    def debounce_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table({"event_id": np.empty(0, np.int64),
+                             "user_id": np.empty(0, np.int64),
+                             "ts_us": np.empty(0, np.int64)})
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [n])))
+        max_depth = int(counts.max())
+        # lockstep over chain depth: user u's j-th event is at
+        # starts[u] + j, alive while j < counts[u]
+        last_kept = ts[starts].copy()  # depth 0 always kept
+        kept = np.zeros(n, dtype=bool)
+        kept[starts] = True
+        for j in range(1, max_depth):
+            alive = counts > j
+            rows = starts[alive] + j
+            ok = ts[rows] - last_kept[alive] >= gap_us
+            kept[rows[ok]] = True
+            lk = last_kept[alive]
+            lk[ok] = ts[rows[ok]]
+            last_kept[alive] = lk
+        return pa.table({"event_id": eid[kept], "user_id": uid[kept],
+                         "ts_us": ts[kept]})
+
+    return ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(debounce_bucket, batch_format="pyarrow")

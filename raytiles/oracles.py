@@ -2991,3 +2991,26 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
 FROM contrib GROUP BY 1
 ORDER BY rrf_micro DESC, doc_id
 LIMIT 20"""
+
+
+def events_debounce_sql(gap_s: int = 86400) -> str:
+    """Twin of ops.relational.events_debounce: the kept-chain walked
+    as a recursive CTE carrying last_kept per user (pure integer
+    timestamps — bit-exact), first event always kept."""
+    gap_us = int(gap_s) * 1_000_000
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS idx
+  FROM events),
+walk(user_id, idx, ts_us, event_id, last_kept, kept) AS (
+  SELECT user_id, idx, ts_us, event_id, ts_us, TRUE FROM e WHERE idx = 1
+  UNION ALL
+  SELECT e.user_id, e.idx, e.ts_us, e.event_id,
+         CASE WHEN e.ts_us - w.last_kept >= {gap_us}
+              THEN e.ts_us ELSE w.last_kept END,
+         e.ts_us - w.last_kept >= {gap_us}
+  FROM e JOIN walk w ON e.user_id = w.user_id AND e.idx = w.idx + 1)
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, ts_us
+FROM walk WHERE kept"""

@@ -188,3 +188,25 @@ def test_hybrid_search_is_rrf_of_both_legs():
         contrib[d] = contrib.get(d, 0) + int(np.floor(1e9 / (60 + row.rank)))
     want = sorted(contrib.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert list(zip(got["doc_id"], got["rrf_micro"])) == want
+
+
+def test_events_debounce_matches_sequential_chain():
+    from raytiles.ops.relational import events_debounce
+    gap_us = 86400 * 1_000_000
+    got = events_debounce(SF_SMOKE).to_pandas()
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    want = set()
+    for uid, g in ev.groupby("user_id"):
+        last = None
+        for r in g.itertuples():
+            if last is None or r.ts_us - last >= gap_us:
+                want.add(int(r.event_id))
+                last = r.ts_us
+    assert set(got["event_id"]) == want
+    # kept events per user are >= gap apart
+    for uid, g in got.sort_values(["user_id", "ts_us"]).groupby("user_id"):
+        d = np.diff(g["ts_us"].to_numpy())
+        assert (d >= gap_us).all()
