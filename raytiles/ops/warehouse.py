@@ -704,14 +704,24 @@ def part_supp_counts(sf_dir: str, excl_brand: str = "Brand#5",
 # Q18: large-volume orders (HAVING sum(qty) > T, joined back)
 # ---------------------------------------------------------------------------
 
+BIG_ORDERS_BROADCAST_ROWS = 1_000_000
+
+
 def big_orders(sf_dir: str, qty_thresh: int = 150,
                n_buckets: int = 256) -> ray.data.Dataset:
     """TPC-H Q18 shape: orders whose total quantity exceeds T, with
     customer name and order header attached. Quantities are integral
     in this dataset and carried as int64 (exact HAVING predicate).
-    Qualifying orders join orders as a bounded-partition hash join
-    (the qualifying set shrinks with T but is unbounded in principle,
-    so no driver-side collect); customer is a broadcast dim."""
+    ADAPTIVE join selection (the classic AQE broadcast-vs-shuffle
+    decision, made from a MEASURED cardinality, never an assumption):
+    the qualifying aggregate materializes (it is post-aggregation,
+    one row per qualifying order), its count is checked, and
+    - small side (<= BIG_ORDERS_BROADCAST_ROWS): the (orderkey ->
+      sum_qty) map broadcasts via ray.put and orders filters
+      shuffle-free — no join actors, no repartition;
+    - otherwise: the bounded-partition hash join (unbounded-safe).
+    Either plan produces identical rows; customer is a broadcast dim
+    in both."""
     def partial(b: pa.Table) -> pa.Table:
         qty = b["l_quantity"].to_numpy().astype(np.int64)
         t = pa.table({"l_orderkey": b["l_orderkey"], "qty": qty})
@@ -729,40 +739,66 @@ def big_orders(sf_dir: str, qty_thresh: int = 150,
     qualifying = ray.data.read_parquet(
         _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow") \
+        .materialize()  # post-aggregation: one row per qualifying order
 
     orders = ray.data.read_parquet(
         _p(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-
-    n_part = _join_partitions()
-    j = qualifying.repartition(n_part).join(
-        orders.repartition(n_part), "inner", n_part,
-        on=("l_orderkey",), right_on=("o_orderkey",))
 
     cust = _dim(sf_dir, "customer", ["c_custkey", "c_name"])
     ck, cname = _sorted_pair(cust["c_custkey"].to_numpy(),
                              cust["c_name"].to_numpy(zero_copy_only=False))
     dim_ref = ray.put((ck, cname))
 
-    def finalize(b: pa.Table) -> pa.Table:
+    def emit(okey, ckey_arr, odate_us, ocents, sqty) -> pa.Table:
         ck_s, cname_s = _cached_ref(dim_ref)
-        ckey = b["o_custkey"].to_numpy(zero_copy_only=False)
-        pos, _ = _lookup(ck_s, ckey)
+        pos, _ = _lookup(ck_s, ckey_arr)
         return pa.table({
             "c_name": pa.array(cname_s[pos]),
-            "o_custkey": pa.array(ckey.astype(np.int64)),
-            "o_orderkey": pa.array(
-                b["l_orderkey"].to_numpy(zero_copy_only=False)
-                .astype(np.int64)),
-            "orderdate_us": pa.array(
+            "o_custkey": pa.array(ckey_arr.astype(np.int64)),
+            "o_orderkey": pa.array(okey.astype(np.int64)),
+            "orderdate_us": pa.array(odate_us.astype(np.int64)),
+            "totalprice_cents": pa.array(ocents),
+            "sum_qty": pa.array(sqty.astype(np.int64))})
+
+    if qualifying.count() <= BIG_ORDERS_BROADCAST_ROWS:
+        # AQE broadcast plan: the measured-small qualifying map rides
+        # ray.put; orders filters shuffle-free (take_all is gated by
+        # the count check just above)
+        rows = qualifying.take_all()
+        qk = np.array([r["l_orderkey"] for r in rows], np.int64)
+        sq = np.array([r["sum_qty"] for r in rows], np.int64)
+        qk, sq = _sorted_pair(qk, sq)
+        q_ref = ray.put((qk, sq))
+
+        def bcast_filter(b: pa.Table) -> pa.Table:
+            qk_s, sq_s = _cached_ref(q_ref)
+            okey = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            pos, ok = _lookup(qk_s, okey)
+            return emit(
+                okey[ok],
+                b["o_custkey"].to_numpy(zero_copy_only=False)[ok],
                 b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
-                .to_numpy(zero_copy_only=False)),
-            "totalprice_cents": pa.array(
-                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False))),
-            "sum_qty": pa.array(
-                b["sum_qty"].to_numpy(zero_copy_only=False)
-                .astype(np.int64))})
+                .to_numpy(zero_copy_only=False)[ok],
+                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)[ok]),
+                sq_s[pos[ok]])
+
+        return orders.map_batches(bcast_filter, batch_format="pyarrow")
+
+    n_part = _join_partitions()
+    j = qualifying.repartition(n_part).join(
+        orders.repartition(n_part), "inner", n_part,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return emit(
+            b["l_orderkey"].to_numpy(zero_copy_only=False),
+            b["o_custkey"].to_numpy(zero_copy_only=False),
+            b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+            b["sum_qty"].to_numpy(zero_copy_only=False))
 
     return j.map_batches(finalize, batch_format="pyarrow")
 
