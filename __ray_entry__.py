@@ -1069,6 +1069,13 @@ def _q_kmeans_exact(sf_dir: str):
     return kmeans_exact(sf_dir)
 
 
+def _q_events_cusum(sf_dir: str):
+    """CUSUM change-point alarms per user (stateful reset chain),
+    lockstep-vectorized; recursive-CTE twin on integer micro-units."""
+    from raytiles.ops.relational import events_cusum
+    return events_cusum(sf_dir)
+
+
 def _q_events_debounce(sf_dir: str):
     """True stateful per-user debounce (kept-chain dependence),
     vectorized in lockstep across users; recursive-CTE twin."""
@@ -2000,6 +2007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": _q_nb_lang_classify,
         "events_ewma": _q_events_ewma,
         "events_debounce": _q_events_debounce,
+        "events_cusum": _q_events_cusum,
         "kmeans_exact": _q_kmeans_exact,
         "bm25_search": _q_bm25_search,
         "hybrid_search": _q_hybrid_search,
@@ -2209,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_lang_classify": oracles.NB_LANG_CLASSIFY_SQL,
         "events_ewma": oracles.events_ewma_sql(),
         "events_debounce": oracles.events_debounce_sql(),
+        "events_cusum": oracles.events_cusum_sql(),
         "kmeans_exact": oracles.kmeans_exact_sql(),
         "bm25_search": oracles.BM25_SEARCH_SQL,
         "hybrid_search": oracles.HYBRID_SEARCH_SQL,

@@ -3737,3 +3737,69 @@ def events_debounce(sf_dir: str, gap_s: int = 86400,
         _p(sf_dir, "events"), columns=["event_id", "ts", "user_id"]) \
         .map_batches(tag, batch_format="pyarrow") \
         .groupby("bucket").map_groups(debounce_bucket, batch_format="pyarrow")
+
+
+def events_cusum(sf_dir: str, drift_micro: int = 80_000_000,
+                 threshold_micro: int = 150_000_000,
+                 n_buckets: int = 256) -> ray.data.Dataset:
+    """CUSUM change-point detection per user (Page's classic test):
+    s_i = max(0, s_{i-1} + (x_i - drift)), alarm when s_i crosses the
+    threshold, s resets to 0 on alarm. Like events_debounce the state
+    depends on the running RESULT, so the chain runs in LOCKSTEP over
+    per-user event index — one vectorized update per chain depth —
+    after ONE bounded user-bucket shuffle. Values quantize to INT64
+    micro-units first, so the recurrence is pure integer arithmetic
+    and the recursive-CTE twin is bit-exact.
+
+    Output: the alarm events only (event_id, user_id, ts_us, s_micro
+    at alarm)."""
+    from ..util import bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table({
+            "event_id": pa.compute.cast(b["event_id"], pa.int64()),
+            "user_id": uid.astype(np.int64),
+            "ts_us": pa.compute.cast(b["ts"], pa.int64()),
+            "vm": np.floor(b["value"].to_numpy() * 1e6).astype(np.int64),
+            "bucket": bucket_of(uid, n_buckets)})
+
+    def cusum_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        vm = g["vm"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, vm = uid[order], ts[order], eid[order], vm[order]
+        n = len(uid)
+        empty = pa.table({"event_id": np.empty(0, np.int64),
+                          "user_id": np.empty(0, np.int64),
+                          "ts_us": np.empty(0, np.int64),
+                          "s_micro": np.empty(0, np.int64)})
+        if n == 0:
+            return empty
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [n])))
+        s = np.zeros(len(starts), np.int64)  # per-user running CUSUM
+        alarm = np.zeros(n, dtype=bool)
+        s_at = np.zeros(n, np.int64)
+        for j in range(int(counts.max())):
+            alive = counts > j
+            rows = starts[alive] + j
+            sj = np.maximum(0, s[alive] + (vm[rows] - drift_micro))
+            fired = sj > threshold_micro
+            alarm[rows[fired]] = True
+            s_at[rows] = sj
+            sj[fired] = 0  # reset after alarm
+            s[alive] = sj
+        return pa.table({"event_id": eid[alarm], "user_id": uid[alarm],
+                         "ts_us": ts[alarm], "s_micro": s_at[alarm]})
+
+    return ray.data.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "value"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(cusum_bucket, batch_format="pyarrow")

@@ -3014,3 +3014,32 @@ walk(user_id, idx, ts_us, event_id, last_kept, kept) AS (
   FROM e JOIN walk w ON e.user_id = w.user_id AND e.idx = w.idx + 1)
 SELECT event_id, CAST(user_id AS BIGINT) AS user_id, ts_us
 FROM walk WHERE kept"""
+
+
+def events_cusum_sql(drift_micro: int = 80_000_000,
+                     threshold_micro: int = 150_000_000) -> str:
+    """Twin of ops.relational.events_cusum: the CUSUM recurrence
+    (max(0, s + x - drift), reset to 0 on alarm) walked as a recursive
+    CTE per user over integer micro-units — bit-exact."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS idx
+  FROM events),
+walk(user_id, idx, ts_us, event_id, s, fired) AS (
+  SELECT user_id, idx, ts_us, event_id,
+         greatest(0, vm - {drift_micro}),
+         greatest(0, vm - {drift_micro}) > {threshold_micro}
+  FROM e WHERE idx = 1
+  UNION ALL
+  SELECT e.user_id, e.idx, e.ts_us, e.event_id,
+         greatest(0, (CASE WHEN w.fired THEN 0 ELSE w.s END)
+                  + e.vm - {drift_micro}),
+         greatest(0, (CASE WHEN w.fired THEN 0 ELSE w.s END)
+                  + e.vm - {drift_micro}) > {threshold_micro}
+  FROM e JOIN walk w ON e.user_id = w.user_id AND e.idx = w.idx + 1)
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, ts_us,
+       s AS s_micro
+FROM walk WHERE fired"""

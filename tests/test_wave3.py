@@ -210,3 +210,24 @@ def test_events_debounce_matches_sequential_chain():
     for uid, g in got.sort_values(["user_id", "ts_us"]).groupby("user_id"):
         d = np.diff(g["ts_us"].to_numpy())
         assert (d >= gap_us).all()
+
+
+def test_events_cusum_matches_sequential_recurrence():
+    from raytiles.ops.relational import events_cusum
+    drift, thresh = 80_000_000, 150_000_000
+    got = events_cusum(SF_SMOKE).to_pandas()
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev["vm"] = np.floor(ev["value"].to_numpy() * 1e6).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        s = 0
+        for r in g.itertuples():
+            s = max(0, s + int(r.vm) - drift)
+            if s > thresh:
+                want[int(r.event_id)] = s
+                s = 0
+    got_map = dict(zip(got["event_id"].astype(int),
+                       got["s_micro"].astype(int)))
+    assert got_map == want
