@@ -1069,6 +1069,13 @@ def _q_kmeans_exact(sf_dir: str):
     return kmeans_exact(sf_dir)
 
 
+def _q_type_affinity(sf_dir: str):
+    """Market-basket lift over event types: distinct-user pair counts
+    through one user-bucket shuffle, bounded-vocabulary final."""
+    from raytiles.ops.relational import type_affinity
+    return type_affinity(sf_dir)
+
+
 def _q_events_cusum(sf_dir: str):
     """CUSUM change-point alarms per user (stateful reset chain),
     lockstep-vectorized; recursive-CTE twin on integer micro-units."""
@@ -2008,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": _q_events_ewma,
         "events_debounce": _q_events_debounce,
         "events_cusum": _q_events_cusum,
+        "type_affinity": _q_type_affinity,
         "kmeans_exact": _q_kmeans_exact,
         "bm25_search": _q_bm25_search,
         "hybrid_search": _q_hybrid_search,
@@ -2218,6 +2226,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ewma": oracles.events_ewma_sql(),
         "events_debounce": oracles.events_debounce_sql(),
         "events_cusum": oracles.events_cusum_sql(),
+        "type_affinity": oracles.TYPE_AFFINITY_SQL,
         "kmeans_exact": oracles.kmeans_exact_sql(),
         "bm25_search": oracles.BM25_SEARCH_SQL,
         "hybrid_search": oracles.HYBRID_SEARCH_SQL,

@@ -3803,3 +3803,107 @@ def events_cusum(sf_dir: str, drift_micro: int = 80_000_000,
         columns=["event_id", "ts", "user_id", "value"]) \
         .map_batches(tag, batch_format="pyarrow") \
         .groupby("bucket").map_groups(cusum_bucket, batch_format="pyarrow")
+
+
+def type_affinity(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Market-basket affinity over event types (association-rule
+    lift): for each unordered type pair (a < b), the number of users
+    exhibiting both, each type's user count, and
+    lift = (n_ab * n_users) / (n_a * n_b) — the support/lift mining
+    pass a behavioral pipeline runs. All counts are exact integers
+    (distinct-user semantics); lift is one float division of exact
+    ints, identical on both sides.
+
+    Shape: per-batch distinct (user, type) partials (types are a
+    BOUNDED domain), ONE splitmix(user) bucket shuffle co-locates each
+    user's whole type set, per-bucket pair expansion is <= C(|types|,2)
+    rows per user, and the final merge domain is pairs of a bounded
+    vocabulary."""
+    from ..util import bucket_of
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"], "event_type": b["event_type"]})
+        d = pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate([]) \
+            .rename_columns(["user_id", "event_type"])
+        return d.append_column(
+            "bucket", pa.array(bucket_of(d["user_id"].to_numpy(), n_buckets)))
+
+    def pairs_bucket(g: pa.Table) -> pa.Table:
+        d = pa.TableGroupBy(g.select(["user_id", "event_type"]),
+                            ["user_id", "event_type"]).aggregate([]) \
+            .rename_columns(["user_id", "event_type"])
+        uid = d["user_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(d["event_type"])
+        order = np.lexsort((typ, uid))
+        uid, typ = uid[order], typ[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [n])))
+        # ragged pair expansion: types sorted within user -> (a < b)
+        pa_list, pb_list = [], []
+        for s, c in zip(starts, counts):  # bounded: <= C(5,2) per user
+            for i in range(c):
+                for j in range(i + 1, c):
+                    pa_list.append(typ[s + i])
+                    pb_list.append(typ[s + j])
+        t = pa.table({"a": pa.array(pa_list, pa.string()),
+                      "b": pa.array(pb_list, pa.string()),
+                      "one": np.ones(len(pa_list), np.int64)})
+        g2 = pa.TableGroupBy(t, ["a", "b"]).aggregate([("one", "sum")])
+        return g2.rename_columns(["a", "b", "n"])
+
+    def singles_bucket(g: pa.Table) -> pa.Table:
+        d = pa.TableGroupBy(g.select(["user_id", "event_type"]),
+                            ["user_id", "event_type"]).aggregate([]) \
+            .rename_columns(["user_id", "event_type"])
+        t = d.append_column("one", pa.array(np.ones(d.num_rows, np.int64)))
+        g2 = pa.TableGroupBy(t.select(["event_type", "one"]), "event_type") \
+            .aggregate([("one", "sum")])
+        users = pa.table({
+            "event_type": pa.array(["__USERS__"], pa.string()),
+            "n": pa.array([len(np.unique(
+                d["user_id"].to_numpy(zero_copy_only=False)))], pa.int64())})
+        return pa.concat_tables([
+            g2.rename_columns(["event_type", "n"]), users])
+
+    src = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow")
+
+    pairs = src.groupby("bucket").map_groups(
+        pairs_bucket, batch_format="pyarrow")
+    singles = src.groupby("bucket").map_groups(
+        singles_bucket, batch_format="pyarrow")
+
+    # bounded finals: pairs of a tiny type vocabulary
+    singles_df = singles.to_pandas()
+    agg = singles_df.groupby("event_type")["n"].sum()
+    n_users = int(agg.pop("__USERS__"))
+    counts = {str(k): int(v) for k, v in agg.items()}
+
+    def finalize(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["a", "b"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["a", "b", "n_ab"])
+        a = np.asarray(g["a"])
+        bb = np.asarray(g["b"])
+        n_ab = g["n_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bb, a))
+        a, bb, n_ab = a[order], bb[order], n_ab[order]
+        n_a = np.array([counts[str(x)] for x in a], np.int64)
+        n_b = np.array([counts[str(x)] for x in bb], np.int64)
+        lift = _fq((n_ab.astype(np.float64) * n_users)
+                   / (n_a.astype(np.float64) * n_b), 6)
+        return pa.table({
+            "a": pa.array(a.tolist(), pa.string()),
+            "b": pa.array(bb.tolist(), pa.string()),
+            "n_ab": pa.array(n_ab), "n_a": pa.array(n_a),
+            "n_b": pa.array(n_b), "lift": pa.array(lift)})
+
+    return pairs.repartition(1).map_batches(finalize, batch_format="pyarrow")

@@ -3043,3 +3043,24 @@ walk(user_id, idx, ts_us, event_id, s, fired) AS (
 SELECT event_id, CAST(user_id AS BIGINT) AS user_id, ts_us,
        s AS s_micro
 FROM walk WHERE fired"""
+
+
+# Twin of ops.relational.type_affinity: distinct-user pair/single
+# counts (exact integers) + the identical one-division lift.
+TYPE_AFFINITY_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+s AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+p AS (
+  SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_ab
+  FROM d x JOIN d y ON x.user_id = y.user_id
+                    AND x.event_type < y.event_type
+  GROUP BY 1, 2)
+SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round((CAST(n_ab AS DOUBLE) * nu.n_users)
+             / (CAST(sa.n AS DOUBLE) * sb.n), 6) AS lift
+FROM p
+JOIN s sa ON sa.event_type = p.a
+JOIN s sb ON sb.event_type = p.b
+CROSS JOIN nu"""

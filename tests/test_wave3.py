@@ -231,3 +231,24 @@ def test_events_cusum_matches_sequential_recurrence():
     got_map = dict(zip(got["event_id"].astype(int),
                        got["s_micro"].astype(int)))
     assert got_map == want
+
+
+def test_type_affinity_matches_pandas_baskets():
+    from raytiles.ops.relational import type_affinity
+    got = type_affinity(SF_SMOKE).to_pandas()
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    d = ev.drop_duplicates()
+    n_users = ev["user_id"].nunique()
+    singles = d.groupby("event_type").size().to_dict()
+    from itertools import combinations
+    pair_counts = {}
+    for _, g in d.groupby("user_id"):
+        for a, b in combinations(sorted(g["event_type"]), 2):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    assert len(got) == len(pair_counts)
+    for r in got.itertuples():
+        assert pair_counts[(r.a, r.b)] == r.n_ab
+        assert singles[r.a] == r.n_a and singles[r.b] == r.n_b
+        want = round((r.n_ab * n_users) / (r.n_a * r.n_b), 6)
+        assert abs(r.lift - want) < 1e-9
