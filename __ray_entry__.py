@@ -1069,6 +1069,13 @@ def _q_kmeans_exact(sf_dir: str):
     return kmeans_exact(sf_dir)
 
 
+def _q_orders_seasonality(sf_dir: str):
+    """Monthly seasonal index (bounded domain, zero shuffles, exact
+    int cents + identical division)."""
+    from raytiles.ops.relational import orders_seasonality
+    return orders_seasonality(sf_dir)
+
+
 def _q_type_affinity(sf_dir: str):
     """Market-basket lift over event types: distinct-user pair counts
     through one user-bucket shuffle, bounded-vocabulary final."""
@@ -2016,6 +2023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": _q_events_debounce,
         "events_cusum": _q_events_cusum,
         "type_affinity": _q_type_affinity,
+        "orders_seasonality": _q_orders_seasonality,
         "kmeans_exact": _q_kmeans_exact,
         "bm25_search": _q_bm25_search,
         "hybrid_search": _q_hybrid_search,
@@ -2227,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "events_debounce": oracles.events_debounce_sql(),
         "events_cusum": oracles.events_cusum_sql(),
         "type_affinity": oracles.TYPE_AFFINITY_SQL,
+        "orders_seasonality": oracles.ORDERS_SEASONALITY_SQL,
         "kmeans_exact": oracles.kmeans_exact_sql(),
         "bm25_search": oracles.BM25_SEARCH_SQL,
         "hybrid_search": oracles.HYBRID_SEARCH_SQL,

@@ -3907,3 +3907,43 @@ def type_affinity(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
             "n_b": pa.array(n_b), "lift": pa.array(lift)})
 
     return pairs.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+def orders_seasonality(sf_dir: str) -> ray.data.Dataset:
+    """Seasonal index per calendar month: month revenue share vs the
+    uniform-month baseline, index = (month_cents * 12) / total_cents —
+    the seasonality profile a demand-forecasting pipeline starts from.
+    Exact int cents per row; the index is one division of exact ints
+    spelled identically in the twin. Bounded domain (12 rows), zero
+    shuffles: per-batch partials merge in one block."""
+    def partial(b: pa.Table) -> pa.Table:
+        month = pa.compute.month(b["o_orderdate"].cast(pa.timestamp("us"))) \
+            .cast(pa.int64()).to_numpy()
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        t = pa.table({"month": month, "cents": cents,
+                      "one": np.ones(len(month), np.int64)})
+        g = pa.TableGroupBy(t, "month").aggregate(
+            [("cents", "sum"), ("one", "sum")])
+        return g.rename_columns(["month", "cents", "n"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, "month").aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        g = g.rename_columns(["month", "month_cents", "n_orders"])
+        m = g["month"].to_numpy(zero_copy_only=False)
+        order = np.argsort(m, kind="stable")
+        mc = g["month_cents"].to_numpy(zero_copy_only=False)[order]
+        n = g["n_orders"].to_numpy(zero_copy_only=False)[order]
+        total = int(mc.sum())
+        idx = _fq((mc.astype(np.float64) * 12.0) / total, 6)
+        return pa.table({
+            "month": pa.array(m[order].astype(np.int64)),
+            "month_cents": pa.array(mc.astype(np.int64)),
+            "n_orders": pa.array(n.astype(np.int64)),
+            "seasonal_index": pa.array(idx)})
+
+    return ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow")

@@ -3064,3 +3064,20 @@ FROM p
 JOIN s sa ON sa.event_type = p.a
 JOIN s sb ON sb.event_type = p.b
 CROSS JOIN nu"""
+
+
+# Twin of ops.relational.orders_seasonality: per-row int cents,
+# integer month sums, index = (month_cents * 12.0) / total as the
+# engine's identical division.
+ORDERS_SEASONALITY_SQL = """
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS month_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1),
+t AS (SELECT sum(month_cents) AS total FROM m)
+SELECT month, month_cents, n_orders,
+       round((CAST(month_cents AS DOUBLE) * 12.0) / total, 6)
+         AS seasonal_index
+FROM m CROSS JOIN t"""
