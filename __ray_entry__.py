@@ -1464,6 +1464,20 @@ def _q_mvt_labels(sf_dir: str):
                            b"mention_idx", min_dist=512)
 
 
+def _q_city_tileset(sf_dir: str):
+    """Composed multi-layer, multi-geometry tileset (the reference's
+    roads.mvt shape — one tile, several layers, mixed geometry
+    families, test/Test.hs:44-48): point layer (mentions) + linestring
+    layer (trajectories) fused in one encoder pass over the flagship's
+    packed aggregate, polygon layer (host hulls) merged per tile.
+    Rows-only (binary MVT output); the three-family decode-back
+    invariant is pinned by tests/test_citytiles.py and the result md5
+    by RESULTS_SHA.json."""
+    from raytiles.pipeline.citytiles import city_tiles_pipeline
+    from raytiles.pipeline.synth import webpages_path
+    return city_tiles_pipeline(webpages_path(sf_dir), 6)
+
+
 def _q_mvt_merge(sf_dir: str):
     """True layer merge (feature union + dictionary re-interning) of
     the flagship set with its first-mention subset. Rows-only;
@@ -1996,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_feature_cap": _q_mvt_feature_cap,
         "mvt_downzoom": _q_mvt_downzoom,
         "mvt_merge": _q_mvt_merge,
+        "city_tileset": _q_city_tileset,
         "mvt_labels": _q_mvt_labels,
         "cell_compact": _q_cell_compact,
         "tilestats": _q_tilestats,

@@ -430,6 +430,12 @@ def nb_lang_classify(sf_dir: str) -> ray.data.Dataset:
         keep = tok_np != ""
         tok_np, row = tok_np[keep], row[keep]
         vi_a = np.searchsorted(vocab_m, tok_np)
+        # OOV mask: train and apply read the same corpus today, but an
+        # unseen token must not index out of bounds (or hit a wrong row)
+        # if the op is reused on new text — drop its contribution.
+        clipped = np.minimum(vi_a, len(vocab_m) - 1)
+        in_vocab = vocab_m[clipped] == tok_np
+        vi_a, row = clipped[in_vocab], row[in_vocab]
         n_docs = b.num_rows
         scores = np.tile(pq_m, (n_docs, 1))  # (docs, L) int64
         contrib = lq_m[vi_a]                 # (tokens, L) int64

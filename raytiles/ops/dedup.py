@@ -72,6 +72,19 @@ def _join_partitions() -> int:
     return max(2, min(32, cpus))
 
 
+def _sum_by_key2(key: np.ndarray, *vals: np.ndarray):
+    """(unique sorted keys, per-key sums) via argsort + add.reduceat —
+    the Arrow-native bucket-merge kernel (ops.relational._sum_by_key
+    twin, local so worker closures capture it by value)."""
+    order = np.argsort(key, kind="stable")
+    k = key[order]
+    if len(k) == 0:
+        return (k,) + tuple(v[:0] for v in vals)
+    starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+    return (k[starts],) + tuple(np.add.reduceat(v[order], starts)
+                                for v in vals)
+
+
 def _md5_u64(strings) -> np.ndarray:
     """uint64 of the first 8 md5 bytes — int(hexdigest[:16], 16)
     without the hex-string round trip."""
@@ -237,25 +250,68 @@ def minhash_pairs(sf_dir: str) -> ray.data.Dataset:
         return b.append_column(
             "bucket", pa.array(bucket_of(key, N_PAIR_BUCKETS)))
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        df = g.sort_values("doc_id")[["band_id", "band_hash", "doc_id"]]
-        df = df.groupby(["band_id", "band_hash"], as_index=False).head(MAX_BAND_GROUP)
-        m = df.merge(df, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        pairs = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
-        out = pd.DataFrame({"doc_a": pairs["doc_id_a"].to_numpy(np.int64),
-                            "doc_b": pairs["doc_id_b"].to_numpy(np.int64)})
-        out["bucket2"] = bucket_of(
-            pair_key(out["doc_a"].to_numpy(), out["doc_b"].to_numpy()),
-            N_PAIR_BUCKETS)
-        return out
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        band = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        # doc ascending within each (band, hash) signature group
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc = band[order], bh[order], doc[order]
+        n = len(doc)
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "bucket2": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        first = np.concatenate(
+            ([True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])))
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, n))
+        # cap each signature group at its MAX_BAND_GROUP smallest docs
+        offs = np.arange(n) - np.repeat(starts, sizes)
+        keep = offs < MAX_BAND_GROUP
+        doc, offs = doc[keep], offs[keep]
+        sizes = np.minimum(sizes, MAX_BAND_GROUP)
+        # all a<b pairs per group, fully vectorized: element at offset
+        # o pairs with the (size-1-o) elements after it
+        reps = np.repeat(sizes, sizes) - 1 - offs
+        a_idx = np.repeat(np.arange(len(doc)), reps)
+        if len(a_idx) == 0:
+            return empty
+        run_pos = np.arange(len(a_idx)) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        b_idx = a_idx + 1 + run_pos
+        doc_a, doc_b = doc[a_idx], doc[b_idx]
+        # pair-distinct within the bucket (same pair can arise from
+        # several signatures): lexsort + first-flag, exact
+        po = np.lexsort((doc_b, doc_a))
+        doc_a, doc_b = doc_a[po], doc_b[po]
+        pf = np.concatenate(([True], (doc_a[1:] != doc_a[:-1])
+                             | (doc_b[1:] != doc_b[:-1])))
+        doc_a, doc_b = doc_a[pf].astype(np.int64), doc_b[pf].astype(np.int64)
+        return pa.table({
+            "doc_a": pa.array(doc_a), "doc_b": pa.array(doc_b),
+            "bucket2": pa.array(bucket_of(pair_key(doc_a, doc_b),
+                                          N_PAIR_BUCKETS))})
 
-    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["doc_a", "doc_b"]].drop_duplicates()
+    def distinct_bucket(g: pa.Table) -> pa.Table:
+        doc_a = g["doc_a"].to_numpy()
+        doc_b = g["doc_b"].to_numpy()
+        if len(doc_a) == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        po = np.lexsort((doc_b, doc_a))
+        doc_a, doc_b = doc_a[po], doc_b[po]
+        pf = np.concatenate(([True], (doc_a[1:] != doc_a[:-1])
+                             | (doc_b[1:] != doc_b[:-1])))
+        return pa.table({"doc_a": pa.array(doc_a[pf].astype(np.int64)),
+                         "doc_b": pa.array(doc_b[pf].astype(np.int64))})
 
     return bands.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas") \
-        .groupby("bucket2").map_groups(distinct_bucket, batch_format="pandas")
+        .groupby("bucket").map_groups(pairs_in_bucket,
+                                      batch_format="pyarrow") \
+        .groupby("bucket2").map_groups(distinct_bucket,
+                                       batch_format="pyarrow")
 
 
 _PAIRS_CACHE: dict[str, "ray.data.Dataset"] = {}
@@ -295,18 +351,31 @@ def minhash_band_overflow(sf_dir: str) -> ray.data.Dataset:
         return part.set_column(2, "n", pc.cast(part["n"], pa.int64())) \
             .append_column("bucket", pa.array(bucket))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["band_id", "band_hash"], as_index=False).agg(
-            n_docs=("n", "sum"))
-        out = out[out["n_docs"] > MAX_BAND_GROUP]
-        return pd.DataFrame({
-            "band_id": out["band_id"].astype(np.int64),
-            "band_hash": out["band_hash"].astype(np.int64),
-            "n_docs": out["n_docs"].astype(np.int64),
-            "n_truncated": (out["n_docs"] - MAX_BAND_GROUP).astype(np.int64)})
+    def merge(g: pa.Table) -> pa.Table:
+        band = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        nn = g["n"].to_numpy()
+        order = np.lexsort((bh, band))
+        band, bh, nn = band[order], bh[order], nn[order]
+        if len(band) == 0:
+            return pa.table({"band_id": pa.array([], pa.int64()),
+                             "band_hash": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_truncated": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]))))
+        tot = np.add.reduceat(nn, starts)
+        band, bh = band[starts], bh[starts]
+        keep = tot > MAX_BAND_GROUP
+        return pa.table({
+            "band_id": pa.array(band[keep].astype(np.int64)),
+            "band_hash": pa.array(bh[keep].astype(np.int64)),
+            "n_docs": pa.array(tot[keep].astype(np.int64)),
+            "n_truncated": pa.array(
+                (tot[keep] - MAX_BAND_GROUP).astype(np.int64))})
 
     return bands.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pandas")
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -609,29 +678,41 @@ def dup_spans(sf_dir: str) -> ray.data.Dataset:
                          "h": pa.array(hs_.view(np.int64)),
                          "bucket": pa.array(bucket_of(hs_, N_DEDUP_BUCKETS))})
 
-    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def count_bucket(g: pa.Table) -> pa.Table:
         # rows are distinct (doc, h); per-h row count == distinct-doc
         # count. Collapse to per-doc (n_sh, n_dup) partials.
-        n_docs = g.groupby("h")["doc_id"].transform("size")
-        dup = (n_docs >= 2).to_numpy().astype(np.int64)
-        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "dup": dup})
-        out = out.groupby("doc_id", as_index=False).agg(
-            n_sh=("dup", "size"), n_dup=("dup", "sum"))
-        ids = out["doc_id"].to_numpy().astype(np.uint64)
-        out["obucket"] = bucket_of(ids, N_DEDUP_BUCKETS)
-        return out
+        h = g["h"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        ho = np.argsort(h, kind="stable")
+        hs = h[ho]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], hs[1:] != hs[:-1]))) if len(hs) else np.empty(0, np.int64)
+        sizes = np.diff(np.append(starts, len(hs)))
+        n_docs = np.empty(len(hs), np.int64)
+        n_docs[ho] = np.repeat(sizes, sizes)
+        dup = (n_docs >= 2).astype(np.int64)
+        k, n_dup = _sum_by_key2(doc, dup)
+        _, n_sh = np.unique(doc[np.argsort(doc, kind="stable")],
+                            return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(k.astype(np.int64)),
+            "n_sh": pa.array(n_sh.astype(np.int64)),
+            "n_dup": pa.array(n_dup.astype(np.int64)),
+            "obucket": pa.array(bucket_of(k.astype(np.uint64),
+                                          N_DEDUP_BUCKETS))})
 
-    def merge_doc(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("doc_id", as_index=False).agg(
-            n_shingles=("n_sh", "sum"), n_dup=("n_dup", "sum"))
-        n_sh = m["n_shingles"].to_numpy().astype(np.int64)
-        n_dup = m["n_dup"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "doc_id": m["doc_id"].astype(np.int64),
-            "n_shingles": n_sh, "n_dup": n_dup,
-            "dup_ppm": n_dup * 1_000_000 // n_sh})
+    def merge_doc(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy()
+        k, n_sh, n_dup = _sum_by_key2(doc, g["n_sh"].to_numpy(),
+                                      g["n_dup"].to_numpy())
+        n_sh = n_sh.astype(np.int64)
+        n_dup = n_dup.astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(k.astype(np.int64)),
+            "n_shingles": pa.array(n_sh), "n_dup": pa.array(n_dup),
+            "dup_ppm": pa.array(n_dup * 1_000_000 // n_sh)})
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(count_bucket, batch_format="pandas") \
-        .groupby("obucket").map_groups(merge_doc, batch_format="pandas")
+        .groupby("bucket").map_groups(count_bucket, batch_format="pyarrow") \
+        .groupby("obucket").map_groups(merge_doc, batch_format="pyarrow")

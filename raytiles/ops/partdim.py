@@ -150,7 +150,7 @@ def top_suppliers(sf_dir: str, date_lo: str = "1996-01-01",
                        descending=[True, False]).limit(k)
 
 
-def brand_type_stats(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+def brand_type_stats(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """TPC-H Q16 flavor (no partsupp in this corpus): per (p_brand,
     p_type): distinct parts shipped, total quantity, revenue. The
     distinct-part count is exact WITHOUT a high-cardinality groupby:
@@ -158,11 +158,17 @@ def brand_type_stats(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
     exchange groups by splitmix(partkey) % n_buckets (bounded domain),
     each bucket merges its disjoint partkeys vectorized, and the final
     (brand, type) groupby sums disjoint per-bucket distinct counts."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/part.parquet", 256)
     import pyarrow.parquet as pq
     from ..util import bucket_of
     part = pq.read_table(_p(sf_dir, "part"),
                          columns=["p_partkey", "p_brand", "p_type"])
-    dim_ref = ray.put(part.to_pandas())
+    pk = part["p_partkey"].to_numpy()
+    dorder = np.argsort(pk, kind="stable")
+    dim_ref = ray.put((pk[dorder],
+                       part["p_brand"].to_numpy(zero_copy_only=False)[dorder],
+                       part["p_type"].to_numpy(zero_copy_only=False)[dorder]))
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({"l_partkey": b["l_partkey"],
@@ -174,25 +180,51 @@ def brand_type_stats(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
         return g.append_column(
             "bucket", pa.array(bucket_of(g["l_partkey"].to_numpy(), n_buckets)))
 
-    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_merge(g: pa.Table) -> pa.Table:
         """Merge per-partkey partials within a bucket, attach brand and
         type from the broadcast dim (ray.get of a local ref is a
         plasma lookup, not a copy), and re-collapse to per-(brand,
         type) partials — n_parts is exact because partkeys are
-        disjoint across buckets."""
-        dim = ray.get(dim_ref)
-        m = df.groupby("l_partkey", as_index=False).agg(
-            qty=("qty", "sum"), cents=("cents", "sum"))
-        j = m.merge(dim, left_on="l_partkey", right_on="p_partkey")
-        return j.groupby(["p_brand", "p_type"], as_index=False).agg(
-            n_parts=("p_partkey", "size"), qty=("qty", "sum"),
-            cents=("cents", "sum"))
+        disjoint across buckets. Stable sorts keep within-key row
+        order, so float sums add in the same sequence pandas did."""
+        dpk, dbrand, dtype_ = ray.get(dim_ref)
+        lk = g["l_partkey"].to_numpy()
+        qty = g["qty"].to_numpy()
+        cents = g["cents"].to_numpy()
+        order = np.argsort(lk, kind="stable")
+        lk, qty, cents = lk[order], qty[order], cents[order]
+        if len(lk) == 0:
+            return pa.table({"p_brand": pa.array([], pa.string()),
+                             "p_type": pa.array([], pa.string()),
+                             "n_parts": pa.array([], pa.int64()),
+                             "qty": pa.array([], pa.float64()),
+                             "cents": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.concatenate(([True], lk[1:] != lk[:-1])))
+        lk = lk[starts]
+        qty = np.add.reduceat(qty, starts)
+        cents = np.add.reduceat(cents, starts)
+        pos = np.clip(np.searchsorted(dpk, lk), 0, len(dpk) - 1)
+        found = dpk[pos] == lk  # inner-join semantics
+        lk, qty, cents, pos = lk[found], qty[found], cents[found], pos[found]
+        brand, ptype = dbrand[pos], dtype_[pos]
+        o2 = np.lexsort((ptype, brand))
+        brand, ptype, qty, cents = brand[o2], ptype[o2], qty[o2], cents[o2]
+        first = np.concatenate(
+            ([True], (brand[1:] != brand[:-1]) | (ptype[1:] != ptype[:-1])))
+        s2 = np.flatnonzero(first)
+        return pa.table({
+            "p_brand": pa.array(brand[s2], pa.string()),
+            "p_type": pa.array(ptype[s2], pa.string()),
+            "n_parts": pa.array(np.diff(np.append(s2, len(brand)))
+                                .astype(np.int64)),
+            "qty": pa.array(np.add.reduceat(qty, s2)),
+            "cents": pa.array(np.add.reduceat(cents, s2).astype(np.int64))})
 
     ds = ray.data.read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
     merged = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_merge, batch_format="pandas")
+        .groupby("bucket").map_groups(bucket_merge, batch_format="pyarrow")
     agg = merged.groupby(["p_brand", "p_type"]).aggregate(
         Sum("n_parts", alias_name="n_parts"),
         Sum("qty", alias_name="sum_qty"),

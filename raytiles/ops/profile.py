@@ -29,7 +29,7 @@ def _round6(x: float) -> float:
     return (np.floor(v + 0.5) if v >= 0 else np.ceil(v - 0.5)) / 1e6
 
 
-def profile_table(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+def profile_table(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
     """One profile row per column of the documents table.
 
     Shape: a single map_batches pass emits, per column, one tiny stats
@@ -40,6 +40,8 @@ def profile_table(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     _shingle_sets pattern: no object lists ride the shuffle); ONE
     groupby over (col, bucket, kind) merges, and the driver folds
     <= cols x (buckets + 1) rows. Raw values never shuffle."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 256)
 
     def partial(batch: pa.Table) -> pa.Table:
         rows = {"col_name": [], "bucket": [], "kind": [], "n": [],
@@ -95,28 +97,35 @@ def profile_table(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
             "mn": pa.array(rows["mn"], pa.string()),
             "mx": pa.array(rows["mx"], pa.string())})
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        kind = g["kind"].iloc[0]
-        cname = g["col_name"].iloc[0]
+    def reduce_group(g: pa.Table) -> pa.Table:
+        kind = g["kind"][0].as_py()
+        cname = g["col_name"][0].as_py()
+        mn_list = g["mn"].to_pylist()
         if kind == "hashes":
             hs = np.concatenate([
                 np.frombuffer(bytes.fromhex(x), np.int64)
-                for x in g["mn"]])
-            return pd.DataFrame([{
-                "col_name": cname, "kind": kind,
-                "n": len(np.unique(hs)), "nulls": 0, "lsum": 0,
-                "mn": "", "mx": ""}])
-        return pd.DataFrame([{
-            "col_name": cname, "kind": kind,
-            "n": int(g["n"].sum()), "nulls": int(g["nulls"].sum()),
-            "lsum": int(g["lsum"].sum()),
-            "mn": min(g["mn"]), "mx": max(g["mx"])}])
+                for x in mn_list])
+            return pa.table({
+                "col_name": pa.array([cname]), "kind": pa.array([kind]),
+                "n": pa.array([len(np.unique(hs))], pa.int64()),
+                "nulls": pa.array([0], pa.int64()),
+                "lsum": pa.array([0], pa.int64()),
+                "mn": pa.array([""]), "mx": pa.array([""])})
+        return pa.table({
+            "col_name": pa.array([cname]), "kind": pa.array([kind]),
+            "n": pa.array([int(pc.sum(g["n"]).as_py() or 0)], pa.int64()),
+            "nulls": pa.array([int(pc.sum(g["nulls"]).as_py() or 0)],
+                              pa.int64()),
+            "lsum": pa.array([int(pc.sum(g["lsum"]).as_py() or 0)],
+                             pa.int64()),
+            "mn": pa.array([min(mn_list)]),
+            "mx": pa.array([max(g["mx"].to_pylist())])})
 
     parts = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=list(PROFILE_COLUMNS)) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby(["col_name", "bucket", "kind"]) \
-        .map_groups(reduce_group, batch_format="pandas").to_pandas()
+        .map_groups(reduce_group, batch_format="pyarrow").to_pandas()
 
     out = []
     for cname in PROFILE_COLUMNS:

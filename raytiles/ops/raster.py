@@ -245,7 +245,7 @@ def heatmap_pipeline(webpages_path: str, zoom: int = 8) -> ray.data.Dataset:
 
 
 def tile_neighborhood(webpages_path: str, zoom: int = 12,
-                      n_buckets: int = 1024) -> ray.data.Dataset:
+                      n_buckets: int | None = None) -> ray.data.Dataset:
     """3x3 neighborhood aggregation over the tile grid (a distributed
     spatial stencil / self-join): for every non-empty tile, its own
     feature count plus the total over the 8 surrounding tiles.
@@ -258,6 +258,8 @@ def tile_neighborhood(webpages_path: str, zoom: int = 12,
     replicate BEFORE the shuffle and the merge is a plain groupby-sum
     — no join, no second pass.  At the edges neighbors clip (no
     wraparound), matching the oracle's BETWEEN self-join."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, webpages_path, 1024)
     from ..pipeline.flagship import assign, geoparse, read_webpages
     from ..util import bucket_of
 
@@ -332,7 +334,7 @@ def _cluster_partials(zoom: int, radius: int, n_buckets: int):
 
 
 def point_clusters(webpages_path: str, zoom: int = 12, radius: int = 256,
-                   n_buckets: int = 512) -> ray.data.Dataset:
+                   n_buckets: int | None = None) -> ray.data.Dataset:
     """Supercluster-style map clustering (the display-time point
     reduction every slippy-map product ships): mentions bin into
     ``radius``-extent-unit grid cells inside their tile; each occupied
@@ -342,6 +344,8 @@ def point_clusters(webpages_path: str, zoom: int = 12, radius: int = 256,
     rows before the ONE bounded splitmix(tile) bucket shuffle; a tile
     contributes at most (4096/radius)^2 rows per batch, so reducer
     state is bounded at any corpus size."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, webpages_path, 512)
     from ..pipeline.flagship import assign, geoparse, read_webpages
 
     partial, n, cells = _cluster_partials(zoom, radius, n_buckets)
@@ -371,12 +375,14 @@ def point_clusters(webpages_path: str, zoom: int = 12, radius: int = 256,
 
 def cluster_tiles_pipeline(webpages_path: str, zoom: int = 12,
                            radius: int = 256,
-                           n_buckets: int = 512) -> ray.data.Dataset:
+                           n_buckets: int | None = None) -> ray.data.Dataset:
     """The MVT face of point_clusters: per tile, one point feature per
     occupied cell at the integer centroid, carrying point_count (I64)
     metadata — fid = gx * cells + gy so the feature set is
     deterministic. Same single bounded shuffle; the reducer both
     merges cell partials and encodes its tiles."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, webpages_path, 512)
     from ..pipeline.flagship import assign, geoparse, read_webpages
 
     partial, n, cells = _cluster_partials(zoom, radius, n_buckets)
@@ -422,7 +428,7 @@ def cluster_tiles_pipeline(webpages_path: str, zoom: int = 12,
 
 
 def raster_blur(webpages_path: str, zoom: int = 8, grid_cell: int = 16,
-                n_buckets: int = 1024) -> ray.data.Dataset:
+                n_buckets: int | None = None) -> ray.data.Dataset:
     """Distributed raster convolution with ghost-cell (halo) exchange:
     a 3x3 integer binomial kernel (1 2 1 / 2 4 2 / 1 2 1) over the
     GLOBAL sub-tile density grid — cells are global coordinates
@@ -436,6 +442,8 @@ def raster_blur(webpages_path: str, zoom: int = 8, grid_cell: int = 16,
     it — no join, no dense grid materialization, work proportional to
     OCCUPIED cells (9x), never to grid area. All-integer weights keep
     the result exact at any merge order."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, webpages_path, 1024)
     from ..pipeline.flagship import assign, geoparse, read_webpages
     from ..util import bucket_of
 

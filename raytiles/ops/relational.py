@@ -42,6 +42,20 @@ def _fq(x, k: int) -> np.ndarray:
     return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / q
 
 
+def _sum_by_key(key: np.ndarray, *vals: np.ndarray):
+    """(unique sorted keys, per-key sums of each val array) via one
+    argsort + add.reduceat — the shared Arrow-native bucket-merge
+    kernel (sequential adds, bit-identical to pandas' group_add for
+    ints and for floats in the same order)."""
+    order = np.argsort(key, kind="stable")
+    k = key[order]
+    if len(k) == 0:
+        return (k,) + tuple(v[:0] for v in vals)
+    starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+    return (k[starts],) + tuple(np.add.reduceat(v[order], starts)
+                                for v in vals)
+
+
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped pricing summary over lineitem (filter on
     l_shipdate, groupby returnflag+linestatus, sums/avgs/count) with a
@@ -223,7 +237,7 @@ def events_sliding(sf_dir: str, window_min: int = 60, step_min: int = 15) -> ray
 
 
 def events_sessions(sf_dir: str, gap_min: int = 30,
-                    n_buckets: int = 256) -> ray.data.Dataset:
+                    n_buckets: int | None = None) -> ray.data.Dataset:
     """Gap-based sessionization per user (session breaks when the gap
     to the previous event exceeds gap_min), bucketed: users hash into
     a BOUNDED 256-bucket key (never groupby(user_id) — one Python
@@ -231,6 +245,8 @@ def events_sessions(sf_dir: str, gap_min: int = 30,
     at 10^9 users), and one vectorized sort+diff pass sessionizes ALL
     users in a bucket together. Order within equal ts is pinned by
     event_id so the oracle matches deterministically."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
     gap = np.timedelta64(gap_min, "m")
 
@@ -238,34 +254,44 @@ def events_sessions(sf_dir: str, gap_min: int = 30,
         return b.append_column(
             "bucket", pa.array(bucket_of(b["user_id"].to_numpy(), n_buckets)))
 
-    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"])
+    gap_us = np.int64(gap_min) * 60_000_000
+
+    def sessionize_bucket(g: pa.Table) -> pa.Table:
         uid = g["user_id"].to_numpy()
-        ts = g["ts"].to_numpy()
-        new_user = np.empty(len(g), dtype=bool)
+        ts = g["ts"].cast(pa.int64()).to_numpy()  # us
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.empty(len(uid), dtype=bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
-        brk = new_user | (np.diff(ts, prepend=ts[:1]) > gap)
-        sid = np.cumsum(brk)
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"), session_start=("ts", "min"),
-            n_events=("event_id", "size"), sum_value=("value", "sum"))
-        return pd.DataFrame({
-            "user_id": out["user_id"].astype(np.int64),
-            "session_start": out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S"),
-            "n_events": out["n_events"].astype(np.int64),
-            "sum_value": _fq(out["sum_value"], 6),
+        brk = new_user | (np.diff(ts, prepend=ts[:1]) > gap_us)
+        starts = np.flatnonzero(brk)
+        # sessions are contiguous and ts-ascending after the sort, so
+        # first == min and reduceat's sequential adds match pandas'
+        # sequential group_add bit-for-bit
+        n_ev = np.diff(np.append(starts, len(uid)))
+        sval = np.add.reduceat(g["value"].to_numpy()[order], starts) \
+            if len(uid) else np.zeros(0, np.float64)
+        return pa.table({
+            "user_id": pa.array(uid[starts].astype(np.int64)),
+            "session_start": pc.strftime(
+                # timestamp[s]: pyarrow %S on [us] appends ".000000"
+                pa.array((ts[starts] // 1_000_000).astype("datetime64[s]")),
+                format="%Y-%m-%d %H:%M:%S"),
+            "n_events": pa.array(n_ev.astype(np.int64)),
+            "sum_value": pa.array(_fq(sval, 6)),
         })
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"),
                                columns=["event_id", "ts", "user_id", "value"])
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(sessionize_bucket, batch_format="pandas")
+        .groupby("bucket").map_groups(sessionize_bucket, batch_format="pyarrow")
 
 
 def events_asof(sf_dir: str, left_type: str = "purchase",
                 right_type: str = "click",
-                n_buckets: int = 256) -> ray.data.Dataset:
+                n_buckets: int | None = None) -> ray.data.Dataset:
     """As-of join, an operator Ray Data has no primitive for: each
     ``left_type`` event is joined to the latest ``right_type`` event
     of the SAME user strictly earlier in ``(ts, event_id)`` order
@@ -281,6 +307,8 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
     left row's predecessor without any per-user loop. Timestamps
     travel as epoch microseconds (int64) so engine and oracle hash
     identically."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -331,7 +359,7 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
 
 
 def order_revenue(sf_dir: str, status: str = "O",
-                  n_buckets: int = 256) -> ray.data.Dataset:
+                  n_buckets: int | None = None) -> ray.data.Dataset:
     """Distributed BIG x BIG equi-join: per-order lineitem revenue
     joined to open orders. Neither side broadcasts — lineitem first
     collapses to exact per-order partials (per-batch Arrow hash
@@ -346,6 +374,8 @@ def order_revenue(sf_dir: str, status: str = "O",
     oracle sums agree far beyond 2 decimals regardless of addition
     order. o_orderdate travels as epoch microseconds (int64) so the
     hashes match exactly."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/lineitem.parquet", 256)
     from .dedup import _join_partitions
     from ..util import bucket_of
 
@@ -405,7 +435,7 @@ def order_revenue(sf_dir: str, status: str = "O",
 
 
 def order_revenue_left(sf_dir: str, status: str = "O",
-                       n_buckets: int = 256) -> ray.data.Dataset:
+                       n_buckets: int | None = None) -> ray.data.Dataset:
     """LEFT OUTER variant of ``order_revenue``: EVERY status-filtered
     order appears, orders with no lineitems carrying revenue 0.00 /
     n_items 0 — the null-preserving join shape (reporting joins,
@@ -416,6 +446,8 @@ def order_revenue_left(sf_dir: str, status: str = "O",
     join's probe side is one row per order, not one per lineitem —
     with orders as the preserved (left) side of Ray Data's
     partitioned hash join and a vectorized null-fill finalizer."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/lineitem.parquet", 256)
     from .dedup import _join_partitions
     from ..util import bucket_of
 
@@ -481,7 +513,7 @@ def order_revenue_left(sf_dir: str, status: str = "O",
 
 def nation_revenue(sf_dir: str, date_lo: str = "1996-01-01",
                    date_hi: str = "1997-01-01",
-                   n_buckets: int = 256) -> ray.data.Dataset:
+                   n_buckets: int | None = None) -> ray.data.Dataset:
     """Multi-way join (TPC-H Q5 shape): yearly revenue per nation =
     lineitem |><| orders |><| customer |><| nation.
 
@@ -502,6 +534,8 @@ def nation_revenue(sf_dir: str, date_lo: str = "1996-01-01",
     INT64 cents BEFORE the per-nation sum, so the wide aggregation is
     an order-free integer sum — bit-stable under any block layout, and
     the oracle's SUM over identically quantized cents matches exactly."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/lineitem.parquet", 256)
     import pyarrow.parquet as pq
     from .dedup import _join_partitions
     from ..util import bucket_of
@@ -609,7 +643,7 @@ def nation_revenue(sf_dir: str, date_lo: str = "1996-01-01",
 
 def small_quantity_revenue(sf_dir: str, brand: str = "Brand#4",
                            factor: float = 0.5,
-                           n_buckets: int = 256) -> ray.data.Dataset:
+                           n_buckets: int | None = None) -> ray.data.Dataset:
     """Correlated-aggregate join (TPC-H Q17 shape): revenue from
     lineitems of one brand's parts whose quantity is below
     ``factor * (that part's own average quantity)`` — the correlated
@@ -628,6 +662,8 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#4",
     Parity: the threshold ``factor * (sq / n)`` is the identical
     double op sequence as the oracle; revenue is per-row quantized to
     INT64 cents before summing (order-free exact)."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/part.parquet", 256)
     import pyarrow.parquet as pq
     from ..util import bucket_of
 
@@ -705,7 +741,7 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#4",
 
 def cohort_revenue_full(sf_dir: str, year_a: int = 1996,
                         year_b: int = 1999,
-                        n_buckets: int = 256) -> ray.data.Dataset:
+                        n_buckets: int | None = None) -> ray.data.Dataset:
     """FULL OUTER join: one row per customer active in EITHER buying
     cohort (year_a or year_b), with both sides' revenue — the
     year-over-year retention/churn report shape where neither side
@@ -719,6 +755,8 @@ def cohort_revenue_full(sf_dir: str, year_a: int = 1996,
     columns and null-fills the missing side with zeros. Both null
     directions are exercised by construction (disjoint cohort members
     exist on each side)."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/orders.parquet", 256)
     from .dedup import _join_partitions
     from ..util import bucket_of
 
@@ -858,7 +896,7 @@ def group_stats(sf_dir: str) -> ray.data.Dataset:
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
-def user_features(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+def user_features(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Per-user feature vector (pivot / one-hot aggregation — the
     feature-engineering step before model training): one row per user
     with a count column per event type plus the value sum.
@@ -868,6 +906,8 @@ def user_features(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
     to int — no per-type pass over the batch), so the shuffle moves
     one 7-column row per (user, batch). Final: bounded-bucket groupby
     on splitmix(user_id), vectorized sum-merge per user."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
     import pyarrow.compute as pc
 
@@ -901,7 +941,7 @@ def user_features(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
         .groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
-def funnel_conversion(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+def funnel_conversion(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Funnel / sequence-match: for every user with a signup, the
     first purchase STRICTLY after their first signup (user_id,
     signup_us, conv_us [-1 if none], converted) — the ordered-event
@@ -911,6 +951,8 @@ def funnel_conversion(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
     the parquet scan); rows shuffle once on a bounded splitmix(user)
     bucket; the per-bucket finalizer is one lexsort + segment
     minimum.reduceat over masked timestamps — no per-user loop."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     import pyarrow.compute as pc
 
     from ..util import bucket_of
@@ -965,7 +1007,7 @@ def funnel_conversion(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
 
 def urgent_revenue(sf_dir: str, priority: str = "1-URGENT",
                    n_bits: int = 1 << 20, n_hashes: int = 4,
-                   n_buckets: int = 256) -> ray.data.Dataset:
+                   n_buckets: int | None = None) -> ray.data.Dataset:
     """Bloom-prefiltered semi-join: lineitem revenue restricted to
     orders of the given priority, grouped by l_returnflag —
     (l_returnflag, n_items, revenue).
@@ -988,6 +1030,8 @@ def urgent_revenue(sf_dir: str, priority: str = "1-URGENT",
     build keys and probe partials meet in a bounded splitmix(orderkey)
     bucket, one np.isin drops bloom false positives, partials collapse
     per returnflag; (4) a final 3-row groupby sums the buckets."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/orders.parquet", 256)
     from ..util import bucket_of, splitmix64
 
     mask = np.uint64(n_bits - 1)
@@ -1089,7 +1133,7 @@ def urgent_revenue(sf_dir: str, priority: str = "1-URGENT",
     return agg.map_batches(finalize, batch_format="pandas")
 
 
-def running_revenue(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+def running_revenue(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Cumulative window: per customer, orders by (o_orderdate,
     o_orderkey) with the running revenue total — (o_custkey,
     o_orderkey, order_us, cum_revenue). The ordered-prefix aggregate
@@ -1103,6 +1147,8 @@ def running_revenue(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
     hazard); the oracle's windowed double sum rounded to 2 decimals
     equals the cents value while accumulated fp error < half a cent,
     i.e. for any realistic per-customer prefix."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/orders.parquet", 256)
     from ..util import bucket_of
 
     def tag(b: pa.Table) -> pa.Table:
@@ -1152,7 +1198,7 @@ def _week_start_us(ts_us: np.ndarray) -> np.ndarray:
     return (d - ((d + 3) % 7)) * 86_400_000_000
 
 
-def cohort_retention(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+def cohort_retention(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Weekly cohort retention triangle: users cohorted by their
     first-signup week; n_active = distinct cohort users active (any
     event) in cohort_week + week_offset — (cohort_us, week_offset,
@@ -1164,6 +1210,8 @@ def cohort_retention(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
     the cohort week, np.unique for distinct (user, week), and a
     unique-count partial per (cohort, offset); the final groupby key
     domain is (weeks x offsets) — tens of rows, never user-sized."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
 
     def tag(b: pa.Table) -> pa.Table:
@@ -1321,7 +1369,7 @@ def events_watermark(sf_dir: str, lateness_s: int = 300,
         .groupby("shard").map_groups(scan, batch_format="pyarrow")
 
 
-def event_transitions(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+def event_transitions(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Markov transition counts over per-user event streams: how many
     times event type A is immediately followed by type B for the same
     user in (ts, event_id) order — the session-path / next-action
@@ -1333,6 +1381,8 @@ def event_transitions(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
     = 25 rows) before leaving the reducer: lexsort, adjacent-pair
     mask, then one np.unique over packed type-index pairs. The tiny
     partials coalesce to a single narrow merge — no second shuffle."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
 
     k = len(EVENT_TYPES)
@@ -1397,7 +1447,7 @@ def event_transitions(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
 
 
 def user_value_history(sf_dir: str, event_type: str = "purchase",
-                       n_buckets: int = 256) -> ray.data.Dataset:
+                       n_buckets: int | None = None) -> ray.data.Dataset:
     """SCD-2 history build: turn a change log into validity INTERVALS
     — for each user's ``event_type`` events in (ts, event_id) order,
     emit (user_id, vm, valid_from_us, valid_to_us) where valid_to is
@@ -1409,6 +1459,8 @@ def user_value_history(sf_dir: str, event_type: str = "purchase",
     user whole in one bucket) with a lead()-by-shift: after the
     bucket lexsort, a row's valid_to is simply the NEXT row's ts when
     it shares the user. One bounded shuffle, no window machinery."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
 
     def tag(b: pa.Table) -> pa.Table:
@@ -1778,7 +1830,7 @@ def events_range_window(sf_dir: str, range_s: int = 300,
         .map_batches(replicate, batch_format="pyarrow") \
         .groupby("shard").map_groups(count_windows, batch_format="pyarrow")
 
-def events_lag(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+def events_lag(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """LAG window (offset lookback): each event paired with the SAME
     user's immediately previous event in ``(ts, event_id)`` order,
     emitting the value delta — SQL's ``lag(...) OVER (PARTITION BY
@@ -1792,6 +1844,8 @@ def events_lag(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
     INT64 micro-units (floor(value * 1e6), the identical double op on
     both sides) BEFORE the subtraction so the delta is bit-exact and
     order-free."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
 
     def tag(b: pa.Table) -> pa.Table:
@@ -1832,7 +1886,7 @@ def events_lag(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
 
 
 def events_moving_sum(sf_dir: str, k_preceding: int = 3,
-                      n_buckets: int = 256) -> ray.data.Dataset:
+                      n_buckets: int | None = None) -> ray.data.Dataset:
     """ROWS-frame moving window: per user, the sum and count of the
     last ``k_preceding + 1`` events' values in ``(ts, event_id)``
     order — SQL's ``sum(...) OVER (... ROWS BETWEEN k PRECEDING AND
@@ -1844,6 +1898,8 @@ def events_moving_sum(sf_dir: str, k_preceding: int = 3,
     (max(i - k, segment_first)) — no per-user loop, no per-row loop.
     Values ride as exact INT64 micro-units so the windowed sums are
     order-free bit-exact vs the oracle's integer sum."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
 
     def tag(b: pa.Table) -> pa.Table:
@@ -2025,7 +2081,7 @@ def value_outliers(sf_dir: str, z_thresh: float = 3.0) -> ray.data.Dataset:
 
 
 def interval_coverage(sf_dir: str, duration_s: int = 300,
-                      n_buckets: int = 512) -> ray.data.Dataset:
+                      n_buckets: int | None = None) -> ray.data.Dataset:
     """Interval-union coverage per user: each event opens a
     [ts, ts + duration_s) activity interval; overlapping/touching
     intervals merge, and the operator reports the merged-interval
@@ -2040,6 +2096,8 @@ def interval_coverage(sf_dir: str, duration_s: int = 300,
     DuckDB island-detection twin matches EXACTLY (no float rounding).
     Touching intervals (next.start == prev.end) merge, mirroring the
     SQL's strict `s > prev_max` island break."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 512)
     from raytiles.util import bucket_of
 
     dur_us = duration_s * 1_000_000
@@ -2051,7 +2109,7 @@ def interval_coverage(sf_dir: str, duration_s: int = 300,
             "bucket": bucket_of(uid, n_buckets),
             "user_id": uid, "s": ts, "e": ts + dur_us})
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(g: pa.Table) -> pa.Table:
         uid = g["user_id"].to_numpy()
         s = g["s"].to_numpy()
         e = g["e"].to_numpy()
@@ -2059,22 +2117,23 @@ def interval_coverage(sf_dir: str, duration_s: int = 300,
         uid, s, e = uid[order], s[order], e[order]
         n = len(uid)
         if n == 0:
-            return pd.DataFrame({
-                "user_id": np.empty(0, np.int64),
-                "n_intervals": np.empty(0, np.int64),
-                "covered_us": np.empty(0, np.int64)})
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_intervals": pa.array([], pa.int64()),
+                "covered_us": pa.array([], pa.int64())})
         new_user = np.empty(n, dtype=bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
         # running max of e within each user segment, EXCLUSIVE of the
-        # current row (pandas grouped cummax is the correct restart-
-        # per-segment scan; an offset-and-accumulate trick would
-        # overflow int64 at epoch-microsecond magnitudes)
-        seg_id = np.cumsum(new_user) - 1
-        cmax = pd.Series(e).groupby(seg_id).cummax().to_numpy()
+        # current row. All intervals share one duration (tag sets
+        # e = ts + dur_us), so e ascends within each sorted segment
+        # and the grouped running max IS the previous row's e — no
+        # grouped cummax needed (an offset-and-accumulate trick would
+        # overflow int64 at epoch-microsecond magnitudes; revisit if
+        # durations ever become per-row).
         prev_max = np.empty(n, np.int64)
         prev_max[0] = np.iinfo(np.int64).min
-        prev_max[1:] = cmax[:-1]
+        prev_max[1:] = e[:-1]
         prev_max[new_user] = np.iinfo(np.int64).min
         new_island = new_user | (s > prev_max)
         # per-island span: first s (sorted, so first row of island),
@@ -2088,15 +2147,15 @@ def interval_coverage(sf_dir: str, duration_s: int = 300,
             np.concatenate(([True], isl_uid[1:] != isl_uid[:-1])))
         covered = np.add.reduceat(isl_e - isl_s, u_first)
         counts = np.diff(np.concatenate((u_first, [len(isl_uid)])))
-        return pd.DataFrame({
-            "user_id": isl_uid[u_first],
-            "n_intervals": counts.astype(np.int64),
-            "covered_us": covered.astype(np.int64)})
+        return pa.table({
+            "user_id": pa.array(isl_uid[u_first].astype(np.int64)),
+            "n_intervals": pa.array(counts.astype(np.int64)),
+            "covered_us": pa.array(covered.astype(np.int64))})
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"),
                                columns=["user_id", "ts"])
     return ds.map_batches(tag, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
+        .groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def _ts_day_range(path: str, ds: "ray.data.Dataset",
@@ -2153,7 +2212,7 @@ def _ts_day_range(path: str, ds: "ray.data.Dataset",
 
 
 def rolling_dau(sf_dir: str, window_days: int = 7,
-                n_buckets: int = 256) -> ray.data.Dataset:
+                n_buckets: int | None = None) -> ray.data.Dataset:
     """Daily active users + trailing-N-day distinct users for every
     day in the data's [min_day, max_day] range — the engagement
     metric family (DAU / WAU) computed EXACTLY at scale.
@@ -2169,6 +2228,8 @@ def rolling_dau(sf_dir: str, window_days: int = 7,
     is passed into every bucket so all buckets emit the same day axis.
     Per-batch distinct (day, user) partials bound the shuffle at one
     row per (day, user, batch)."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ray.data.aggregate import Sum
     from raytiles.util import bucket_of
 
@@ -2195,7 +2256,7 @@ def rolling_dau(sf_dir: str, window_days: int = 7,
             "bucket": bucket_of(uid, n_buckets),
             "day_i": d.astype(np.int64), "user_id": uid})
 
-    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_counts(g: pa.Table) -> pa.Table:
         # Memory note (the 100x lens): the bucket's working set is
         # users_in_bucket x n_days at ONE byte per cell (bool presence
         # + a rolling uint8 window count that saturates at window_days
@@ -2217,11 +2278,11 @@ def rolling_dau(sf_dir: str, window_days: int = 7,
         for off in range(1, w):
             win[:, off:] += pres[:, :n_days - off]
         dau_w = (win > 0).sum(axis=0, dtype=np.int64)
-        return pd.DataFrame({"day_i": np.arange(n_days, dtype=np.int64),
-                             "p_dau": dau, "p_dau_w": dau_w})
+        return pa.table({"day_i": pa.array(np.arange(n_days, dtype=np.int64)),
+                         "p_dau": pa.array(dau), "p_dau_w": pa.array(dau_w)})
 
     agg = ds.map_batches(distinct_partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_counts, batch_format="pandas") \
+        .groupby("bucket").map_groups(bucket_counts, batch_format="pyarrow") \
         .groupby("day_i").aggregate(Sum("p_dau", alias_name="dau"),
                                     Sum("p_dau_w", alias_name="dau_w"))
 
@@ -2266,14 +2327,15 @@ def events_deciles(sf_dir: str) -> pd.DataFrame:
             "bucket": bucket_of(cent, 512),
             "event_type": g["event_type"], "cent": cent, "n": g["n"]})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["event_type", "cent"], as_index=False)["n"].sum()
-        return out
+    def merge(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g.select(["event_type", "cent", "n"]),
+                              ["event_type", "cent"]).aggregate([("n", "sum")])
+        return out.rename_columns(["event_type", "cent", "n"])
 
     counts = ray.data.read_parquet(_p(sf_dir, "events"),
                                    columns=["event_type", "value"]) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow") \
         .to_pandas()
 
     rows = []
@@ -2294,7 +2356,7 @@ def events_deciles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def user_journeys(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
+def user_journeys(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Per-user event-sequence string ("journey"): the first letter of
     each event_type concatenated in (ts, event_id) order — the compact
     behavioral encoding sequence-mining / markov features start from.
@@ -2305,6 +2367,8 @@ def user_journeys(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
     each user's journey is a buffer slice — the only per-row Python is
     the final per-USER string construction (one slice + decode per
     user, not per event)."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 512)
     from raytiles.util import bucket_of
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -2317,28 +2381,29 @@ def user_journeys(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
             "event_id": batch["event_id"],
             "c": pc.utf8_slice_codeunits(batch["event_type"], 0, 1)})
 
-    def journeys(g: pd.DataFrame) -> pd.DataFrame:
+    def journeys(g: pa.Table) -> pa.Table:
         uid = g["user_id"].to_numpy()
         ts = g["ts_us"].to_numpy()
         eid = g["event_id"].to_numpy()
         order = np.lexsort((eid, ts, uid))
         uid = uid[order]
-        chars = np.asarray(g["c"].to_numpy()[order], dtype="S1")
+        chars = np.asarray(g["c"].to_numpy(zero_copy_only=False)[order],
+                           dtype="S1")
         buf = chars.tobytes()
         u_first = np.flatnonzero(
             np.concatenate(([True], uid[1:] != uid[:-1])))
         bounds = np.concatenate((u_first, [len(uid)]))
-        return pd.DataFrame({
-            "user_id": uid[u_first],
-            "journey": [buf[bounds[i]:bounds[i + 1]].decode()
-                        for i in range(len(u_first))],
-            "n_events": np.diff(bounds).astype(np.int64)})
+        return pa.table({
+            "user_id": pa.array(uid[u_first].astype(np.int64)),
+            "journey": pa.array([buf[bounds[i]:bounds[i + 1]].decode()
+                                 for i in range(len(u_first))], pa.string()),
+            "n_events": pa.array(np.diff(bounds).astype(np.int64))})
 
     ds = ray.data.read_parquet(
         _p(sf_dir, "events"),
         columns=["event_id", "ts", "user_id", "event_type"])
     return ds.map_batches(tag, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(journeys, batch_format="pandas")
+        .groupby("bucket").map_groups(journeys, batch_format="pyarrow")
 
 
 def unpivot_lineitem(sf_dir: str) -> ray.data.Dataset:
@@ -2409,7 +2474,7 @@ def props_extract(sf_dir: str) -> ray.data.Dataset:
 
 
 def churned_users(sf_dir: str, window_days: int = 1,
-                  n_buckets: int = 256) -> ray.data.Dataset:
+                  n_buckets: int | None = None) -> ray.data.Dataset:
     """Churn set-difference: users active in the FIRST window_days of
     the data's range but absent from the LAST window_days — the
     EXCEPT / anti-membership shape over derived distinct sets.
@@ -2420,6 +2485,8 @@ def churned_users(sf_dir: str, window_days: int = 1,
     flags per user (a user's whole truth lives in one bucket), and the
     filter (first AND NOT last) is a vectorized mask — no join, no
     second shuffle, output bounded by the churned-user count."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from raytiles.util import bucket_of
 
     DAY_US = 86_400_000_000
@@ -2447,15 +2514,19 @@ def churned_users(sf_dir: str, window_days: int = 1,
             "bucket": bucket_of(u, n_buckets), "user_id": u,
             "in_first": fmax, "in_last": lmax})
 
-    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("user_id", as_index=False).agg(
-            in_first=("in_first", "max"), in_last=("in_last", "max"))
-        keep = (m["in_first"] == 1) & (m["in_last"] == 0)
-        return pd.DataFrame({
-            "user_id": m.loc[keep, "user_id"].astype(np.int64)})
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g.select(["user_id", "in_first", "in_last"]),
+                            ["user_id"]).aggregate(
+            [("in_first", "max"), ("in_last", "max")])
+        m = m.rename_columns(["user_id", "in_first", "in_last"])
+        fmax = m["in_first"].to_numpy()
+        lmax = m["in_last"].to_numpy()
+        keep = (fmax == 1) & (lmax == 0)
+        return pa.table({"user_id": pa.array(
+            m["user_id"].to_numpy()[keep].astype(np.int64))})
 
     return ds.map_batches(flags, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(reduce_bucket, batch_format="pandas")
+        .groupby("bucket").map_groups(reduce_bucket, batch_format="pyarrow")
 
 
 def value_time_corr(sf_dir: str) -> ray.data.Dataset:
@@ -2537,13 +2608,15 @@ def quantile_cont(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)) -> pd.DataFrame:
             "bucket": bucket_of(cent, 512),
             "event_type": g["event_type"], "cent": cent, "n": g["n"]})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["event_type", "cent"], as_index=False)["n"].sum()
+    def merge(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g.select(["event_type", "cent", "n"]),
+                              ["event_type", "cent"]).aggregate([("n", "sum")])
+        return out.rename_columns(["event_type", "cent", "n"])
 
     counts = ray.data.read_parquet(_p(sf_dir, "events"),
                                    columns=["event_type", "value"]) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow") \
         .to_pandas()
 
     rows = []
@@ -2565,7 +2638,7 @@ def quantile_cont(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)) -> pd.DataFrame:
 
 
 def journey_pattern(sf_dir: str, pattern: str = "s[cv]*p",
-                    n_buckets: int = 512) -> ray.data.Dataset:
+                    n_buckets: int | None = None) -> ray.data.Dataset:
     """Sequence-pattern matching over per-user event journeys (the
     MATCH_RECOGNIZE / CEP shape): count non-overlapping occurrences of
     a regex over each user's ordered event-initial string — here
@@ -2576,6 +2649,8 @@ def journey_pattern(sf_dir: str, pattern: str = "s[cv]*p",
     Shape: identical to user_journeys (bucketed lexsort + buffer
     slices); the only added per-USER work is one compiled-regex
     findall over a short string."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 512)
     import re as _re
 
     from raytiles.util import bucket_of
@@ -2592,31 +2667,32 @@ def journey_pattern(sf_dir: str, pattern: str = "s[cv]*p",
             "event_id": batch["event_id"],
             "c": pc.utf8_slice_codeunits(batch["event_type"], 0, 1)})
 
-    def count_matches(g: pd.DataFrame) -> pd.DataFrame:
+    def count_matches(g: pa.Table) -> pa.Table:
         uid = g["user_id"].to_numpy()
         ts = g["ts_us"].to_numpy()
         eid = g["event_id"].to_numpy()
         order = np.lexsort((eid, ts, uid))
         uid = uid[order]
-        chars = np.asarray(g["c"].to_numpy()[order], dtype="S1")
+        chars = np.asarray(g["c"].to_numpy(zero_copy_only=False)[order],
+                           dtype="S1")
         buf = chars.tobytes().decode()
         u_first = np.flatnonzero(
             np.concatenate(([True], uid[1:] != uid[:-1])))
         bounds = np.concatenate((u_first, [len(uid)]))
-        return pd.DataFrame({
-            "user_id": uid[u_first],
-            "n_matches": np.array(
+        return pa.table({
+            "user_id": pa.array(uid[u_first].astype(np.int64)),
+            "n_matches": pa.array(
                 [len(rx.findall(buf[bounds[i]:bounds[i + 1]]))
-                 for i in range(len(u_first))], np.int64)})
+                 for i in range(len(u_first))], pa.int64())})
 
     ds = ray.data.read_parquet(
         _p(sf_dir, "events"),
         columns=["event_id", "ts", "user_id", "event_type"])
     return ds.map_batches(tag, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(count_matches, batch_format="pandas")
+        .groupby("bucket").map_groups(count_matches, batch_format="pyarrow")
 
 
-def new_users_curve(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+def new_users_curve(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
     """User-acquisition curve: per day, how many users appear for the
     FIRST time, plus the running cumulative — the growth metric
     (cumsum of a grouped argmin).
@@ -2626,6 +2702,8 @@ def new_users_curve(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     bucket); per-bucket first-day histograms over the bounded day
     domain sum exactly across buckets; the cumulative fold runs on the
     driver over n_days rows."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ray.data.aggregate import Max, Min, Sum
     from raytiles.util import bucket_of
 
@@ -2649,14 +2727,19 @@ def new_users_curve(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         return pa.table({"bucket": bucket_of(uid, n_buckets),
                          "user_id": uid, "d": d.astype(np.int64)})
 
-    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("user_id")["d"].min()
-        hist = np.bincount(m.to_numpy(), minlength=n_days).astype(np.int64)
-        return pd.DataFrame({"day_i": np.arange(n_days, dtype=np.int64),
-                             "p_new": hist})
+    def bucket_hist(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        d = g["d"].to_numpy()
+        order = np.lexsort((d, uid))
+        uid, d = uid[order], d[order]
+        first = np.concatenate(([True], uid[1:] != uid[:-1])) \
+            if len(uid) else np.empty(0, bool)
+        hist = np.bincount(d[first], minlength=n_days).astype(np.int64)
+        return pa.table({"day_i": pa.array(np.arange(n_days, dtype=np.int64)),
+                         "p_new": pa.array(hist)})
 
     agg = ds.map_batches(first_partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_hist, batch_format="pandas") \
+        .groupby("bucket").map_groups(bucket_hist, batch_format="pyarrow") \
         .groupby("day_i").aggregate(Sum("p_new", alias_name="n_new")) \
         .to_pandas().sort_values("day_i")
 
@@ -2668,7 +2751,7 @@ def new_users_curve(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         "cum_users": np.cumsum(agg["n_new"].to_numpy()).astype(np.int64)})
 
 
-def time_weighted_value(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
+def time_weighted_value(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Time-weighted average value per user (the IoT / finance TWA:
     each event's value holds until the user's next event; integrate
     over the user's [first, last] span). Users with a single event
@@ -2679,6 +2762,8 @@ def time_weighted_value(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
     cent-microseconds (exact: max cent 49k x 30-day span ~ 1.3e17 <
     2^63), and BOTH sides convert the same exact int64 numerator to
     double for the final division, so parity holds to the round."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 512)
     from raytiles.util import bucket_of
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -2691,7 +2776,7 @@ def time_weighted_value(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
             "t": batch["ts"].cast(pa.int64()),
             "event_id": batch["event_id"], "cent": cents})
 
-    def twa_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def twa_bucket(g: pa.Table) -> pa.Table:
         uid = g["user_id"].to_numpy()
         t = g["t"].to_numpy()
         eid = g["event_id"].to_numpy()
@@ -2700,9 +2785,9 @@ def time_weighted_value(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
         uid, t, cent = uid[order], t[order], cent[order]
         n = len(uid)
         if n == 0:
-            return pd.DataFrame({"user_id": np.empty(0, np.int64),
-                                 "n_events": np.empty(0, np.int64),
-                                 "twa": np.empty(0, np.float64)})
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "twa": pa.array([], pa.float64())})
         new_user = np.empty(n, dtype=bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
@@ -2717,20 +2802,20 @@ def time_weighted_value(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
         span = np.add.reduceat(dur, starts)  # == t_last - t_first
         cnt = np.diff(np.concatenate((starts, [n])))
         keep = cnt >= 2
-        return pd.DataFrame({
-            "user_id": uid[starts][keep],
-            "n_events": cnt[keep].astype(np.int64),
-            "twa": _fq(num[keep].astype(np.float64)
-                       / span[keep].astype(np.float64) / 100.0, 6)})
+        return pa.table({
+            "user_id": pa.array(uid[starts][keep].astype(np.int64)),
+            "n_events": pa.array(cnt[keep].astype(np.int64)),
+            "twa": pa.array(_fq(num[keep].astype(np.float64)
+                                / span[keep].astype(np.float64) / 100.0, 6))})
 
     ds = ray.data.read_parquet(
         _p(sf_dir, "events"),
         columns=["event_id", "ts", "user_id", "value"])
     return ds.map_batches(tag, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(twa_bucket, batch_format="pandas")
+        .groupby("bucket").map_groups(twa_bucket, batch_format="pyarrow")
 
 
-def audience_overlap(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+def audience_overlap(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Pairwise audience overlap between event types: for every
     unordered type pair, the distinct-user intersection count and
     Jaccard similarity — the segment-overlap matrix an audience /
@@ -2742,6 +2827,8 @@ def audience_overlap(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
     per bucket a 5-bit presence mask per user folds to per-type and
     per-pair partial counts (<= 5 + 10 rows per bucket) that SUM
     exactly across buckets; the tiny finalize computes Jaccard."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ray.data.aggregate import Sum
     from raytiles.util import bucket_of
 
@@ -2759,25 +2846,28 @@ def audience_overlap(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
             "bucket": bucket_of(uid, n_buckets), "user_id": uid,
             "event_type": pa.array(et, pa.string())})
 
-    def mask_counts(g: pd.DataFrame) -> pd.DataFrame:
+    def mask_counts(g: pa.Table) -> pa.Table:
         uid = g["user_id"].to_numpy()
-        et = g["event_type"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
         types, t_code = np.unique(et, return_inverse=True)
         u_uniq, u_code = np.unique(uid, return_inverse=True)
         pres = np.zeros((len(u_uniq), len(types)), bool)
         pres[u_code, t_code] = True
-        rows = []
+        ta, tb, cnt = [], [], []
         for a in range(len(types)):
-            rows.append((types[a], types[a], int(pres[:, a].sum())))
+            ta.append(types[a]); tb.append(types[a])
+            cnt.append(int(pres[:, a].sum()))
             for b in range(a + 1, len(types)):
-                rows.append((types[a], types[b],
-                             int((pres[:, a] & pres[:, b]).sum())))
-        return pd.DataFrame(rows, columns=["type_a", "type_b", "n"])
+                ta.append(types[a]); tb.append(types[b])
+                cnt.append(int((pres[:, a] & pres[:, b]).sum()))
+        return pa.table({"type_a": pa.array(ta, pa.string()),
+                         "type_b": pa.array(tb, pa.string()),
+                         "n": pa.array(cnt, pa.int64())})
 
     agg = ray.data.read_parquet(_p(sf_dir, "events"),
                                 columns=["user_id", "event_type"]) \
         .map_batches(distinct_pairs, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(mask_counts, batch_format="pandas") \
+        .groupby("bucket").map_groups(mask_counts, batch_format="pyarrow") \
         .groupby(["type_a", "type_b"]).aggregate(Sum("n", alias_name="n"))
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
@@ -2824,13 +2914,15 @@ def mad_stats(sf_dir: str) -> pd.DataFrame:
             "bucket": bucket_of(cent, 512),
             "event_type": g["event_type"], "cent": cent, "n": g["n"]})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["event_type", "cent"], as_index=False)["n"].sum()
+    def merge(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g.select(["event_type", "cent", "n"]),
+                              ["event_type", "cent"]).aggregate([("n", "sum")])
+        return out.rename_columns(["event_type", "cent", "n"])
 
     counts = ray.data.read_parquet(_p(sf_dir, "events"),
                                    columns=["event_type", "value"]) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow") \
         .to_pandas()
 
     def _median_of(cents: np.ndarray, c: np.ndarray) -> int:
@@ -2854,7 +2946,7 @@ def mad_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def loyal_users(sf_dir: str, event_type: str = "purchase",
-                n_buckets: int = 256) -> ray.data.Dataset:
+                n_buckets: int | None = None) -> ray.data.Dataset:
     """Relational DIVISION (the universal quantifier): users with at
     least one `event_type` event in EVERY week of the data's range —
     the "for all periods" loyalty query most engines express awkwardly
@@ -2867,6 +2959,8 @@ def loyal_users(sf_dir: str, event_type: str = "purchase",
     splitmix(user) bucket shuffle co-locates a user's week set; the
     bucket finalizer counts distinct weeks per user and keeps
     full-coverage users."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ray.data.aggregate import Max
     from raytiles.util import bucket_of
 
@@ -2901,14 +2995,28 @@ def loyal_users(sf_dir: str, event_type: str = "purchase",
             "bucket": bucket_of(uid, n_buckets), "user_id": uid,
             "week": w.astype(np.int64)})
 
-    def divide(g: pd.DataFrame) -> pd.DataFrame:
-        cnt = g.groupby("user_id")["week"].nunique()
-        keep = cnt[cnt == n_weeks]
-        return pd.DataFrame({
-            "user_id": keep.index.to_numpy().astype(np.int64)})
+    def divide(g: pa.Table) -> pa.Table:
+        # rows are already distinct (user, week) pairs from the
+        # per-batch collapse, but pairs can repeat ACROSS batches —
+        # count distinct weeks per user via lexsort + first-flag
+        uid = g["user_id"].to_numpy()
+        w = g["week"].to_numpy()
+        order = np.lexsort((w, uid))
+        uid, w = uid[order], w[order]
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        first = np.concatenate(([True], (uid[1:] != uid[:-1])
+                                | (w[1:] != w[:-1])))
+        uid = uid[first]
+        u_first = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
+        cnt = np.diff(np.append(u_first, len(uid)))
+        keep = cnt == n_weeks
+        return pa.table({"user_id": pa.array(
+            uid[u_first][keep].astype(np.int64))})
 
     return ds.map_batches(distinct_pairs, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(divide, batch_format="pandas")
+        .groupby("bucket").map_groups(divide, batch_format="pyarrow")
 
 
 def wow_growth(sf_dir: str) -> ray.data.Dataset:
@@ -2941,23 +3049,26 @@ def wow_growth(sf_dir: str) -> ray.data.Dataset:
         .groupby(["event_type", "week"]).aggregate(
             Sum("s", alias_name="sum_value"))
 
-    def growth(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("week")
-        s = g["sum_value"].to_numpy()
+    def growth(g: pa.Table) -> pa.Table:
+        week = g["week"].to_numpy()
+        order = np.argsort(week, kind="stable")
+        week = week[order]
+        s = g["sum_value"].to_numpy()[order]
+        et = g["event_type"].to_numpy(zero_copy_only=False)[order]
         prev = np.concatenate(([np.nan], s[:-1]))
         pct = np.where(np.isnan(prev), np.nan, (s - prev) / prev)
-        return pd.DataFrame({
-            "event_type": g["event_type"],
-            "week": g["week"].astype(np.int64),
-            "sum_value": _fq(s, 6),
-            "prev_value": _fq(prev, 6),
-            "pct_change": _fq(pct, 6)})
+        return pa.table({
+            "event_type": pa.array(et, pa.string()),
+            "week": pa.array(week.astype(np.int64)),
+            "sum_value": pa.array(_fq(s, 6)),
+            "prev_value": pa.array(_fq(prev, 6)),
+            "pct_change": pa.array(_fq(pct, 6))})
 
     return agg.groupby("event_type").map_groups(
-        growth, batch_format="pandas")
+        growth, batch_format="pyarrow")
 
 
-def order_discount_factor(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
+def order_discount_factor(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Multiplicative aggregate: per order, the compound discount
     factor prod(1 - l_discount) over its lineitems, carried in the
     LOG domain as integer micro-nats (the repo's entropy/logprob
@@ -2970,6 +3081,8 @@ def order_discount_factor(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset
     Shape: per-batch lexsort + segmented integer sums collapse each
     batch to one partial per (order, batch); ONE bounded
     splitmix(orderkey) bucket shuffle; in-bucket integer-sum merge."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/lineitem.parquet", 512)
     from raytiles.util import bucket_of
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2993,17 +3106,18 @@ def order_discount_factor(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset
             "l_orderkey": keys.astype(np.int64),
             "s": s.astype(np.int64), "n": cnt.astype(np.int64)})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("l_orderkey").agg(s=("s", "sum"), n=("n", "sum"))
-        return pd.DataFrame({
-            "l_orderkey": m.index.to_numpy().astype(np.int64),
-            "n_items": m["n"].to_numpy().astype(np.int64),
-            "log_factor_unat": m["s"].to_numpy().astype(np.int64)})
+    def merge(g: pa.Table) -> pa.Table:
+        k, s, n = _sum_by_key(g["l_orderkey"].to_numpy(),
+                              g["s"].to_numpy(), g["n"].to_numpy())
+        return pa.table({
+            "l_orderkey": pa.array(k.astype(np.int64)),
+            "n_items": pa.array(n.astype(np.int64)),
+            "log_factor_unat": pa.array(s.astype(np.int64))})
 
     ds = ray.data.read_parquet(_p(sf_dir, "lineitem"),
                                columns=["l_orderkey", "l_discount"])
     return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pandas")
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def chi2_type_hour(sf_dir: str) -> pd.DataFrame:
@@ -3077,13 +3191,15 @@ def winsorized_mean(sf_dir: str, lo_q: float = 0.05,
             "bucket": bucket_of(cent, 512),
             "event_type": g["event_type"], "cent": cent, "n": g["n"]})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["event_type", "cent"], as_index=False)["n"].sum()
+    def merge(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g.select(["event_type", "cent", "n"]),
+                              ["event_type", "cent"]).aggregate([("n", "sum")])
+        return out.rename_columns(["event_type", "cent", "n"])
 
     counts = ray.data.read_parquet(_p(sf_dir, "events"),
                                    columns=["event_type", "value"]) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow") \
         .to_pandas()
 
     rows = []
@@ -3104,7 +3220,7 @@ def winsorized_mean(sf_dir: str, lo_q: float = 0.05,
     return pd.DataFrame(rows)
 
 
-def order_gini(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+def order_gini(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
     """Gini coefficient of orders-per-customer — the concentration /
     inequality diagnostic (is demand long-tailed?). Output: one row
     with customer count, order total, and gini (round 6).
@@ -3117,6 +3233,8 @@ def order_gini(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     / (n * total) block-wise over the histogram in exact int64: a
     tie block's rank sum is assignment-invariant. Only the closing
     division is float, mirrored in the twin."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/orders.parquet", 256)
     from ray.data.aggregate import Sum
     from raytiles.util import bucket_of
 
@@ -3127,16 +3245,17 @@ def order_gini(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
                          "o_custkey": u.astype(np.int64),
                          "n": c.astype(np.int64)})
 
-    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        per_cust = g.groupby("o_custkey")["n"].sum()
-        vals, cnts = np.unique(per_cust.to_numpy(), return_counts=True)
-        return pd.DataFrame({"n_orders": vals.astype(np.int64),
-                             "n_cust": cnts.astype(np.int64)})
+    def hist_bucket(g: pa.Table) -> pa.Table:
+        _, per_cust = _sum_by_key(g["o_custkey"].to_numpy(),
+                                  g["n"].to_numpy())
+        vals, cnts = np.unique(per_cust, return_counts=True)
+        return pa.table({"n_orders": pa.array(vals.astype(np.int64)),
+                         "n_cust": pa.array(cnts.astype(np.int64))})
 
     hist = ray.data.read_parquet(_p(sf_dir, "orders"),
                                  columns=["o_custkey"]) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(hist_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(hist_bucket, batch_format="pyarrow") \
         .groupby("n_orders").aggregate(Sum("n_cust", alias_name="n_cust")) \
         .to_pandas().sort_values("n_orders")
 
@@ -3156,7 +3275,7 @@ def order_gini(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
 
 
 def late_orders(sf_dir: str, grace_days: int = 90,
-                n_buckets: int = 256) -> ray.data.Dataset:
+                n_buckets: int | None = None) -> ray.data.Dataset:
     """EXISTS semi-join (TPC-H Q4 shape): per order priority, how many
     orders had at least one lineitem shipped more than ``grace_days``
     after the order date.
@@ -3168,6 +3287,8 @@ def late_orders(sf_dir: str, grace_days: int = 90,
     splitmix(orderkey) bucket, and the per-bucket finalizer emits
     per-priority partial counts (<= 5 rows per bucket). Shuffle
     payload: one 20-byte row per order per side, never the lineitems."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/lineitem.parquet", 256)
     from ..util import bucket_of
 
     grace_us = np.int64(grace_days) * 86_400_000_000
@@ -3199,17 +3320,40 @@ def late_orders(sf_dir: str, grace_days: int = 90,
             "side": np.zeros(ok.size, np.int8),
             "bucket": bucket_of(ok, n_buckets)})
 
-    def semi(g: pd.DataFrame) -> pd.DataFrame:
-        li = g[g["side"] == 1]
-        ms = li.groupby("orderkey")["max_ship"].max()
-        o = g[g["side"] == 0]
-        mapped = o["orderkey"].map(ms) \
-            .fillna(np.iinfo(np.int64).min).astype(np.int64).to_numpy()
-        late = (mapped > (o["odate"].to_numpy() + grace_us)).astype(np.int64)
-        out = pd.DataFrame({"priority": o["priority"].to_numpy(),
-                            "late": late, "one": np.ones(len(o), np.int64)})
-        return out.groupby("priority", as_index=False).agg(
-            n_late=("late", "sum"), n_orders=("one", "sum"))
+    def semi(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        okey = g["orderkey"].to_numpy()
+        li_m = side == 1
+        k = okey[li_m]
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        if len(k):
+            starts = np.flatnonzero(
+                np.concatenate(([True], k[1:] != k[:-1])))
+            ms_keys = k[starts]
+            ms_vals = np.maximum.reduceat(
+                g["max_ship"].to_numpy()[li_m][order], starts)
+        else:
+            ms_keys, ms_vals = k, k
+        o_m = side == 0
+        o_key = okey[o_m]
+        mapped = np.full(len(o_key), np.iinfo(np.int64).min, np.int64)
+        if len(ms_keys):
+            pos = np.clip(np.searchsorted(ms_keys, o_key),
+                          0, len(ms_keys) - 1)
+            found = ms_keys[pos] == o_key
+            mapped[found] = ms_vals[pos[found]]
+        late = (mapped > (g["odate"].to_numpy()[o_m] + grace_us)) \
+            .astype(np.int64)
+        prio = g["priority"].to_numpy(zero_copy_only=False)[o_m]
+        pu, inv = np.unique(prio, return_inverse=True)
+        return pa.table({
+            "priority": pa.array(pu, pa.string()),
+            "n_late": pa.array(
+                np.bincount(inv, weights=late, minlength=len(pu))
+                .astype(np.int64)),
+            "n_orders": pa.array(
+                np.bincount(inv, minlength=len(pu)).astype(np.int64))})
 
     li = ray.data.read_parquet(
         _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]) \
@@ -3219,7 +3363,7 @@ def late_orders(sf_dir: str, grace_days: int = 90,
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
         .map_batches(ord_partial, batch_format="pyarrow")
     agg = li.union(orders).groupby("bucket") \
-        .map_groups(semi, batch_format="pandas") \
+        .map_groups(semi, batch_format="pyarrow") \
         .groupby("priority").aggregate(
             Sum("n_late", alias_name="n_late"),
             Sum("n_orders", alias_name="n_orders"))
@@ -3233,7 +3377,7 @@ def late_orders(sf_dir: str, grace_days: int = 90,
     return agg.map_batches(finalize, batch_format="pandas")
 
 
-def user_entropy(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+def user_entropy(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Behavioral entropy: per-user Shannon entropy (nats) of the
     event-type distribution — near 0 = single-behavior user, near
     ln(|types|) = uniform mix. The per-(user, type) count table is
@@ -3241,6 +3385,8 @@ def user_entropy(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
     splitmix(user) bucket shuffle co-locates each user's counts, and
     the entropy finishes vectorized inside the bucket (term order
     fixed by an event_type sort so the float sum is bit-stable)."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
 
     def partial(b: pa.Table) -> pa.Table:
@@ -3254,11 +3400,20 @@ def user_entropy(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
                          "c": pc.cast(g["c"], pa.int64()),
                          "bucket": bucket_of(uid, n_buckets)})
 
-    def entropy_group(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
-        m = m.sort_values(["user_id", "event_type"], kind="stable")
-        uid = m["user_id"].to_numpy()
-        c = m["c"].to_numpy(np.float64)
+    def entropy_group(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        cv = g["c"].to_numpy()
+        order = np.lexsort((et, uid))
+        uid, et, cv = uid[order], et[order], cv[order]
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
+        pair_first = np.flatnonzero(np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (et[1:] != et[:-1]))))
+        c = np.add.reduceat(cv, pair_first).astype(np.float64)
+        uid = uid[pair_first]
         uu, start = np.unique(uid, return_index=True)
         n = np.add.reduceat(c, start)
         p = c / np.repeat(n, np.diff(np.append(start, c.size)))
@@ -3266,14 +3421,14 @@ def user_entropy(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
         ent = -np.add.reduceat(terms, start)
         ent = np.where(ent >= 0, np.floor(ent * 1e6 + 0.5),
                        np.ceil(ent * 1e6 - 0.5)) / 1e6
-        return pd.DataFrame({"user_id": uu.astype(np.int64),
-                             "n_events": n.astype(np.int64),
-                             "entropy": ent})
+        return pa.table({"user_id": pa.array(uu.astype(np.int64)),
+                         "n_events": pa.array(n.astype(np.int64)),
+                         "entropy": pa.array(ent)})
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"),
                                columns=["user_id", "event_type"])
     return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(entropy_group, batch_format="pandas")
+        .groupby("bucket").map_groups(entropy_group, batch_format="pyarrow")
 
 
 def _skyline_mask(date_us: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -3339,7 +3494,7 @@ def pareto_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def idle_customers(sf_dir: str, cutoff: str = "2000-06-01",
-                   n_buckets: int = 256) -> ray.data.Dataset:
+                   n_buckets: int | None = None) -> ray.data.Dataset:
     """TPC-H Q22 shape: per nation, customers whose balance beats the
     global average positive balance but who placed NO order since
     ``cutoff``. Three bounded moves: (1) a 2-int reduce over customer
@@ -3350,6 +3505,8 @@ def idle_customers(sf_dir: str, cutoff: str = "2000-06-01",
     (3) ONE splitmix(custkey) bucket shuffle co-locates rich customers
     with the has-recent-order key set; the anti-join is one vectorized
     np.isin per bucket emitting <= 25 per-nation partial rows."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/customer.parquet", 256)
     from ..util import bucket_of
 
     cutoff_us = np.int64(pd.Timestamp(cutoff).value // 1000)
@@ -3390,17 +3547,24 @@ def idle_customers(sf_dir: str, cutoff: str = "2000-06-01",
             "side": np.ones(u.size, np.int8),
             "bucket": bucket_of(u, n_buckets)})
 
-    def anti(g: pd.DataFrame) -> pd.DataFrame:
-        have = g.loc[g["side"] == 1, "custkey"].to_numpy()
-        c = g[g["side"] == 0]
-        idle = ~np.isin(c["custkey"].to_numpy(), have)
-        out = c[idle]
-        if not len(out):
-            return pd.DataFrame({"nation": np.zeros(0, np.int64),
-                                 "n_cust": np.zeros(0, np.int64),
-                                 "total_cents": np.zeros(0, np.int64)})
-        return out.groupby("nation", as_index=False).agg(
-            n_cust=("custkey", "size"), total_cents=("cents", "sum"))
+    def anti(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        ck = g["custkey"].to_numpy()
+        have = ck[side == 1]
+        cm = side == 0
+        idle = cm.copy()
+        idle[cm] = ~np.isin(ck[cm], have)
+        nat = g["nation"].to_numpy()[idle]
+        cents = g["cents"].to_numpy()[idle]
+        if nat.size == 0:
+            return pa.table({"nation": pa.array([], pa.int64()),
+                             "n_cust": pa.array([], pa.int64()),
+                             "total_cents": pa.array([], pa.int64())})
+        k, s = _sum_by_key(nat, cents)
+        _, c = np.unique(nat, return_counts=True)  # same asc key order
+        return pa.table({"nation": pa.array(k.astype(np.int64)),
+                         "n_cust": pa.array(c.astype(np.int64)),
+                         "total_cents": pa.array(s.astype(np.int64))})
 
     cust = ray.data.read_parquet(
         _p(sf_dir, "customer"),
@@ -3410,7 +3574,7 @@ def idle_customers(sf_dir: str, cutoff: str = "2000-06-01",
         _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]) \
         .map_batches(ord_partial, batch_format="pyarrow")
     agg = cust.union(orders).groupby("bucket") \
-        .map_groups(anti, batch_format="pandas") \
+        .map_groups(anti, batch_format="pyarrow") \
         .groupby("nation").aggregate(
             Sum("n_cust", alias_name="n_cust"),
             Sum("total_cents", alias_name="total_cents"))
@@ -3425,7 +3589,7 @@ def idle_customers(sf_dir: str, cutoff: str = "2000-06-01",
 
 
 def waiting_suppliers(sf_dir: str, grace_days: int = 90,
-                      n_buckets: int = 256) -> ray.data.Dataset:
+                      n_buckets: int | None = None) -> ray.data.Dataset:
     """TPC-H Q21 shape (late predicate adapted to this schema's
     dates): over completed ('F') multi-supplier orders where EXACTLY
     ONE supplier shipped late (its max ship date > o_orderdate +
@@ -3438,6 +3602,8 @@ def waiting_suppliers(sf_dir: str, grace_days: int = 90,
     per-order supplier counts, the exactly-one filter) emitting
     per-supplier partials bounded by the supplier dimension. Names
     attach from a ray.put-broadcast dim at the tiny tail."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/supplier.parquet", 256)
     from ..util import bucket_of
 
     grace_us = np.int64(grace_days) * 86_400_000_000
@@ -3473,28 +3639,46 @@ def waiting_suppliers(sf_dir: str, grace_days: int = 90,
             "side": np.zeros(ok.size, np.int8),
             "bucket": bucket_of(ok, n_buckets)})
 
-    def blame(g: pd.DataFrame) -> pd.DataFrame:
-        li = g[g["side"] == 1]
-        o = g[g["side"] == 0]
-        m = li.groupby(["orderkey", "suppkey"], as_index=False)["max_ship"] \
-            .max()
-        odate = m["orderkey"].map(
-            pd.Series(o["odate"].to_numpy(), index=o["orderkey"].to_numpy()))
-        m = m[odate.notna()]  # drops lineitems of non-'F' orders
-        if not len(m):
-            return pd.DataFrame({"s_suppkey": np.zeros(0, np.int64),
-                                 "n_waits": np.zeros(0, np.int64)})
-        late = m["max_ship"].to_numpy() > (
-            odate.dropna().to_numpy().astype(np.int64) + grace_us)
-        okeys = m["orderkey"].to_numpy()  # groupby output is key-sorted
-        _, start = np.unique(okeys, return_index=True)
-        n_supp = np.diff(np.append(start, okeys.size))
+    def blame(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        okey = g["orderkey"].to_numpy()
+        li_m = side == 1
+        lo, ls = okey[li_m], g["suppkey"].to_numpy()[li_m]
+        lm = g["max_ship"].to_numpy()[li_m]
+        order = np.lexsort((ls, lo))
+        lo, ls, lm = lo[order], ls[order], lm[order]
+        if lo.size:
+            starts_p = np.flatnonzero(np.concatenate(
+                ([True], (lo[1:] != lo[:-1]) | (ls[1:] != ls[:-1]))))
+            lo_p, ls_p = lo[starts_p], ls[starts_p]
+            lm_p = np.maximum.reduceat(lm, starts_p)
+        else:
+            lo_p, ls_p, lm_p = lo, ls, lm
+        o_m = side == 0
+        o_key = okey[o_m]
+        o_od = g["odate"].to_numpy()[o_m]
+        oo = np.argsort(o_key, kind="stable")
+        o_key, o_od = o_key[oo], o_od[oo]
+        if o_key.size and lo_p.size:
+            pos = np.clip(np.searchsorted(o_key, lo_p), 0, o_key.size - 1)
+            found = o_key[pos] == lo_p  # drops lineitems of non-'F' orders
+            odate = o_od[pos[found]]
+        else:
+            found = np.zeros(lo_p.size, bool)
+            odate = np.zeros(0, np.int64)
+        lo_p, ls_p, lm_p = lo_p[found], ls_p[found], lm_p[found]
+        if lo_p.size == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "n_waits": pa.array([], pa.int64())})
+        late = lm_p > (odate + grace_us)
+        _, start = np.unique(lo_p, return_index=True)
+        n_supp = np.diff(np.append(start, lo_p.size))
         n_late = np.add.reduceat(late.astype(np.int64), start)
         qual = (n_supp >= 2) & (n_late == 1)
         blamed = np.repeat(qual, n_supp) & late
-        u, c = np.unique(m["suppkey"].to_numpy()[blamed], return_counts=True)
-        return pd.DataFrame({"s_suppkey": u.astype(np.int64),
-                             "n_waits": c.astype(np.int64)})
+        u, c = np.unique(ls_p[blamed], return_counts=True)
+        return pa.table({"s_suppkey": pa.array(u.astype(np.int64)),
+                         "n_waits": pa.array(c.astype(np.int64))})
 
     import pyarrow.parquet as pq
     sup = pq.read_table(_p(sf_dir, "supplier"),
@@ -3513,7 +3697,7 @@ def waiting_suppliers(sf_dir: str, grace_days: int = 90,
         columns=["o_orderkey", "o_orderdate", "o_orderstatus"]) \
         .map_batches(ord_partial, batch_format="pyarrow")
     agg = li.union(orders).groupby("bucket") \
-        .map_groups(blame, batch_format="pandas") \
+        .map_groups(blame, batch_format="pyarrow") \
         .groupby("s_suppkey").aggregate(Sum("n_waits", alias_name="n_waits"))
 
     def finalize(df: pd.DataFrame, _ref=names_ref) -> pd.DataFrame:
@@ -3591,19 +3775,19 @@ def order_price_ranks(sf_dir: str, n_parts: int = 64,
                                                    side="right")
                          .astype(np.int64)})
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        bkt = int(g["bucket"].iloc[0])
+    def rank_group(g: pa.Table) -> pa.Table:
+        bkt = int(g["bucket"][0].as_py())
         ok = g["o_orderkey"].to_numpy()
         cents = g["cents"].to_numpy()
         order = np.lexsort((ok, cents))
-        rank = np.empty(len(g), np.int64)
-        rank[order] = np.arange(1, len(g) + 1)
-        return pd.DataFrame({"o_orderkey": ok, "cents": cents,
-                             "global_rank": rank + offsets[bkt]})
+        rank = np.empty(len(ok), np.int64)
+        rank[order] = np.arange(1, len(ok) + 1)
+        return pa.table({"o_orderkey": pa.array(ok), "cents": pa.array(cents),
+                         "global_rank": pa.array(rank + offsets[bkt])})
 
     return ray.data.read_parquet(_p(sf_dir, "orders"), columns=cols) \
         .map_batches(part_batch, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(rank_group, batch_format="pandas")
+        .groupby("bucket").map_groups(rank_group, batch_format="pyarrow")
 
 
 EWMA_ALPHA = 0.2
@@ -3614,7 +3798,7 @@ EWMA_WINDOW = 8
 EWMA_WEIGHTS = tuple((1.0 - EWMA_ALPHA) ** k for k in range(EWMA_WINDOW))
 
 
-def events_ewma(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+def events_ewma(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Exponentially weighted moving value per user over the last
     EWMA_WINDOW events in (ts, event_id) order — the decaying-window
     smoother a metrics pipeline runs (finite FIR form, so the state
@@ -3628,6 +3812,8 @@ def events_ewma(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
     left-to-right addition order as the twin's literal + chain, with
     the same weight doubles (EWMA_WEIGHTS is injected into the SQL as
     repr literals)."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
 
     c = EWMA_WEIGHTS
@@ -3673,7 +3859,7 @@ def events_ewma(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
 
 
 def events_debounce(sf_dir: str, gap_s: int = 86400,
-                    n_buckets: int = 256) -> ray.data.Dataset:
+                    n_buckets: int | None = None) -> ray.data.Dataset:
     """TRUE stateful debounce per user: an event is kept iff it is the
     user's first, or >= gap since the last KEPT event — the classic
     sequential chain a rate-limiter / alert-dedup stage runs. Unlike a
@@ -3688,6 +3874,8 @@ def events_debounce(sf_dir: str, gap_s: int = 86400,
     work is sum(chain lengths) with no per-event Python. Timestamps
     are integers; the twin is a recursive CTE carrying last_kept per
     user — bit-exact."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
 
     gap_us = int(gap_s) * 1_000_000
@@ -3741,7 +3929,7 @@ def events_debounce(sf_dir: str, gap_s: int = 86400,
 
 def events_cusum(sf_dir: str, drift_micro: int = 80_000_000,
                  threshold_micro: int = 150_000_000,
-                 n_buckets: int = 256) -> ray.data.Dataset:
+                 n_buckets: int | None = None) -> ray.data.Dataset:
     """CUSUM change-point detection per user (Page's classic test):
     s_i = max(0, s_{i-1} + (x_i - drift)), alarm when s_i crosses the
     threshold, s resets to 0 on alarm. Like events_debounce the state
@@ -3753,6 +3941,8 @@ def events_cusum(sf_dir: str, drift_micro: int = 80_000_000,
 
     Output: the alarm events only (event_id, user_id, ts_us, s_micro
     at alarm)."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
 
     def tag(b: pa.Table) -> pa.Table:
@@ -3805,7 +3995,7 @@ def events_cusum(sf_dir: str, drift_micro: int = 80_000_000,
         .groupby("bucket").map_groups(cusum_bucket, batch_format="pyarrow")
 
 
-def type_affinity(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+def type_affinity(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Market-basket affinity over event types (association-rule
     lift): for each unordered type pair (a < b), the number of users
     exhibiting both, each type's user count, and
@@ -3819,6 +4009,8 @@ def type_affinity(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
     user's whole type set, per-bucket pair expansion is <= C(|types|,2)
     rows per user, and the final merge domain is pairs of a bounded
     vocabulary."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/events.parquet", 256)
     from ..util import bucket_of
 
     def partial(b: pa.Table) -> pa.Table:

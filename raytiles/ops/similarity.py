@@ -113,14 +113,19 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8) -> ray.data.Dat
         _cached_stage(("knn", q_ref.hex(), k), lambda: BatchTopK(q_ref, k)),
         batch_format="pyarrow", batch_size=8192)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame({"query_id": g["query_id"].astype(np.int64),
-                             "neighbor_id": g["neighbor_id"].astype(np.int64),
-                             "rank": np.arange(1, len(g) + 1, dtype=np.int64)})
+    def final_topk(g: pa.Table) -> pa.Table:
+        qid = g["query_id"].to_numpy()
+        nid = g["neighbor_id"].to_numpy()
+        sim = g["sim"].to_numpy()
+        m = nid != qid
+        qid, nid, sim = qid[m], nid[m], sim[m]
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table({
+            "query_id": pa.array(qid[order].astype(np.int64)),
+            "neighbor_id": pa.array(nid[order].astype(np.int64)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))})
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
 def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 8,
@@ -192,14 +197,19 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 8,
         _cached_stage(("ivf", state_ref.hex(), k), lambda: IvfTopK(state_ref, k)),
         batch_format="pyarrow", batch_size=8192)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame({"query_id": g["query_id"].astype(np.int64),
-                             "neighbor_id": g["neighbor_id"].astype(np.int64),
-                             "rank": np.arange(1, len(g) + 1, dtype=np.int64)})
+    def final_topk(g: pa.Table) -> pa.Table:
+        qid = g["query_id"].to_numpy()
+        nid = g["neighbor_id"].to_numpy()
+        sim = g["sim"].to_numpy()
+        m = nid != qid
+        qid, nid, sim = qid[m], nid[m], sim[m]
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table({
+            "query_id": pa.array(qid[order].astype(np.int64)),
+            "neighbor_id": pa.array(nid[order].astype(np.int64)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))})
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
 LSH_BITS = 12
@@ -321,9 +331,10 @@ def lsh_neardup_pairs(sf_dir: str, threshold: float = 0.90,
 
     extra_planes = extra  # captured by value into the reducer closure
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
         ids = g["vec_id"].to_numpy()
-        v = np.frombuffer(b"".join(g["emb"]), dtype=np.float64).reshape(len(g), -1)
+        v = np.frombuffer(b"".join(g["emb"].to_pylist()),
+                          dtype=np.float64).reshape(len(ids), -1)
         order = np.argsort(ids)
         ids = ids[order]
         v = v[order]
@@ -332,26 +343,29 @@ def lsh_neardup_pairs(sf_dir: str, threshold: float = 0.90,
         if not chunks:
             if lost:  # cap fired but no pair crossed the threshold:
                 # still surface the skipped count via a sentinel row
-                return pd.DataFrame({"vec_a": np.array([-1], np.int64),
-                                     "vec_b": np.array([-1], np.int64),
-                                     "sim": np.array([0.0]),
-                                     "skipped_pairs": np.array([lost], np.int64)})
-            return pd.DataFrame({"vec_a": np.empty(0, np.int64),
-                                 "vec_b": np.empty(0, np.int64),
-                                 "sim": np.empty(0, np.float64),
-                                 "skipped_pairs": np.empty(0, np.int64)})
+                return pa.table({"vec_a": pa.array([-1], pa.int64()),
+                                 "vec_b": pa.array([-1], pa.int64()),
+                                 "sim": pa.array([0.0]),
+                                 "skipped_pairs": pa.array([lost],
+                                                           pa.int64())})
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64()),
+                             "skipped_pairs": pa.array([], pa.int64())})
         a = np.concatenate([c[0] for c in chunks])
         b = np.concatenate([c[1] for c in chunks])
         s = np.concatenate([c[2] for c in chunks])
         # skipped_pairs: comparisons the irreducible-cluster chunked
         # fallback skipped in THIS bucket (constant per bucket) — the
         # cap is surfaced, never silent
-        return pd.DataFrame({"vec_a": a.astype(np.int64),
-                             "vec_b": b.astype(np.int64),
-                             "sim": np.round(s, 6),
-                             "skipped_pairs": np.full(a.size, lost, np.int64)})
+        return pa.table({"vec_a": pa.array(a.astype(np.int64)),
+                         "vec_b": pa.array(b.astype(np.int64)),
+                         "sim": pa.array(np.round(s, 6)),
+                         "skipped_pairs": pa.array(
+                             np.full(a.size, lost, np.int64))})
 
-    return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(pairs_in_bucket,
+                                                 batch_format="pyarrow")
 
 def _pq_train(train: np.ndarray, m_sub: int, n_codes: int,
               n_iters: int = 8) -> np.ndarray:
@@ -461,16 +475,20 @@ def knn_pq(sf_dir: str, k: int = 10, n_queries: int = 8,
         _cached_stage(("pq", state_ref.hex(), k), lambda: PqTopK(state_ref, k)),
         batch_format="pyarrow", batch_size=8192)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.sort_values(["sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        return pd.DataFrame({"query_id": g["query_id"].astype(np.int64),
-                             "neighbor_id": g["neighbor_id"].astype(np.int64),
-                             "rank": np.arange(1, len(g) + 1, dtype=np.int64)})
+    def final_topk(g: pa.Table) -> pa.Table:
+        qid = g["query_id"].to_numpy()
+        nid = g["neighbor_id"].to_numpy()
+        sim = g["sim"].to_numpy()
+        m = nid != qid
+        qid, nid, sim = qid[m], nid[m], sim[m]
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table({
+            "query_id": pa.array(qid[order].astype(np.int64)),
+            "neighbor_id": pa.array(nid[order].astype(np.int64)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))})
 
     return partials.groupby("query_id").map_groups(final_topk,
-                                                   batch_format="pandas")
+                                                   batch_format="pyarrow")
 
 
 def hybrid_search(sf_dir: str, k: int = 20, pool: int = 50,
@@ -485,7 +503,17 @@ def hybrid_search(sf_dir: str, k: int = 20, pool: int = 50,
 
     Both legs end bounded (<= pool rows), so the fusion is a
     driver-side fold of two result-sized tables — the repo's bounded
-    take_all contract."""
+    take_all contract.
+
+    PARITY CONTRACT (weaker than the libm-parity notes elsewhere,
+    e.g. trajectory_lengths): the vector leg's ranks come from numpy
+    normalized-matmul cosine while the oracle ranks via DuckDB
+    list_cosine_similarity — two different float op sequences. A
+    near-tie (two sims within ~1 ulp) could order differently and
+    flip the fused integer RRF scores. At the pinned sf0.01 corpus the
+    top-``pool`` sims are well separated (min adjacent gap >> 1e-12,
+    checked when publishing RESULTS_SHA); regenerate the hash and
+    re-check the gap if the embedding table or pool changes."""
     from .text import bm25_search
 
     lex = bm25_search(sf_dir, k=pool).to_pandas()  # bounded: pool rows

@@ -110,7 +110,7 @@ def approx_distinct_users(sf_dir: str, p: int = 12,
 
 
 def heavy_hitters(sf_dir: str, k: int = 64,
-                  n_buckets: int = 64) -> ray.data.Dataset:
+                  n_buckets: int | None = None) -> ray.data.Dataset:
     """Approximate heavy hitters (Misra-Gries / mergeable-summaries
     shape) over the documents token stream: <= ``k`` (token, est_cnt)
     rows whose estimates undercount by at most 2N/(k+1) total-weight
@@ -131,6 +131,8 @@ def heavy_hitters(sf_dir: str, k: int = 64,
     Pytest oracle: est <= true, true - est <= 2N/(k+1), and every
     token with true count > 2N/(k+1) survives. No SQL twin
     (approximate by design)."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 64)
     import hashlib
 
     from ..util import bucket_of

@@ -91,13 +91,15 @@ def nearest_city(webpages_path: str) -> ray.data.Dataset:
     return _mentions(webpages_path).map_batches(fn, batch_format="pyarrow")
 
 
-def host_bbox(webpages_path: str, n_buckets: int = 256) -> ray.data.Dataset:
+def host_bbox(webpages_path: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Per-host mention bounding box + centroid: (host, n_mentions,
     min/max lon/lat, cen_lon, cen_lat). min/max are exact; centroids
     sum EXACT integers (coords are 4-decimal, so round(c*10^4) is the
     same int64 on both engine and oracle, and integer sums are
     order-free — no float-sum merge-order parity risk), then one
     deterministic IEEE division, floor-quantized to 1e-6."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, webpages_path, 256)
 
     def partial(b: pa.Table) -> pa.Table:
         host = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
@@ -174,7 +176,7 @@ def host_tile_cover(webpages_path: str, zoom: int = 4) -> ray.data.Dataset:
 
 
 def zonal_stats(webpages_path: str, zoom: int = 3, n_zones: int = 64,
-                n_buckets: int = 256) -> ray.data.Dataset:
+                n_buckets: int | None = None) -> ray.data.Dataset:
     """Zonal statistics over the per-host convex hulls: for every
     host's hull polygon, how many mention points (from ANY host) fall
     inside it, the hull's shoelace area (global-pixel^2 at ``zoom``)
@@ -203,6 +205,8 @@ def zonal_stats(webpages_path: str, zoom: int = 3, n_zones: int = 64,
     the bbox prefilter cannot prune them; candidate volume is
     points x n_zones by construction and n_zones is the knob that
     keeps it linear."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, webpages_path, 256)
     from ..codec.geometry import surveyor_batch
     from ..geo.rtree import PackedRTree
     from ..pipeline.linetiles import _global_px
@@ -486,7 +490,7 @@ def trajectory_lengths(webpages_path: str) -> ray.data.Dataset:
     return _mentions(webpages_path).map_batches(fn, batch_format="pyarrow")
 
 def comention_edges(webpages_path: str, res: int = 5,
-                    n_buckets: int = 256) -> ray.data.Dataset:
+                    n_buckets: int | None = None) -> ray.data.Dataset:
     """Location co-occurrence graph: one edge per unordered pair of
     DISTINCT res-``res`` cells mentioned by the same url, weighted by
     the number of docs mentioning both — the self-join-on-doc edge
@@ -503,6 +507,8 @@ def comention_edges(webpages_path: str, res: int = 5,
     page), the knob a production run would cap; partials make the
     shuffle payload the number of distinct edges per batch, not the
     number of pair occurrences."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, webpages_path, 256)
     from ..geo import tilemath as tm
     from ..util import pair_key
 
@@ -639,7 +645,7 @@ def hotspot_regions(webpages_path: str, res: int = 5,
 
 
 def cell_compact(webpages_path: str, zoom: int = 12, min_zoom: int = 6,
-                 n_buckets: int = 256) -> ray.data.Dataset:
+                 n_buckets: int | None = None) -> ray.data.Dataset:
     """Hierarchical cell COMPACTION (the H3/S2 `compact` operation —
     cell_cover's complement): replace every complete 4-sibling set of
     occupied cells with its parent, recursively from ``zoom`` up to
@@ -652,6 +658,8 @@ def cell_compact(webpages_path: str, zoom: int = 12, min_zoom: int = 6,
     one sort + reduceat sibling count, promoted parents carry up,
     remainders emit. Same bounded-table-folds-driver-side contract as
     hotspot_regions."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, webpages_path, 256)
     import pandas as pd
 
     from ..pipeline.flagship import assign  # driver-side only

@@ -237,7 +237,7 @@ def _tokens_table(b: pa.Table) -> pa.Table:
 
 
 def vocab_topk(sf_dir: str, k: int = 100,
-               n_buckets: int = 64) -> ray.data.Dataset:
+               n_buckets: int | None = None) -> ray.data.Dataset:
     """Corpus vocabulary: top-k tokens by document frequency (ties by
     token ascending), with total term frequency — the vocabulary-build
     pass of a training-data pipeline.
@@ -249,6 +249,8 @@ def vocab_topk(sf_dir: str, k: int = 100,
     key.  ONE bounded groupby merges per-token partials and keeps each
     bucket's top-k, so the driver-side sort sees <= k x n_buckets
     rows no matter the corpus vocabulary size."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 64)
     import hashlib
 
     from ..util import bucket_of
@@ -416,7 +418,7 @@ def doc_tfidf_top(sf_dir: str, vocab_k: int = 100) -> ray.data.Dataset:
 
 
 def inverted_index(sf_dir: str, k: int = 16,
-                   n_buckets: int = 64) -> ray.data.Dataset:
+                   n_buckets: int | None = None) -> ray.data.Dataset:
     """Capped inverted index: per token, document frequency + the
     first min(k, df) doc_ids ascending as a comma-joined posting
     string — the index-build pass of a retrieval pipeline, with the
@@ -428,6 +430,8 @@ def inverted_index(sf_dir: str, k: int = 16,
     carry (token, partial_df, id list) into a bounded md5(token)
     bucket.  Merge: sum df, k smallest of the union of partial lists
     (each <= k ids, so merge work per token is O(parts * k))."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 64)
     import hashlib
 
     from ..util import bucket_of
@@ -677,7 +681,7 @@ def unigram_logprob(sf_dir: str, vocab_k: int = 256) -> ray.data.Dataset:
         fn, batch_format="pyarrow")
 
 def dedup_chunks(sf_dir: str, chunk_words: int = 4,
-                 n_buckets: int = 512) -> ray.data.Dataset:
+                 n_buckets: int | None = None) -> ray.data.Dataset:
     """C4-style corpus-wide duplicate-span removal: split every doc
     into fixed ``chunk_words``-word chunks (the ``chunk_documents``
     grammar), keep each distinct chunk's globally FIRST occurrence
@@ -695,6 +699,8 @@ def dedup_chunks(sf_dir: str, chunk_words: int = 4,
     16 hex chars of md5 (the repo's md5-derived parity rule), so the
     DuckDB twin partitions by substr(md5(chunk), 1, 16) and groups
     byte-identically."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 512)
     import hashlib
 
     from ..util import bucket_of
@@ -839,7 +845,7 @@ def pack_sequences(sf_dir: str, seq_len: int = 64,
 
 
 def bigram_pmi(sf_dir: str, vocab_k: int = 256, min_count: int = 5,
-               n_buckets: int = 256) -> ray.data.Dataset:
+               n_buckets: int | None = None) -> ray.data.Dataset:
     """Bigram PMI scoring (the phrase-detection pass of an NLP
     pipeline): for every adjacent token pair whose BOTH members are in
     the corpus top-``vocab_k`` vocabulary, pmi_micro = floor(ln(
@@ -855,6 +861,8 @@ def bigram_pmi(sf_dir: str, vocab_k: int = 256, min_count: int = 5,
 
     The float ln matches the oracle by the repo's floor-quantize rule
     (same double ops in the same order: ln((n_xy*N)/(tf1*tf2)))."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 256)
     from ray.data.aggregate import Sum
 
     vocab = vocab_topk(sf_dir, k=vocab_k).to_pandas()
@@ -1160,7 +1168,7 @@ def compression_ratio(sf_dir: str, level: int = 6) -> ray.data.Dataset:
         fn, batch_format="pyarrow")
 
 def bigram_logprob(sf_dir: str, vocab_k: int = 256,
-                   n_buckets: int = 256) -> ray.data.Dataset:
+                   n_buckets: int | None = None) -> ray.data.Dataset:
     """Bigram-LM document scoring — the next rung above
     ``unigram_logprob`` on the LM-quality-filter ladder: for every
     adjacent in-vocabulary token pair, lp = floor(ln((c(w1,w2) + 1) /
@@ -1176,6 +1184,8 @@ def bigram_logprob(sf_dir: str, vocab_k: int = 256,
     shuffle-free scoring pass looks pairs up via searchsorted against
     the broadcast count table. Docs never split across batches, so
     adjacency and per-doc sums complete in-batch."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 256)
     from ray.data.aggregate import Sum  # noqa: F401  (parity w/ unigram)
 
     vocab = vocab_topk(sf_dir, k=vocab_k).to_pandas()
@@ -1326,7 +1336,7 @@ def fuzzy_search(sf_dir: str,
 
 
 def char_trigrams(sf_dir: str, k: int = 20,
-                  n_buckets: int = 256) -> pd.DataFrame:
+                  n_buckets: int | None = None) -> pd.DataFrame:
     """Per-language character-trigram profile: the top-k most frequent
     3-char substrings per lang with exact counts — the feature table a
     statistical language-ID model trains on (document fingerprinting
@@ -1341,6 +1351,8 @@ def char_trigrams(sf_dir: str, k: int = 20,
     ONE bucket, so per-bucket top-k candidates are globally sound);
     the driver folds k*buckets candidate rows. State is bounded by
     the trigram VOCABULARY, not the corpus size."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 256)
     from ray.data.aggregate import Sum
 
     from raytiles.util import bucket_of
@@ -1379,17 +1391,38 @@ def char_trigrams(sf_dir: str, k: int = 20,
             "lang": pa.array(ulang, pa.string()),
             "key": ukey, "n": counts.astype(np.int64)})
 
-    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby(["lang", "key"], as_index=False)["n"].sum()
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        lang = g["lang"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy()
+        nn = g["n"].to_numpy()
+        order = np.lexsort((key, lang))
+        lang, key, nn = lang[order], key[order], nn[order]
+        if len(key) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        first = np.concatenate(
+            ([True], (lang[1:] != lang[:-1]) | (key[1:] != key[:-1])))
+        starts = np.flatnonzero(first)
+        tot = np.add.reduceat(nn, starts)
+        lang, key = lang[starts], key[starts]
         # per-lang local top-k candidates (globally sound: every key's
-        # count is complete inside its bucket)
-        m = m.sort_values(["lang", "n", "key"],
-                          ascending=[True, False, True])
-        return m.groupby("lang").head(k)
+        # count is complete inside its bucket): sort (lang asc, n
+        # desc, key asc) and keep each lang's first k rows
+        order = np.lexsort((key, -tot, lang))
+        lang, key, tot = lang[order], key[order], tot[order]
+        lfirst = np.concatenate(([True], lang[1:] != lang[:-1]))
+        lsizes = np.diff(np.append(np.flatnonzero(lfirst), len(lang)))
+        rank = np.arange(len(lang)) - np.repeat(
+            np.flatnonzero(lfirst), lsizes)
+        keep = rank < k
+        return pa.table({"lang": pa.array(lang[keep], pa.string()),
+                         "key": pa.array(key[keep].astype(np.int64)),
+                         "n": pa.array(tot[keep].astype(np.int64))})
 
     cand = _docs(sf_dir, ["lang", "text"]) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_topk, batch_format="pandas") \
+        .groupby("bucket").map_groups(bucket_topk, batch_format="pyarrow") \
         .to_pandas()
 
     out = []
@@ -1446,7 +1479,7 @@ def oov_rate(sf_dir: str, vocab_k: int = 100) -> ray.data.Dataset:
 
 
 def zipf_slope(sf_dir: str, topn: int = 100,
-               n_buckets: int = 64) -> ray.data.Dataset:
+               n_buckets: int | None = None) -> ray.data.Dataset:
     """Zipf rank-frequency fit per source: OLS slope of ln(tf) on
     ln(rank) over the top-``topn`` tokens (ties tf DESC, token ASC) —
     the corpus-health statistic a curation pipeline tracks (natural
@@ -1458,6 +1491,8 @@ def zipf_slope(sf_dir: str, topn: int = 100,
     regression runs over INT64 micro-nat quantized logs (the unigram
     trick), so every sum is order-free and the twin's HUGEINT sums
     cast to DOUBLE the same way."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 64)
     import hashlib
 
     from ..util import bucket_of

@@ -93,13 +93,15 @@ def train_split(sf_dir: str, val_pct: int = 5,
 # per-host aggregation over the webpages table
 # ---------------------------------------------------------------------------
 
-def host_stats(webpages_path: str, n_buckets: int = 256) -> ray.data.Dataset:
+def host_stats(webpages_path: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Per-host corpus stats: (host, n_docs, total_chars, n_en).
 
     Partial: one RE2 extract + one Arrow hash-aggregate per batch, so
     the shuffle moves <= hosts_in_batch rows per batch; md5-hashed
     hosts land in a bounded bucket key (hosts are unbounded at crawl
     scale — never the raw groupby key). Final: sum-merge per bucket."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, webpages_path, 256)
 
     def partial(b: pa.Table) -> pa.Table:
         host = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
@@ -134,7 +136,7 @@ def host_stats(webpages_path: str, n_buckets: int = 256) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 def customers_without_big_orders(sf_dir: str, threshold: float = 300000.0,
-                                 n_buckets: int = 256) -> ray.data.Dataset:
+                                 n_buckets: int | None = None) -> ray.data.Dataset:
     """Anti-join: customers with NO order above ``threshold`` (TPC-H
     Q22 shape), both sides big. The probe side prunes at the read
     (row filter pushed to the parquet scan) and collapses each batch
@@ -143,6 +145,8 @@ def customers_without_big_orders(sf_dir: str, threshold: float = 300000.0,
     the per-bucket finalizer sees every order key that could match its
     customers and one vectorized np.isin emits the non-matches.
     Shuffle payload: distinct keys per batch, never the order rows."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/customer.parquet", 256)
 
     def cust_tag(b: pa.Table) -> pa.Table:
         key = b["c_custkey"].to_numpy()
@@ -302,7 +306,7 @@ def doc_repetition(sf_dir: str) -> ray.data.Dataset:
 
 
 def boilerplate_ngrams(sf_dir: str, min_docs: int = 2,
-                       n_buckets: int = 256) -> ray.data.Dataset:
+                       n_buckets: int | None = None) -> ray.data.Dataset:
     """Cross-document repeated-n-gram (boilerplate) scoring: per doc,
     how many of its DISTINCT word 5-grams occur in >= min_docs docs
     corpus-wide — (doc_id, n_grams, n_boiler, boiler_ratio). The
@@ -318,6 +322,8 @@ def boilerplate_ngrams(sf_dir: str, min_docs: int = 2,
     boilerplate assumption (repeated-content vocabulary << corpus;
     same contract as decontaminate's benchmark set). Pass 2 is a
     shuffle-free np.isin scan per batch."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 256)
 
     path = f"{sf_dir}/documents.parquet"
 
@@ -399,7 +405,7 @@ def mixture_sample(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 def per_source_cap(sf_dir: str, k: int = 10,
-                   n_buckets: int = 64) -> ray.data.Dataset:
+                   n_buckets: int | None = None) -> ray.data.Dataset:
     """Keep at most k documents per source (smallest doc_ids win) —
     the host-level downsampling pass of crawl curation (one domain
     must not dominate the training mix).
@@ -410,6 +416,8 @@ def per_source_cap(sf_dir: str, k: int = 10,
     batch); ONE bounded splitmix(md5(source))-bucket groupby re-ranks
     and emits the global winners. No full sort, no per-source group
     materialization beyond a bucket."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 64)
     def _cap(t: pa.Table) -> pa.Table:
         t = t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
         s = t["source"].to_numpy(zero_copy_only=False)
@@ -441,7 +449,7 @@ def per_source_cap(sf_dir: str, k: int = 10,
 # ---------------------------------------------------------------------------
 
 def source_kl(sf_dir: str, vocab_k: int = 100,
-              n_buckets: int = 64) -> ray.data.Dataset:
+              n_buckets: int | None = None) -> ray.data.Dataset:
     """Data-mixing diagnostic: KL(source || corpus) over the top-V
     vocabulary's unigram distributions — how far each source's token
     mix sits from the corpus average (high-KL sources skew a training
@@ -456,6 +464,8 @@ def source_kl(sf_dir: str, vocab_k: int = 100,
     back and each source's KL finishes inside its bucket group —
     sources are hash-partitioned, so every (source, token) row of a
     source is local to one group."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 64)
     from .text import vocab_topk
 
     vocab = vocab_topk(sf_dir, vocab_k).to_pandas()["token"].tolist()
@@ -528,7 +538,7 @@ def source_kl(sf_dir: str, vocab_k: int = 100,
 
 
 def temperature_weights(sf_dir: str, alpha: float = 0.7,
-                        n_buckets: int = 64) -> "object":
+                        n_buckets: int | None = None) -> "object":
     """Temperature-scaled mixture weights (the multilingual /
     multi-domain sampling rule w_s = (n_s/N)^alpha, renormalized):
     upweights small sources, damps dominant ones. Also reports each
@@ -539,6 +549,8 @@ def temperature_weights(sf_dir: str, alpha: float = 0.7,
     batch| rows; ONE bounded bucket groupby merges; the normalization
     runs driver-side over the RESULT-SIZED per-source table (that
     table IS the query output — nothing unbounded materializes)."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 64)
     import pandas as pd
 
     def partial(b: pa.Table) -> pa.Table:
@@ -581,7 +593,7 @@ def temperature_weights(sf_dir: str, alpha: float = 0.7,
 
 def curation_manifest(sf_dir: str, score_min: float = 0.5,
                       lang_keep: str = "en",
-                      n_buckets: int = 512) -> ray.data.Dataset:
+                      n_buckets: int | None = None) -> ray.data.Dataset:
     """The composed keep/weight decision of the whole curation
     pipeline, one row per document: exact-dedup survivorship x quality
     score x language id x temperature mixture weight ->
@@ -595,6 +607,8 @@ def curation_manifest(sf_dir: str, score_min: float = 0.5,
     splitmix(doc_id) bucket groupby joins flags to survivorship.
     Thresholds compare floor-quantized values on both sides, so the
     keep boundary is bit-exact vs the SQL twin."""
+    from ..util import resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, f"{sf_dir}/documents.parquet", 512)
     import pandas as pd
 
     from .dedup import exact_dedup
@@ -644,17 +658,26 @@ def curation_manifest(sf_dir: str, score_min: float = 0.5,
             "weight": weight,
             "bucket": bucket_of(ids.astype(np.uint64), n_buckets)})
 
-    def decide(g: pd.DataFrame) -> pd.DataFrame:
-        surv = set(g.loc[g["side"] == 1, "doc_id"].to_numpy())
-        d = g[g["side"] == 0]
-        is_surv = d["doc_id"].isin(surv).to_numpy()
-        keep = (is_surv & (d["score"].to_numpy() >= score_min)
-                & (d["lang_pred"].to_numpy() == lang_keep))
-        return pd.DataFrame({
-            "doc_id": d["doc_id"].to_numpy(),
-            "is_survivor": is_surv.astype(np.int64),
-            "keep": keep.astype(np.int64),
-            "weight": np.where(keep, d["weight"].to_numpy(), 0.0)})
+    def decide(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        surv_ids = np.sort(ids[side == 1])
+        dm = side == 0
+        d_ids = ids[dm]
+        is_surv = np.zeros(len(d_ids), bool)
+        if len(surv_ids):
+            pos = np.clip(np.searchsorted(surv_ids, d_ids),
+                          0, len(surv_ids) - 1)
+            is_surv = surv_ids[pos] == d_ids
+        lang_pred = g["lang_pred"].to_numpy(zero_copy_only=False)[dm]
+        keep = (is_surv & (g["score"].to_numpy()[dm] >= score_min)
+                & (lang_pred == lang_keep))
+        return pa.table({
+            "doc_id": pa.array(d_ids.astype(np.int64)),
+            "is_survivor": pa.array(is_surv.astype(np.int64)),
+            "keep": pa.array(keep.astype(np.int64)),
+            "weight": pa.array(
+                np.where(keep, g["weight"].to_numpy()[dm], 0.0))})
 
     surv = exact_dedup(sf_dir).map_batches(surv_rows, batch_format="pyarrow")
     docs = ray.data.read_parquet(
@@ -662,4 +685,4 @@ def curation_manifest(sf_dir: str, score_min: float = 0.5,
         columns=["doc_id", "text", "source"]) \
         .map_batches(doc_rows, batch_format="pyarrow")
     return docs.union(surv).groupby("bucket") \
-        .map_groups(decide, batch_format="pandas")
+        .map_groups(decide, batch_format="pyarrow")

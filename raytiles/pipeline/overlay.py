@@ -512,30 +512,45 @@ def tilestats(tiles: ray.data.Dataset,
             "rank": np.asarray(ranks, np.int64),
             "bucket": kh % n_buckets})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pa.Table) -> pa.Table:
+        lay_a = np.asarray(g["layer"].to_numpy(zero_copy_only=False))
+        key_a = np.asarray(g["key"].to_numpy(zero_copy_only=False))
+        n_a = g["n"].to_numpy()
+        reg_a = g["reg"].to_numpy()
+        rank_a = g["rank"].to_numpy()
+        order = np.lexsort((key_a, lay_a))
+        lay_a, key_a = lay_a[order], key_a[order]
+        n_a, reg_a, rank_a = n_a[order], reg_a[order], rank_a[order]
         out = {"layer": [], "key": [], "n_features": [],
                "approx_distinct": []}
-        for (lay, key), grp in g.groupby(["layer", "key"]):
-            n = int(grp.loc[grp["reg"] < 0, "n"].sum())
-            rd = grp[grp["reg"] >= 0]
-            if len(rd):
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (lay_a[1:] != lay_a[:-1]) | (key_a[1:] != key_a[:-1])))) \
+            if len(lay_a) else np.empty(0, np.int64)
+        bounds = np.append(starts, len(lay_a))
+        for i in range(len(starts)):
+            s, e = bounds[i], bounds[i + 1]
+            regs, ranks = reg_a[s:e], rank_a[s:e]
+            stats_m = regs < 0
+            n = int(n_a[s:e][stats_m].sum())
+            rd_m = ~stats_m
+            if rd_m.any():
                 dense = np.zeros(m, np.int64)
-                mx = rd.groupby("reg")["rank"].max()
-                dense[mx.index.to_numpy()] = mx.to_numpy()
+                np.maximum.at(dense, regs[rd_m], ranks[rd_m])
                 est = _hll_estimate(dense)
             else:
                 est = 0
-            out["layer"].append(lay)
-            out["key"].append(key)
+            out["layer"].append(lay_a[s])
+            out["key"].append(key_a[s])
             out["n_features"].append(n)
             out["approx_distinct"].append(est)
-        return pd.DataFrame({k: np.asarray(v, dtype=object)
-                             if k in ("layer", "key")
-                             else np.asarray(v, np.int64)
-                             for k, v in out.items()})
+        return pa.table({
+            "layer": pa.array(out["layer"], pa.string()),
+            "key": pa.array(out["key"], pa.string()),
+            "n_features": pa.array(out["n_features"], pa.int64()),
+            "approx_distinct": pa.array(out["approx_distinct"], pa.int64())})
 
     return tiles.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pandas")
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def mvt_downzoom(tiles: ray.data.Dataset,
@@ -566,15 +581,30 @@ def mvt_downzoom(tiles: ray.data.Dataset,
             "z": z - 1, "px": x >> 1, "py": y >> 1, "cx": x, "cy": y,
             "mvt": t["mvt"], "bucket": bucket_of(key, n_buckets)})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pa.Table) -> pa.Table:
+        pz_a = g["z"].to_numpy()
+        px_a = g["px"].to_numpy()
+        py_a = g["py"].to_numpy()
+        cx_a = g["cx"].to_numpy()
+        cy_a = g["cy"].to_numpy()
+        mvt_a = g["mvt"].to_pylist()
+        order = np.lexsort((cy_a, cx_a, py_a, px_a, pz_a))
         rows = {"z": [], "x": [], "y": [], "mvt": [], "n_features": []}
-        for (pz, px, py), grp in g.groupby(["z", "px", "py"]):
-            grp = grp.sort_values(["cx", "cy"])
+        starts = np.flatnonzero(np.concatenate(([True], (
+            (pz_a[order][1:] != pz_a[order][:-1])
+            | (px_a[order][1:] != px_a[order][:-1])
+            | (py_a[order][1:] != py_a[order][:-1])))))  \
+            if len(order) else np.empty(0, np.int64)
+        bounds = np.append(starts, len(order))
+        for gi in range(len(starts)):
+            idx = order[bounds[gi]:bounds[gi + 1]]  # (cx, cy) child order
+            pz, px, py = int(pz_a[idx[0]]), int(px_a[idx[0]]), \
+                int(py_a[idx[0]])
             layers = {}
-            for _, r in grp.iterrows():
-                dx = int(r["cx"] & 1) * 4096
-                dy = int(r["cy"] & 1) * 4096
-                child = decode_tile(r["mvt"])
+            for ri in idx:
+                dx = int(cx_a[ri] & 1) * 4096
+                dy = int(cy_a[ri] & 1) * 4096
+                child = decode_tile(mvt_a[ri])
                 for name, lay in child.layers.items():
                     dst = layers.setdefault(
                         name, Layer(name=lay.name, version=lay.version,
@@ -591,17 +621,22 @@ def mvt_downzoom(tiles: ray.data.Dataset,
                             f.fid, f.metadata,
                             [[scale(rg, dx, dy) for rg in rings]
                              for rings in f.geometry]))
-            rows["z"].append(np.int64(pz))
-            rows["x"].append(np.int64(px))
-            rows["y"].append(np.int64(py))
+            rows["z"].append(pz)
+            rows["x"].append(px)
+            rows["y"].append(py)
             rows["mvt"].append(encode_tile(VectorTile(layers)))
-            rows["n_features"].append(np.int64(sum(
+            rows["n_features"].append(int(sum(
                 len(l.points) + len(l.linestrings) + len(l.polygons)
                 for l in layers.values())))
-        return pd.DataFrame(rows)
+        return pa.table({
+            "z": pa.array(rows["z"], pa.int64()),
+            "x": pa.array(rows["x"], pa.int64()),
+            "y": pa.array(rows["y"], pa.int64()),
+            "mvt": pa.array(rows["mvt"], pa.binary()),
+            "n_features": pa.array(rows["n_features"], pa.int64())})
 
     return tiles.map_batches(part, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(merge, batch_format="pandas")
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def mvt_merge_layers(a: ray.data.Dataset,
@@ -633,12 +668,26 @@ def mvt_merge_layers(a: ray.data.Dataset,
     tagged = a.map_batches(tag(0), batch_format="pyarrow").union(
         b.map_batches(tag(1), batch_format="pyarrow"))
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        z_a = g["z"].to_numpy()
+        x_a = g["x"].to_numpy()
+        y_a = g["y"].to_numpy()
+        side_a = g["side"].to_numpy()
+        mvt_a = g["mvt"].to_pylist()
+        order = np.lexsort((side_a, y_a, x_a, z_a))
+        starts = np.flatnonzero(np.concatenate(([True], (
+            (z_a[order][1:] != z_a[order][:-1])
+            | (x_a[order][1:] != x_a[order][:-1])
+            | (y_a[order][1:] != y_a[order][:-1]))))) \
+            if len(order) else np.empty(0, np.int64)
+        bounds = np.append(starts, len(order))
         rows = {"z": [], "x": [], "y": [], "mvt": [], "n_features": []}
-        for (z, x, y), grp in g.groupby(["z", "x", "y"]):
+        for gi in range(len(starts)):
+            idx = order[bounds[gi]:bounds[gi + 1]]  # side order in-group
+            z, x, y = int(z_a[idx[0]]), int(x_a[idx[0]]), int(y_a[idx[0]])
             layers = {}
-            for _, r in grp.sort_values("side").iterrows():
-                tile = decode_tile(r["mvt"])
+            for ri in idx:
+                tile = decode_tile(mvt_a[ri])
                 for name, lay in tile.layers.items():
                     dst = layers.get(name)
                     if dst is None:
@@ -657,17 +706,22 @@ def mvt_merge_layers(a: ray.data.Dataset,
                     dst.points.extend(lay.points)
                     dst.linestrings.extend(lay.linestrings)
                     dst.polygons.extend(lay.polygons)
-            rows["z"].append(np.int64(z))
-            rows["x"].append(np.int64(x))
-            rows["y"].append(np.int64(y))
+            rows["z"].append(z)
+            rows["x"].append(x)
+            rows["y"].append(y)
             rows["mvt"].append(encode_tile(VectorTile(layers)))
-            rows["n_features"].append(np.int64(sum(
+            rows["n_features"].append(int(sum(
                 len(l.points) + len(l.linestrings) + len(l.polygons)
                 for l in layers.values())))
-        return pd.DataFrame(rows)
+        return pa.table({
+            "z": pa.array(rows["z"], pa.int64()),
+            "x": pa.array(rows["x"], pa.int64()),
+            "y": pa.array(rows["y"], pa.int64()),
+            "mvt": pa.array(rows["mvt"], pa.binary()),
+            "n_features": pa.array(rows["n_features"], pa.int64())})
 
     return tagged.groupby("bucket").map_groups(
-        merge_bucket, batch_format="pandas")
+        merge_bucket, batch_format="pyarrow")
 
 
 def mvt_label_place(tiles: ray.data.Dataset, priority_key: bytes,

@@ -20,6 +20,28 @@ import ray.data
 from ..codec.decode import decode_tile_safe
 
 
+def _write_shard(root: str, stem: str, ext: str, payload: bytes) -> None:
+    """Write one content-addressed shard file, collision-safe.
+
+    Shards are named by a content hash (deterministic across runs), but
+    two byte-identical blocks must still land as TWO files or read-back
+    loses row multiplicity. ``open('xb')`` (O_EXCL, atomic across Ray
+    worker processes) detects the collision and disambiguates with a
+    ``-<n>`` suffix. Sinks therefore expect a fresh target directory —
+    resuming into a half-written dir is the checkpoint layer's job."""
+    import os
+    path = os.path.join(root, f"{stem}.{ext}")
+    n = 0
+    while True:
+        try:
+            with open(path, "xb") as fh:
+                fh.write(payload)
+            return
+        except FileExistsError:
+            n += 1
+            path = os.path.join(root, f"{stem}-{n}.{ext}")
+
+
 def read_mvt_dir(root: str) -> ray.data.Dataset:
     """Read every ``<root>/<z>/<x>/<y>.mvt`` into rows (z, x, y,
     n_bytes, n_layers, n_features, ok). Tiles that fail to decode
@@ -142,8 +164,7 @@ def write_webpages_jsonl(ds: ray.data.Dataset, root: str,
                 zf.write(payload)
             payload = buf.getvalue()
         ext = "jsonl.gz" if gz else "jsonl"
-        with open(os.path.join(root, f"part-{name}.{ext}"), "wb") as fh:
-            fh.write(payload)
+        _write_shard(root, f"part-{name}", ext, payload)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     ds.map_batches(dump, batch_format="pyarrow").materialize()
@@ -235,8 +256,7 @@ def write_webpages_warc(ds: ray.data.Dataset, root: str) -> None:
             parts.append(header + http + b"\r\n\r\n")
         payload = b"".join(parts)
         name = hashlib.md5(payload).hexdigest()[:16]
-        with open(os.path.join(root, f"part-{name}.warc"), "wb") as fh:
-            fh.write(payload)
+        _write_shard(root, f"part-{name}", "warc", payload)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     ds.map_batches(dump, batch_format="pyarrow").materialize()
@@ -315,8 +335,7 @@ def write_webpages_ipc(ds: ray.data.Dataset, root: str) -> None:
             w.write_table(t)
         buf = sink.getvalue()
         name = hashlib.md5(buf).hexdigest()[:16]
-        with open(os.path.join(root, f"part-{name}.arrow"), "wb") as fh:
-            fh.write(buf)
+        _write_shard(root, f"part-{name}", "arrow", buf)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     ds.map_batches(dump, batch_format="pyarrow").materialize()
@@ -359,8 +378,7 @@ def write_webpages_orc(ds: ray.data.Dataset, root: str) -> None:
         orc.write_table(t, sink)
         buf = sink.getvalue()
         name = hashlib.md5(buf).hexdigest()[:16]
-        with open(os.path.join(root, f"part-{name}.orc"), "wb") as fh:
-            fh.write(buf)
+        _write_shard(root, f"part-{name}", "orc", buf)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     ds.map_batches(dump, batch_format="pyarrow").materialize()
@@ -546,8 +564,7 @@ def write_webpages_tfrecord(ds: ray.data.Dataset, root: str) -> None:
                          + p + struct.pack("<I", int(data_crc[i])))
         payload = b"".join(parts)
         name = hashlib.md5(payload).hexdigest()[:16]
-        with open(os.path.join(root, f"part-{name}.tfrecord"), "wb") as fh:
-            fh.write(payload)
+        _write_shard(root, f"part-{name}", "tfrecord", payload)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     ds.map_batches(dump, batch_format="pyarrow").materialize()
@@ -636,8 +653,7 @@ def write_webpages_wds(ds: ray.data.Dataset, root: str) -> None:
                     tf.addfile(info, io.BytesIO(data))
         payload = bio.getvalue()
         name = hashlib.md5(payload).hexdigest()[:16]
-        with open(os.path.join(root, f"part-{name}.tar"), "wb") as fh:
-            fh.write(payload)
+        _write_shard(root, f"part-{name}", "tar", payload)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     ds.map_batches(dump, batch_format="pyarrow").materialize()
@@ -702,8 +718,7 @@ def write_embeddings_npz(ds: ray.data.Dataset, root: str) -> None:
         np.savez(bio, vec_id=ids, mat=mat, label=label)
         payload = bio.getvalue()
         name = hashlib.md5(payload).hexdigest()[:16]
-        with open(os.path.join(root, f"part-{name}.npz"), "wb") as fh:
-            fh.write(payload)
+        _write_shard(root, f"part-{name}", "npz", payload)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     ds.map_batches(dump, batch_format="pyarrow").materialize()

@@ -9,6 +9,8 @@ place that mixing lives so every operator derives buckets the same way
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import ray
 
@@ -30,6 +32,51 @@ def bucket_of(x, n_buckets: int) -> np.ndarray:
     """Bounded shuffle-bucket ids (int64 in [0, n_buckets)) for an
     integer key array."""
     return (splitmix64(x) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def derive_buckets(path: str, floor: int = 256, cap: int = 1 << 20,
+                   target_bytes: int = 32 << 20) -> int:
+    """Bounded-bucket count derived from INPUT SIZE — the flagship
+    read_webpages pattern (pipeline/flagship.py:44-75) applied to every
+    bucketed ``groupby("bucket").map_groups`` op: a FIXED bucket count
+    means per-group block size grows linearly with input (256 buckets
+    over 10^12 rows = ~4B rows in one group block), so instead the
+    count scales so each bucket sees ~``target_bytes`` of compressed
+    input (~3x that in heap once decoded).
+
+    - ``floor`` keeps the historical bounded-domain layout at test
+      scale (sf0.001-0.1 inputs are far below floor*target_bytes, so
+      derived == floor == the old fixed default and RESULTS at small
+      sf are a pure re-layout, i.e. unchanged).
+    - ``cap`` bounds the group-key domain (groups are cheap — the sort
+      shuffle's cost rides block counts, not key cardinality — but a
+      runaway domain adds per-group dispatch overhead).
+    - Derived from DATA size, not cluster size, on purpose: the same
+      dataset gets the same layout at N and 4N nodes (cpu-scaled
+      counts made the 4N leg pay a wider shuffle for nothing — the
+      measured flagship lesson).
+    """
+    forced = os.environ.get("RAYTILES_FORCE_BUCKETS")
+    if forced:  # test hook: layout-invariance runs force a weird count
+        return int(forced)
+    total = 0
+    if os.path.isdir(path):
+        with os.scandir(path) as it:
+            total = sum(e.stat().st_size for e in it if e.is_file())
+    elif os.path.isfile(path):
+        total = os.path.getsize(path)
+    return int(min(cap, max(floor, total // target_bytes)))
+
+
+def resolve_buckets(n_buckets, path: str, floor: int) -> int:
+    """Bucket-count resolution for every bucketed op: an explicit
+    ``n_buckets`` wins; ``None`` derives from the op's input-table size
+    (``derive_buckets``), with ``floor`` = the op's historical fixed
+    default so small-scale layouts (and RESULTS_SHA) are unchanged.
+    Driver-side only — runs at op construction, never on workers."""
+    if n_buckets is not None:
+        return int(n_buckets)
+    return derive_buckets(path, floor=floor)
 
 
 def pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:

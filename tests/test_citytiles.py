@@ -1,0 +1,107 @@
+"""Composed multi-layer multi-geometry tileset (citytiles):
+
+- protobuf-concat parity: the fused two-layer encoder's bytes decode
+  to exactly the union of the separately-encoded point and trajectory
+  layers (a Tile message is repeated layer fields — reference
+  Tile.hs:56 — so concatenation of disjoint-named single-layer tiles
+  is the valid multi-layer tile);
+- decode-back: the full pipeline yields at least one tile carrying
+  ALL THREE geometry families (points + linestrings + polygons in one
+  tile — the reference's roads.mvt shape, test/Test.hs:44-48), and
+  every tile decodes with the expected layer names.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raytiles.codec.decode import decode_tile
+from raytiles.pipeline.citytiles import (city_tiles_pipeline,
+                                         encode_point_line_batch)
+from raytiles.pipeline.synth import generate_webpages
+
+
+def _packed_fixture() -> pa.Table:
+    """Two packed tile rows: one with a >=2-point url run (gets a
+    trajectory layer), one single-mention tile (points only)."""
+    return pa.table({
+        "z": pa.array([6, 6], pa.int32()),
+        "x": pa.array([10, 11], pa.int32()),
+        "y": pa.array([20, 20], pa.int32()),
+        "urls": pa.array([["http://a/1", "http://a/1", "http://b/2"],
+                          ["http://c/3"]],
+                         pa.list_(pa.string())),
+        "mention_idx": pa.array([[0, 1, 0], [0]], pa.list_(pa.int32())),
+        "local_x": pa.array([[100, 200, 300], [50]], pa.list_(pa.int32())),
+        "local_y": pa.array([[110, 210, 310], [60]], pa.list_(pa.int32())),
+    })
+
+
+def test_concat_is_two_layer_tile():
+    from raytiles.pipeline.encode_stage import FastPointEncoder
+    from raytiles.pipeline.trajectories import encode_trajectories
+
+    batch = _packed_fixture()
+    fused = encode_point_line_batch(batch)
+    assert fused.num_rows == 2
+    pts = FastPointEncoder()(batch)
+    lines = encode_trajectories(batch)
+
+    # row 0: both layers; decoded layers equal the separately decoded
+    # single-layer tiles' layers, feature for feature
+    t0 = decode_tile(fused["mvt"][0].as_py())
+    assert set(t0.layers) == {b"mentions", b"trajectories"}
+    p0 = decode_tile(pts["mvt"][0].as_py())
+    l0 = decode_tile(lines["mvt"][0].as_py())
+    m_f, m_p = t0.layers[b"mentions"], p0.layers[b"mentions"]
+    assert len(m_f.points) == len(m_p.points) == 3
+    for a, b in zip(m_f.points, m_p.points):
+        assert a.fid == b.fid and a.metadata == b.metadata
+        assert np.array_equal(np.asarray(a.geometry), np.asarray(b.geometry))
+    tr_f, tr_l = t0.layers[b"trajectories"], l0.layers[b"trajectories"]
+    assert len(tr_f.linestrings) == len(tr_l.linestrings) == 1
+    a, b = tr_f.linestrings[0], tr_l.linestrings[0]
+    assert a.metadata == b.metadata
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a.geometry, b.geometry))
+    assert fused["n_features"][0].as_py() == 4
+    assert fused["n_layers"][0].as_py() == 2
+
+    # row 1: single mention -> points layer only
+    t1 = decode_tile(fused["mvt"][1].as_py())
+    assert set(t1.layers) == {b"mentions"}
+    assert fused["n_layers"][1].as_py() == 1
+
+
+def test_city_tileset_three_families(tmp_path):
+    import ray.data
+
+    table = generate_webpages(500)
+    path = str(tmp_path / "webpages.parquet")
+    import pyarrow.parquet as pq
+    pq.write_table(table, path)
+
+    df = city_tiles_pipeline(path, 6).to_pandas()
+    assert len(df) > 0
+    fams = {b"mentions": 0, b"trajectories": 0, b"hulls": 0}
+    all_three = 0
+    n_geoms = 0
+    for mvt in df["mvt"]:
+        t = decode_tile(bytes(mvt))
+        names = set(t.layers)
+        assert names <= {b"mentions", b"trajectories", b"hulls"}
+        for nm in names:
+            fams[nm] += 1
+        if len(names) == 3:
+            all_three += 1
+            lay = t.layers
+            assert lay[b"mentions"].points
+            assert lay[b"trajectories"].linestrings
+            assert lay[b"hulls"].polygons
+        n_geoms += sum(len(l.points) + len(l.linestrings) + len(l.polygons)
+                       for l in t.layers.values())
+    # every family present in the tileset, and at least one tile
+    # carries all three at once (the roads.mvt shape)
+    assert all(v > 0 for v in fams.values())
+    assert all_three >= 1
+    assert n_geoms == int(df["n_features"].sum())
