@@ -448,12 +448,107 @@ def _decode_tile_small(buf, n: int):
     return tile
 
 
+_FEATURE_NEW = Feature.__new__
+_LAYER_NEW = Layer.__new__
+_TILE_NEW = VectorTile.__new__
+
+
+def _decode_tile_onepoint(buf, n):
+    """STRAIGHT-LINE decode of the canonical single-point tiny tile
+    (the dominant tile-server shape and the reference's onepoint.mvt
+    benchmark row): one layer in canonical field order (name, ONE
+    point feature with single-byte fid and [MoveTo zx zy] geometry,
+    extent, version), every header and varint single-byte except the
+    2-byte extent. No loops, no span lists; dataclass __init__ is
+    bypassed with __new__ + direct slot stores (measured ~2x the
+    whole-call throughput vs the fused loop path). Returns None on
+    ANY deviation — the fused small scan, then the exact path, own
+    all other shapes and every error message."""
+    if buf[0] != 0x1A:
+        return None
+    lay_len = buf[1]
+    if (lay_len & 0x80) or 2 + lay_len != n:
+        return None
+    if buf[2] != 0x0A:
+        return None
+    name_len = buf[3]
+    if name_len & 0x80:
+        return None
+    p = 4 + name_len
+    name = buf[4:p]
+    if buf[p] != 0x12:
+        return None
+    feat_len = buf[p + 1]
+    if feat_len & 0x80:
+        return None
+    fe = p + 2 + feat_len
+    p += 2
+    fid = 0
+    if buf[p] == 0x08:
+        fid = buf[p + 1]
+        if fid & 0x80:
+            return None
+        p += 2
+    if buf[p] != 0x18 or buf[p + 1] != 1:
+        return None
+    p += 2
+    if buf[p] != 0x22 or buf[p + 1] != 3 or p + 5 != fe:
+        return None
+    if buf[p + 2] != 9:  # MoveTo, count 1
+        return None
+    zx = buf[p + 3]
+    zy = buf[p + 4]
+    if (zx | zy) & 0x80:
+        return None
+    p = fe
+    extent = DEFAULT_EXTENT
+    version = 1
+    if p < n and buf[p] == 0x28:
+        v = buf[p + 1]
+        if v & 0x80:
+            b2 = buf[p + 2]
+            if b2 & 0x80:
+                return None
+            extent = (v & 0x7F) | (b2 << 7)
+            p += 3
+        else:
+            extent = v
+            p += 2
+    if p < n and buf[p] == 0x78:
+        version = buf[p + 1]
+        if version & 0x80:
+            return None
+        p += 2
+    if p != n:
+        return None
+    pt = np.empty((1, 2), np.int64)
+    pt[0, 0] = (zx >> 1) ^ -(zx & 1)  # single-byte zigzag: no int32 wrap
+    pt[0, 1] = (zy >> 1) ^ -(zy & 1)
+    f = _FEATURE_NEW(Feature)
+    f.fid = fid
+    f.metadata = {}
+    f.geometry = pt
+    lay = _LAYER_NEW(Layer)
+    lay.name = name
+    lay.version = version
+    lay.extent = extent
+    lay.points = [f]
+    lay.linestrings = []
+    lay.polygons = []
+    tile = _TILE_NEW(VectorTile)
+    tile.layers = {name: lay}
+    return tile
+
+
 def decode_tile(buf: bytes) -> VectorTile:
     """`tile` (lib/Geography/VectorTile.hs:70-71). Raises CodecError."""
     n_small = len(buf)
     if n_small <= SMALL_TILE_BYTES:
         try:
-            tile = _decode_tile_small(buf, n_small)
+            tile = _decode_tile_onepoint(buf, n_small) if n_small >= 10 \
+                else None
+            if tile is None:
+                tile = _decode_tile_small(buf, n_small)
         except (IndexError, wire.WireError):
             tile = None  # general path re-raises with wrapped text
         if tile is not None:

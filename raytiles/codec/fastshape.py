@@ -368,3 +368,111 @@ def encode_trajectory_tiles(tile_offsets: np.ndarray,
                                tags, vcount, inner, inner_lens,
                                b"trajectories", [b"url", b"n_points"],
                                extent, version)
+
+
+# ---------------------------------------------------------------------------
+# hull layer: one variable-length single-ring polygon per host
+# ---------------------------------------------------------------------------
+
+def encode_hull_tiles(tile_offsets: np.ndarray,
+                      hosts: np.ndarray,
+                      n_mentions: np.ndarray,
+                      ring_offsets: np.ndarray,
+                      lx: np.ndarray, ly: np.ndarray,
+                      extent: int = 4096,
+                      version: int = 2) -> list[bytes]:
+    """Encode T hull-polygon tiles at once (the polytiles face batched
+    — generalizing the trajectory kernel to polygons).
+
+    tile_offsets: (T+1,) FEATURE spans per tile; ring_offsets: (n+1,)
+    point spans per feature into lx/ly (each span one CLOSED exterior
+    ring as handed to the generic encoder); hosts: one utf-8 bytes (or
+    str) per feature; metadata {host: St, n_mentions: I64}. Geometry
+    follows codec.geometry.encode_polygons exactly: drop the closing
+    point, MoveTo head, LineTo rest, ClosePath — byte-identical to the
+    generic encoder (asserted by tests/test_citytiles.py)."""
+    n = ring_offsets.size - 1
+    T = tile_offsets.size - 1
+    if n == 0:
+        return [b""] * T
+    tile_of = np.repeat(np.arange(T), np.diff(tile_offsets))
+    m_in = np.diff(ring_offsets)
+    # strip each ring's closing point (generic-encoder parity)
+    keep = np.ones(lx.size, dtype=bool)
+    keep[ring_offsets[1:] - 1] = False
+    lx = lx[keep].astype(np.int64)
+    ly = ly[keep].astype(np.int64)
+    m = m_in - 1  # stripped points per ring
+    roff = np.concatenate([[0], np.cumsum(m)])
+
+    # geometry stream: MoveTo(1) z z | LineTo(m-1) deltas | ClosePath
+    glen = 3 + 2 * m
+    geom_offsets = np.concatenate([[0], np.cumsum(glen)])
+    geom = np.zeros(int(geom_offsets[-1]), dtype=np.uint64)
+    gs = geom_offsets[:-1]
+    geom[gs] = 9  # MoveTo(1)
+    geom[gs + 1] = _zig32(lx[roff[:-1]])
+    geom[gs + 2] = _zig32(ly[roff[:-1]])
+    geom[gs + 3] = ((m - 1).astype(np.uint64) << np.uint64(3)) | np.uint64(2)
+    geom[geom_offsets[1:] - 1] = 15  # ClosePath(1)
+    pt_feat = np.repeat(np.arange(n), m)
+    not_first = np.ones(lx.size, dtype=bool)
+    not_first[roff[:-1]] = False
+    dx = np.zeros(lx.size, dtype=np.int64)
+    dy = np.zeros(ly.size, dtype=np.int64)
+    dx[1:] = lx[1:] - lx[:-1]
+    dy[1:] = ly[1:] - ly[:-1]
+    sel = np.flatnonzero(not_first)
+    rank = np.arange(lx.size, dtype=np.int64) - np.repeat(roff[:-1], m)
+    dst = gs[pt_feat[sel]] + 4 + 2 * (rank[sel] - 1)
+    geom[dst] = _zig32(dx[sel])
+    geom[dst + 1] = _zig32(dy[sel])
+
+    # value identity: even = host, odd = n_mentions
+    host_codes, host_uniques = pd.factorize(pd.Series(hosts), sort=False)
+    nm_codes, _ = pd.factorize(n_mentions, sort=False)
+    inter = np.empty(2 * n, dtype=np.int64)
+    inter[0::2] = 2 * host_codes.astype(np.int64)
+    inter[1::2] = 2 * nm_codes.astype(np.int64) + 1
+    vidx, uniq_rows, _, vcount = _per_tile_value_dicts(tile_of, inter, T, 2)
+
+    tags = np.empty((n, 4), dtype=np.uint64)
+    tags[:, 0] = 0
+    tags[:, 1] = vidx[0::2].astype(np.uint64)
+    tags[:, 2] = 1
+    tags[:, 3] = vidx[1::2].astype(np.uint64)
+
+    is_host = uniq_rows % 2 == 0
+    feat_of_row = uniq_rows // 2
+    nu = uniq_rows.size
+    host_payload = pd.Series(host_uniques).str.encode("utf-8").to_numpy() \
+        if len(host_uniques) and isinstance(host_uniques[0], str) \
+        else np.asarray(host_uniques)
+    u_host_bytes = host_payload[host_codes[feat_of_row[is_host]]]
+    u_host_lens = np.fromiter((len(b) for b in u_host_bytes), np.int64,
+                              count=len(u_host_bytes))
+    u_host_len_lens = _varint_lengths(u_host_lens.astype(np.uint64))
+    u_nm = n_mentions[feat_of_row[~is_host]].astype(np.uint64)
+    nm_vlen = _varint_lengths(u_nm)
+    inner_lens = np.empty(nu, dtype=np.int64)
+    inner_lens[is_host] = 1 + u_host_len_lens + u_host_lens  # 0x0A <len> <b>
+    inner_lens[~is_host] = 1 + nm_vlen                       # 0x20 <varint>
+    inner_starts = np.cumsum(inner_lens) - inner_lens
+    inner = np.zeros(int(inner_lens.sum()), dtype=np.uint8)
+    hs = inner_starts[is_host]
+    inner[hs] = 0x0A
+    hl_bytes = np.frombuffer(
+        wire.uvarint_encode_array(u_host_lens.astype(np.uint64)), np.uint8)
+    _scatter_varints(inner, hs + 1, hl_bytes, u_host_len_lens)
+    if u_host_bytes.size:
+        inner[_ragged_target_idx(hs + 1 + u_host_len_lens, u_host_lens)] = \
+            np.frombuffer(b"".join(u_host_bytes.tolist()), np.uint8)
+    ns_ = inner_starts[~is_host]
+    inner[ns_] = 0x20
+    nm_bytes = np.frombuffer(wire.uvarint_encode_array(u_nm), np.uint8)
+    _scatter_varints(inner, ns_ + 1, nm_bytes, nm_vlen)
+
+    return _encode_layer_tiles(tile_offsets, 3, geom, geom_offsets,
+                               tags, vcount, inner, inner_lens,
+                               b"hulls", [b"host", b"n_mentions"],
+                               extent, version)

@@ -37,6 +37,7 @@ import ray
 import ray.data
 
 from ..codec.encode import encode_tile
+from ..codec.fastshape import encode_hull_tiles
 from ..codec.geometry import surveyor_batch
 from ..codec.model import I64V, ST, Feature, Layer, VectorTile
 from ..geo.clip import clip_rings
@@ -366,9 +367,10 @@ def _tiling_stage(zoom: int, buffer: int, n_buckets: int = 256):
     return fn
 
 
-def _assemble_bucket(g: pa.Table) -> pa.Table:
+def _assemble_bucket_generic(g: pa.Table) -> pa.Table:
     """One polygon feature per (tile, host), host order, generic MVT
-    encode per tile."""
+    encode per tile — kept as the byte-equality oracle for the batched
+    kernel (tests/test_citytiles.py)."""
     tz = g["z"].to_numpy()
     tx = g["x"].to_numpy()
     ty = g["y"].to_numpy()
@@ -406,6 +408,47 @@ def _assemble_bucket(g: pa.Table) -> pa.Table:
         "y": pa.array(out["y"], pa.int32()),
         "mvt": pa.array(out["mvt"], pa.binary()),
         "n_polys": pa.array(out["n_polys"], pa.int64())})
+
+
+def _assemble_bucket(g: pa.Table) -> pa.Table:
+    """One polygon feature per (tile, host), host order — WHOLE-GROUP
+    batched encode (codec.fastshape.encode_hull_tiles): one numpy pass
+    assembles every tile in the bucket, byte-identical to the generic
+    per-tile path (_assemble_bucket_generic, pinned by pytest)."""
+    n = g.num_rows
+    if n == 0:
+        return pa.table({
+            "z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+            "y": pa.array([], pa.int32()), "mvt": pa.array([], pa.binary()),
+            "n_polys": pa.array([], pa.int64())})
+    tz = g["z"].to_numpy()
+    tx = g["x"].to_numpy()
+    ty = g["y"].to_numpy()
+    host = np.asarray(g["host"])
+    nm = g["n_mentions"].to_numpy()
+    rings = g["ring"].to_pylist()
+    order = np.lexsort((host, ty, tx))
+    txo, tyo = tx[order], ty[order]
+    tstarts = np.flatnonzero(np.concatenate(
+        ([True], (txo[1:] != txo[:-1]) | (tyo[1:] != tyo[:-1]))))
+    n_polys = np.diff(np.append(tstarts, n))
+    tile_offsets = np.concatenate([[0], np.cumsum(n_polys)]).astype(np.int64)
+    flat_xy = [np.frombuffer(rings[k], np.int32) for k in order]
+    counts = np.array([a.size // 2 for a in flat_xy], np.int64)
+    allxy = np.concatenate(flat_xy) if flat_xy else np.empty(0, np.int32)
+    lx = allxy[0::2].astype(np.int64)
+    ly = allxy[1::2].astype(np.int64)
+    ring_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    mvts = encode_hull_tiles(tile_offsets, host[order], nm[order],
+                             ring_offsets, lx, ly,
+                             extent=EXTENT, version=2)
+    oi = order[tstarts]
+    return pa.table({
+        "z": pa.array(tz[oi].astype(np.int32), pa.int32()),
+        "x": pa.array(tx[oi].astype(np.int32), pa.int32()),
+        "y": pa.array(ty[oi].astype(np.int32), pa.int32()),
+        "mvt": pa.array(mvts, pa.binary()),
+        "n_polys": pa.array(n_polys.astype(np.int64))})
 
 
 def polygon_tiles_pipeline(webpages_path: str, zoom: int = 3,

@@ -105,3 +105,32 @@ def test_city_tileset_three_families(tmp_path):
     assert all(v > 0 for v in fams.values())
     assert all_three >= 1
     assert n_geoms == int(df["n_features"].sum())
+
+
+def test_assemble_bucket_batched_byte_parity():
+    """Batched hull-polygon encoder == generic per-tile encoder,
+    byte for byte, over the real sf-tier pipeline rows."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from raytiles.pipeline.polytiles import (_assemble_bucket,
+                                             _assemble_bucket_generic,
+                                             _tiling_stage, host_hulls)
+    from raytiles.pipeline.synth import webpages_path
+
+    wp = webpages_path("/root/testdata/sf0.001")
+    rows = host_hulls(wp, 6).map_batches(_tiling_stage(6, 128),
+                                         batch_format="pyarrow")
+    df = rows.to_pandas()
+    assert len(df) > 1000
+    checked = 0
+    for _, grp in df.groupby("bucket"):
+        g = pa.Table.from_pandas(grp.reset_index(drop=True))
+        a = _assemble_bucket(g).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        b = _assemble_bucket_generic(g).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        assert (a["mvt"] == b["mvt"]).all()
+        assert (a["n_polys"] == b["n_polys"]).all()
+        checked += len(a)
+    assert checked > 0
