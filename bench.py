@@ -29,6 +29,96 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _tables_big(rep: int = 16) -> str:
+    """Replicated big-table tier for the per-query scaling legs
+    (sfbig12 is webpages-only): sf0.1's lineitem / orders / documents
+    are replicated ``rep``x with per-replica KEY OFFSETS (orderkey,
+    doc_id), so join and group cardinalities scale with the data
+    instead of degenerating into hot keys; dimension tables
+    (customer/part/supplier/nation/region/embeddings) copy through
+    unchanged — dims stay dims at any fact scale. Deterministic,
+    cached under /tmp/raytiles_synth, one parquet part per replica
+    (the resumable-layout shape)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/raytiles_synth/tablesbig{rep}"
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    src = "/root/testdata/sf0.1"
+    for name in ("customer", "part", "supplier", "nation", "region",
+                 "embeddings", "events"):
+        shutil.copy(f"{src}/{name}.parquet", f"{root}/{name}.parquet")
+    li = pq.read_table(f"{src}/lineitem.parquet")
+    od = pq.read_table(f"{src}/orders.parquet")
+    dc = pq.read_table(f"{src}/documents.parquet")
+    ko = int(pc.max(od["o_orderkey"]).as_py()) + 1
+    kd = int(pc.max(dc["doc_id"]).as_py()) + 1
+    for tname, tbl, keys, k in (("lineitem", li, ("l_orderkey",), ko),
+                                ("orders", od, ("o_orderkey",), ko),
+                                ("documents", dc, ("doc_id",), kd)):
+        os.makedirs(f"{root}/{tname}.parquet", exist_ok=True)
+        for r in range(rep):
+            t = tbl
+            for kc in keys:
+                idx = t.schema.get_field_index(kc)
+                t = t.set_column(idx, kc, pc.add(t[kc], r * k))
+            pq.write_table(t, f"{root}/{tname}.parquet/part-{r:04d}.parquet")
+    open(done, "w").write("ok")
+    return root
+
+
+# per-query scaling candidates: one bucketed-join shape and one dedup
+# shape, so the partitioning story generalizes beyond the tile pipeline
+def _query_fn(name: str):
+    if name == "big_orders":
+        from raytiles.ops.warehouse import big_orders
+        return lambda sf: big_orders(sf).count()
+    if name == "minhash_bands":
+        from raytiles.ops.dedup import minhash_bands
+        return lambda sf: minhash_bands(sf).count()
+    raise KeyError(name)
+
+
+def run_query_bench(names: list[str]) -> dict:
+    """GRAFT_QUERY_BENCH leg body: run the named queries over SF_DIR
+    (min-of-N each), one JSON line — the per-query counterpart of the
+    flagship leg for bench.py --scaling-queries."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # NOTE: op_resource_reservation stays ON here (unlike the flagship
+    # leg): with it off, Dataset.join's HashShuffleAggregator actors
+    # starve behind the map tasks and big_orders DEADLOCKS at 16 cpus
+    # (observed: all workers idle at 0% CPU indefinitely). The
+    # reservation system is exactly what guarantees the join actors
+    # their slots.
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
+    queries: dict[str, float] = {}
+    for name in names:
+        fn = _query_fn(name)
+        fn(SF_DIR)  # untimed warm-up (worker spawn + imports)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(SF_DIR)
+            best = min(best, time.time() - t0)
+        queries[name] = round(best, 3)
+    ray.shutdown()
+    return {"metric": "query_bench", "value": round(sum(queries.values()), 3),
+            "unit": "sec", "queries": queries, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS}
+
+
 def run_benchmarks() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -154,6 +244,14 @@ def run_benchmarks() -> dict:
         from raytiles.ops.text import bm25_search
         queries["bm25_search"] = timed_min(
             lambda: bm25_search(SF_DIR).to_pandas())
+
+        from raytiles.pipeline.citytiles import city_tiles_pipeline
+        queries["city_tileset"] = timed_min(
+            lambda: city_tiles_pipeline(wp, 6).count())
+
+        from raytiles.pipeline.polytiles import polygon_tiles_pipeline
+        queries["polygon_tiles"] = timed_min(
+            lambda: polygon_tiles_pipeline(wp, 6).count())
 
     # --- codec microbenchmarks: direct parity with the reference's
     # criterion numbers (BASELINE.md: decode roads 9.98ms, encode
@@ -450,8 +548,104 @@ def run_scaling() -> None:
     }))
 
 
+def run_scaling_queries() -> None:
+    """Per-query two-cluster-size evidence beyond the flagship: one
+    bucketed-join query (big_orders) and one dedup query
+    (minhash_bands) run at lo and hi cpu counts in fresh processes
+    over the replicated big-table tier, steal-gated like run_scaling
+    (pre-leg quiet window + per-leg steal sampling, discards listed).
+    Both queries share each leg's subprocess, so a pair is either
+    clean for both or discarded for both."""
+    lo, hi = (int(v) for v in
+              os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
+    names = os.environ.get("GRAFT_SCALING_QUERIES",
+                           "big_orders,minhash_bands").split(",")
+    tier = _tables_big(int(os.environ.get("GRAFT_TABLESBIG_REP", "16")))
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_QUERY_BENCH=",".join(names), GRAFT_SF_DIR=tier)
+        b0, s0 = _cpu_stat()
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True).stdout
+        b1, s1 = _cpu_stat()
+        r = json.loads(out.strip().splitlines()[-1])
+        total = (b1 - b0) + (s1 - s0)
+        r["steal_pct_during_leg"] = \
+            round(100.0 * (s1 - s0) / total, 1) if total else 0.0
+        return r
+
+    max_attempts = int(os.environ.get("GRAFT_SCALING_MAX_ATTEMPTS", "6"))
+    gate_budget_s = float(os.environ.get("GRAFT_SCALING_GATE_BUDGET", "900"))
+    discarded = []
+    result = None
+    for _ in range(max_attempts):
+        waited = 0.0
+        while waited < gate_budget_s:
+            sc = _steal_cores(8.0)
+            waited += 8.0
+            with open("/proc/loadavg") as fh:
+                load1 = float(fh.read().split()[0])
+            if sc < STEAL_GATE_CORES and load1 < 2.0:
+                break
+        r_hi = one(hi)
+        if r_hi["steal_pct_during_leg"] > STEAL_GATE_LEG_PCT:
+            discarded.append({"leg": "hi",
+                              "steal_pct": r_hi["steal_pct_during_leg"],
+                              "queries": r_hi["queries"]})
+            continue
+        cap_hi = _capability(hi)
+        cap_lo = _capability(lo)
+        r_lo = one(lo)
+        if r_lo["steal_pct_during_leg"] > STEAL_GATE_LEG_PCT:
+            discarded.append({"leg": "lo",
+                              "steal_pct": r_lo["steal_pct_during_leg"],
+                              "queries": r_lo["queries"]})
+            continue
+        result = (r_lo, r_hi, cap_lo, cap_hi)
+        break
+    if result is None:
+        print(json.dumps({"metric": "query_scaling_efficiency",
+                          "value": None, "unit": "ratio",
+                          "error": "no steal-clean pair",
+                          "discarded_attempts": discarded, "sf": tier}))
+        return
+    r_lo, r_hi, cap_lo, cap_hi = result
+    per_query = {}
+    for name in names:
+        sp = r_lo["queries"][name] / r_hi["queries"][name]
+        per_query[name] = {
+            f"sec_{lo}": r_lo["queries"][name],
+            f"sec_{hi}": r_hi["queries"][name],
+            "speedup": round(sp, 3),
+            "efficiency": round(sp / (hi / lo), 3),
+            "efficiency_vs_capability": round(sp / (cap_hi / cap_lo), 3)
+            if cap_lo else None,
+        }
+    print(json.dumps({
+        "metric": "query_scaling_efficiency",
+        "value": round(min(q["efficiency"] for q in per_query.values()), 3),
+        "unit": "ratio",
+        "steal_clean": True,
+        "n_discarded": len(discarded),
+        "discarded_attempts": discarded,
+        "queries": per_query,
+        f"capability_{lo}": cap_lo, f"capability_{hi}": cap_hi,
+        "capability_ratio": round(cap_hi / cap_lo, 3) if cap_lo else None,
+        f"steal_pct_{lo}": r_lo["steal_pct_during_leg"],
+        f"steal_pct_{hi}": r_hi["steal_pct_during_leg"],
+        "sf": tier,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--scaling-queries" in sys.argv:
+        run_scaling_queries()
+    elif os.environ.get("GRAFT_QUERY_BENCH"):
+        print(json.dumps(run_query_bench(
+            os.environ["GRAFT_QUERY_BENCH"].split(","))))
     else:
         print(json.dumps(run_benchmarks()))
