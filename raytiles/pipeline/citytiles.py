@@ -41,7 +41,7 @@ import ray.data
 
 from .encode_stage import FastPointEncoder
 from .flagship import aggregate_tiles, assign, geoparse, read_webpages
-from .overlay import mvt_merge_layers
+from .overlay import mvt_concat_merge
 from .polytiles import polygon_tiles_pipeline
 from .trajectories import encode_trajectories
 
@@ -118,4 +118,7 @@ def city_tiles_pipeline(webpages_path: str, zoom: int = 6,
     two_layer = merged.map_batches(enc, batch_format="pyarrow",
                                    batch_size=4096)
     hulls = polygon_tiles_pipeline(webpages_path, zoom, buffer)
-    return mvt_merge_layers(two_layer, hulls)
+    # layer names are disjoint by construction (mentions/trajectories
+    # vs hulls), so the per-tile merge is a bytes concat — no decode,
+    # no re-encode; byte-identical to mvt_merge_layers here (pytest)
+    return mvt_concat_merge(two_layer, hulls)

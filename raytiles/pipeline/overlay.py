@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..codec import wire
 from ..codec.decode import decode_tile
 from ..codec.encode import encode_tile
 from ..codec.model import Feature, Layer, VectorTile
@@ -637,6 +638,137 @@ def mvt_downzoom(tiles: ray.data.Dataset,
 
     return tiles.map_batches(part, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def mvt_concat_merge(a: ray.data.Dataset,
+                     b: ray.data.Dataset) -> ray.data.Dataset:
+    """Layer merge for DISJOINT-layer-name tile sets, without decoding
+    features: a Tile message is nothing but repeated layer fields
+    (reference Tile.hs:56), so concatenating two normalized tiles'
+    bytes in (a, b) side order IS the merged tile — byte-identical to
+    mvt_merge_layers' decode -> union -> re-encode on such inputs
+    (encode is idempotent on normalized tiles; pinned by pytest).
+    Disjointness is checked per merged tile with the LAZY layer-name
+    scan (~30 us/tile, no feature decode); an overlap falls back to
+    the exact decode-merge for THAT tile, so semantics never depend on
+    the caller's promise. Same bounded splitmix(tile) bucket shuffle;
+    the hot path is a bytes join — no model objects, no re-intern."""
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            z = t["z"].to_numpy().astype(np.int64)
+            x = t["x"].to_numpy().astype(np.int64)
+            y = t["y"].to_numpy().astype(np.int64)
+            return pa.table({
+                "z": pa.array(z), "x": pa.array(x), "y": pa.array(y),
+                "side": pa.array(np.full(len(z), side, np.int8)),
+                "mvt": t["mvt"],
+                "bucket": pa.array(bucket_of(_tile_key(z, x, y),
+                                             _N_BUCKETS))})
+        return fn
+
+    tagged = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow"))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        z_a = g["z"].to_numpy()
+        x_a = g["x"].to_numpy()
+        y_a = g["y"].to_numpy()
+        side_a = g["side"].to_numpy()
+        mvt_a = g["mvt"].to_pylist()
+        order = np.lexsort((side_a, y_a, x_a, z_a))
+        starts = np.flatnonzero(np.concatenate(([True], (
+            (z_a[order][1:] != z_a[order][:-1])
+            | (x_a[order][1:] != x_a[order][:-1])
+            | (y_a[order][1:] != y_a[order][:-1]))))) \
+            if len(order) else np.empty(0, np.int64)
+        bounds = np.append(starts, len(order))
+        rows = {"z": [], "x": [], "y": [], "mvt": [], "n_features": []}
+        for gi in range(len(starts)):
+            idx = order[bounds[gi]:bounds[gi + 1]]  # side order
+            if len(idx) == 1:
+                merged = mvt_a[idx[0]]
+            else:
+                parts = [mvt_a[ri] for ri in idx]
+                recs = [r for p in parts for r in _layer_records(p)]
+                flat = [r[0] for r in recs]
+                if len(set(flat)) == len(flat):
+                    # re-emit the layer RECORDS sorted by name — the
+                    # encoder's canonical tile order — so the concat
+                    # path is byte-identical to decode -> re-encode
+                    recs.sort(key=lambda r: r[0])
+                    out_parts: list[bytes] = []
+                    for _, payload in recs:
+                        wire.put_len_field(out_parts, 3, payload)
+                    merged = b"".join(out_parts)
+                else:  # same-named layers: exact decode-union path
+                    layers = {}
+                    for p in parts:
+                        tile = decode_tile(p)
+                        for name, lay in tile.layers.items():
+                            dst = layers.get(name)
+                            if dst is None:
+                                layers[name] = Layer(
+                                    name=lay.name, version=lay.version,
+                                    extent=lay.extent,
+                                    points=list(lay.points),
+                                    linestrings=list(lay.linestrings),
+                                    polygons=list(lay.polygons))
+                                continue
+                            if dst.extent != lay.extent:
+                                raise ValueError(
+                                    "mvt_concat_merge: extent mismatch "
+                                    f"for layer {name!r}")
+                            dst.points.extend(lay.points)
+                            dst.linestrings.extend(lay.linestrings)
+                            dst.polygons.extend(lay.polygons)
+                    merged = encode_tile(VectorTile(layers))
+            i0 = idx[0]
+            rows["z"].append(int(z_a[i0]))
+            rows["x"].append(int(x_a[i0]))
+            rows["y"].append(int(y_a[i0]))
+            rows["mvt"].append(merged)
+        del rows["n_features"]
+        # feature counts via the lazy header scan — no feature decode
+        nf = [_count_features(m) for m in rows["mvt"]]
+        return pa.table({
+            "z": pa.array(rows["z"], pa.int64()),
+            "x": pa.array(rows["x"], pa.int64()),
+            "y": pa.array(rows["y"], pa.int64()),
+            "mvt": pa.array(rows["mvt"], pa.binary()),
+            "n_features": pa.array(nf, pa.int64())})
+
+    return tagged.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pyarrow")
+
+
+def _layer_records(p: bytes) -> list:
+    """[(name, payload_bytes)] for each layer record of a tile — the
+    lazy header scan; feature payloads are never decoded."""
+    recs = []
+    for fno, wtype, val in wire.scan_fields(p, 0, len(p)):
+        if fno == 3 and wtype == wire.LEN:
+            s, e = val
+            name = b""
+            for lf, lw, lv in wire.scan_fields(p, s, e):
+                if lf == 1 and lw == wire.LEN:
+                    name = bytes(p[lv[0]:lv[1]])
+                    break
+            recs.append((name, p[s:e]))
+    return recs
+
+
+def _count_features(buf: bytes) -> int:
+    """Feature count via the lazy header scan (no feature decode):
+    counts field-2 records inside each layer."""
+    n = 0
+    for fno, wtype, val in wire.scan_fields(buf, 0, len(buf)):
+        if fno == 3 and wtype == wire.LEN:
+            s, e = val
+            for lf, lw, _ in wire.scan_fields(buf, s, e):
+                if lf == 2 and lw == wire.LEN:
+                    n += 1
+    return n
 
 
 def mvt_merge_layers(a: ray.data.Dataset,

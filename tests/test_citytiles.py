@@ -134,3 +134,38 @@ def test_assemble_bucket_batched_byte_parity():
         assert (a["n_polys"] == b["n_polys"]).all()
         checked += len(a)
     assert checked > 0
+
+
+def test_concat_merge_equals_decode_merge(tmp_path):
+    """mvt_concat_merge (sorted-layer-record byte concat) is
+    byte-identical to mvt_merge_layers (decode -> union -> re-encode)
+    on the disjoint-layer city tileset inputs."""
+    import pyarrow.parquet as pq
+
+    from raytiles.pipeline.citytiles import encode_point_line_batch
+    from raytiles.pipeline.encode_stage import FastPointEncoder
+    from raytiles.pipeline.flagship import (aggregate_tiles, assign,
+                                            geoparse, read_webpages)
+    from raytiles.pipeline.overlay import mvt_concat_merge, mvt_merge_layers
+    from raytiles.pipeline.polytiles import polygon_tiles_pipeline
+
+    table = generate_webpages(500)
+    path = str(tmp_path / "webpages.parquet")
+    pq.write_table(table, path)
+
+    enc = FastPointEncoder()
+
+    def two_layer():
+        ds = aggregate_tiles(assign(geoparse(read_webpages(path)), 6,
+                                    with_cells=False))
+        return ds.map_batches(
+            lambda b: encode_point_line_batch(b, 0.0, enc),
+            batch_format="pyarrow", batch_size=4096)
+
+    a = mvt_concat_merge(two_layer(), polygon_tiles_pipeline(path, 6)) \
+        .to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+    b = mvt_merge_layers(two_layer(), polygon_tiles_pipeline(path, 6)) \
+        .to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a["mvt"] == b["mvt"]).all()
+    assert (a["n_features"] == b["n_features"]).all()
