@@ -1130,6 +1130,24 @@ def _q_host_bbox(sf_dir: str):
     return host_bbox(webpages_path(sf_dir))
 
 
+def _q_tile_adjacency(sf_dir: str):
+    from raytiles.ops.spatial import tile_adjacency
+    from raytiles.pipeline.synth import webpages_path
+    return tile_adjacency(webpages_path(sf_dir), 12)
+
+
+def _q_tile_moran(sf_dir: str):
+    from raytiles.ops.spatial import tile_moran
+    from raytiles.pipeline.synth import webpages_path
+    return tile_moran(webpages_path(sf_dir), 12)
+
+
+def _q_tile_components(sf_dir: str):
+    from raytiles.ops.spatial import tile_components
+    from raytiles.pipeline.synth import webpages_path
+    return tile_components(webpages_path(sf_dir), 12)
+
+
 def _q_host_tile_cover(sf_dir: str):
     from raytiles.ops.spatial import host_tile_cover
     from raytiles.pipeline.synth import webpages_path
@@ -2044,6 +2062,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": _q_hybrid_search,
         "nearest_city": _q_nearest_city,
         "host_bbox": _q_host_bbox,
+        "tile_adjacency": _q_tile_adjacency,
+        "tile_moran": _q_tile_moran,
+        "tile_components": _q_tile_components,
         "host_tile_cover": _q_host_tile_cover,
         "zonal_stats": _q_zonal_stats,
         "cell_cover": _q_cell_cover,
@@ -2256,6 +2277,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": oracles.HYBRID_SEARCH_SQL,
         "nearest_city": oracles.nearest_city_sql(wp),
         "host_bbox": oracles.host_bbox_sql(wp),
+        "tile_adjacency": oracles.tile_adjacency_sql(wp),
+        "tile_moran": oracles.tile_moran_sql(wp),
+        "tile_components": oracles.tile_components_sql(wp),
         "host_tile_cover": oracles.host_tile_cover_sql(wp),
         "host_stats": oracles.host_stats_sql(wp),
         "cust_anti_join": oracles.customers_without_big_orders_sql(),

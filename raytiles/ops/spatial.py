@@ -756,3 +756,320 @@ def segment_bearings(webpages_path: str) -> ray.data.Dataset:
 
     return _mentions(webpages_path).map_batches(fn, batch_format="pyarrow") \
         .repartition(1).map_batches(merge, batch_format="pyarrow")
+
+
+def tile_adjacency(webpages_path: str, zoom: int = 12,
+                   n_buckets: int | None = None) -> ray.data.Dataset:
+    """Occupied-tile adjacency graph: one edge per unordered pair of
+    OCCUPIED tiles that touch in the 8-neighborhood at ``zoom``, with
+    both tiles' mention counts — the spatial-join shape behind
+    contiguity weights (spatial autocorrelation, region growing,
+    flood-fill seeds). Output (z, xa, ya, xb, yb, n_a, n_b) with
+    (xa, ya) < (xb, yb) lexicographic.
+
+    Scale shape — NO broadcast of the occupied set and NO all-pairs:
+    (1) per-batch partial counts collapse mentions to tile rows;
+    (2) ONE bounded splitmix(tile) bucket groupby finalizes counts
+    (a tile lives in exactly one bucket);
+    (3) each tile re-keys itself (side 0) and PROBES its four FORWARD
+    neighbors (side 1, keyed by the neighbor tile) — forward =
+    (dx, dy) in {(1,-1), (1,0), (1,1), (0,1)}, so each unordered
+    adjacent pair meets exactly once with the lexicographic order
+    built in; (4) a second bounded bucket groupby co-locates each
+    key's side-0 row (the neighbor, if occupied) with its side-1
+    probes and matches them vectorized. Probes into unoccupied tiles
+    die silently; out-of-grid probes are never emitted. Shuffle
+    payload is O(occupied tiles), never O(mentions).
+
+    Exact DuckDB twin: oracles.tile_adjacency_sql (self-join of the
+    per-tile counts on |dx| <= 1 AND |dy| <= 1 with the same
+    lexicographic order)."""
+    from ..util import bucket_of, resolve_buckets
+    n_buckets = resolve_buckets(n_buckets, webpages_path, 256)
+    from ..pipeline.flagship import assign
+
+    ds = assign(_mentions(webpages_path), zoom, with_cells=False)
+    KX = np.int64(1) << np.int64(26)  # zoom <= 25: disjoint fields
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy().astype(np.int64)
+        y = b["y"].to_numpy().astype(np.int64)
+        key = x * KX + y
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "key": pa.array(u), "n": pa.array(cnt.astype(np.int64)),
+            "bucket": pa.array(bucket_of(u, n_buckets))})
+
+    def merge_counts(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key, n = key[order], n[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], key[1:] != key[:-1]))) if len(key) else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "key": pa.array(key[starts]),
+            "n": pa.array(np.add.reduceat(n, starts).astype(np.int64)
+                          if len(key) else n)})
+
+    n_tiles = 1 << zoom
+    FWD = ((1, -1), (1, 0), (1, 1), (0, 1))
+
+    def emit(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy()
+        n = b["n"].to_numpy()
+        x = key // KX
+        y = key % KX
+        keys = [key]
+        sides = [np.zeros(len(key), np.int8)]
+        oxs, oys, ons = [x], [y], [n]
+        for dx, dy in FWD:
+            nx_, ny_ = x + dx, y + dy
+            ok = (nx_ >= 0) & (nx_ < n_tiles) & (ny_ >= 0) & (ny_ < n_tiles)
+            keys.append(nx_[ok] * KX + ny_[ok])
+            sides.append(np.ones(int(ok.sum()), np.int8))
+            oxs.append(x[ok])
+            oys.append(y[ok])
+            ons.append(n[ok])
+        k = np.concatenate(keys)
+        return pa.table({
+            "key": pa.array(k),
+            "side": pa.array(np.concatenate(sides)),
+            "ox": pa.array(np.concatenate(oxs)),
+            "oy": pa.array(np.concatenate(oys)),
+            "on": pa.array(np.concatenate(ons)),
+            "bucket": pa.array(bucket_of(k, n_buckets))})
+
+    def match(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy()
+        side = g["side"].to_numpy()
+        s0 = side == 0
+        k0 = key[s0]
+        order0 = np.argsort(k0, kind="stable")
+        k0 = k0[order0]
+        bx = g["ox"].to_numpy()[s0][order0]
+        by = g["oy"].to_numpy()[s0][order0]
+        bn = g["on"].to_numpy()[s0][order0]
+        s1 = ~s0
+        k1 = key[s1]
+        if len(k0) == 0 or len(k1) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("z", "xa", "ya", "xb", "yb", "n_a", "n_b")})
+        pos = np.clip(np.searchsorted(k0, k1), 0, len(k0) - 1)
+        found = k0[pos] == k1
+        ax = g["ox"].to_numpy()[s1][found]
+        ay = g["oy"].to_numpy()[s1][found]
+        an = g["on"].to_numpy()[s1][found]
+        p = pos[found]
+        return pa.table({
+            "z": pa.array(np.full(len(p), zoom, np.int64)),
+            "xa": pa.array(ax.astype(np.int64)),
+            "ya": pa.array(ay.astype(np.int64)),
+            "xb": pa.array(bx[p].astype(np.int64)),
+            "yb": pa.array(by[p].astype(np.int64)),
+            "n_a": pa.array(an.astype(np.int64)),
+            "n_b": pa.array(bn[p].astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge_counts, batch_format="pyarrow") \
+        .map_batches(emit, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(match, batch_format="pyarrow")
+
+
+def tile_moran(webpages_path: str, zoom: int = 12,
+               n_buckets: int | None = None) -> ray.data.Dataset:
+    """Moran's I spatial autocorrelation of mention counts over the
+    occupied-tile rook+bishop (8-neighborhood) contiguity graph — THE
+    classic "is the density clustered?" statistic, computed from six
+    EXACT integer aggregates so the DuckDB twin is bit-identical up to
+    the final round:
+
+        N  = occupied tiles        S1 = sum n_i     S2 = sum n_i^2
+        E  = unordered edges       SC = sum n_a*n_b  SA = sum n_a+n_b
+
+        xbar = S1 / N                       (one IEEE divide)
+        num  = 2.0 * (SC - xbar * SA + E * xbar * xbar)
+        den  = S2 - N * xbar * xbar
+        I    = (N / (2.0 * E)) * num / den  (binary weights, W = 2E)
+
+    Both sides evaluate the SAME expressions in the same order
+    (left-assoc), then round half-away-from-zero to 6 — the repo's
+    standard float-parity contract. Output one row: (n_tiles, w_sum,
+    moran_i, expected_i) where expected_i = -1/(N-1).
+
+    Scale shape: the count aggregates fold from per-batch partials
+    (three int64s per batch); the edge aggregates fold the same way
+    over tile_adjacency's bounded edge stream. No driver
+    materialization beyond six integers."""
+    from ray.data.aggregate import Sum
+
+    from ..pipeline.flagship import assign
+    from ..util import bucket_of
+
+    edges = tile_adjacency(webpages_path, zoom, n_buckets)
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        na = b["n_a"].to_numpy()
+        nb_ = b["n_b"].to_numpy()
+        return pa.table({
+            "e": pa.array([len(na)], pa.int64()),
+            "sc": pa.array([int((na * nb_).sum())], pa.int64()),
+            "sa": pa.array([int((na + nb_).sum())], pa.int64())})
+
+    eagg = edges.map_batches(edge_partial, batch_format="pyarrow") \
+        .aggregate(Sum("e", alias_name="e"), Sum("sc", alias_name="sc"),
+                   Sum("sa", alias_name="sa"))
+
+    ds = assign(_mentions(webpages_path), zoom, with_cells=False)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy().astype(np.int64)
+        y = b["y"].to_numpy().astype(np.int64)
+        key = x * (np.int64(1) << np.int64(26)) + y
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(bucket_of(u, 256))})
+
+    def count_merge(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key, n = key[order], n[order]
+        if len(key) == 0:
+            return pa.table({"nt": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.int64()),
+                             "s2": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        tot = np.add.reduceat(n, starts)
+        return pa.table({
+            "nt": pa.array([len(starts)], pa.int64()),
+            "s1": pa.array([int(tot.sum())], pa.int64()),
+            "s2": pa.array([int((tot * tot).sum())], pa.int64())})
+
+    cagg = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(count_merge, batch_format="pyarrow") \
+        .aggregate(Sum("nt", alias_name="nt"), Sum("s1", alias_name="s1"),
+                   Sum("s2", alias_name="s2"))
+
+    n_t = int(cagg["nt"])
+    s1 = int(cagg["s1"])
+    s2 = int(cagg["s2"])
+    e = int(eagg["e"] or 0)
+    sc = int(eagg["sc"] or 0)
+    sa = int(eagg["sa"] or 0)
+    xbar = s1 / n_t
+    num = 2.0 * (sc - xbar * sa + e * xbar * xbar)
+    den = s2 - n_t * xbar * xbar
+    moran = (n_t / (2.0 * e)) * num / den
+    q = moran * 1e6
+    moran6 = (np.floor(q + 0.5) if q >= 0 else np.ceil(q - 0.5)) / 1e6
+    qe = (-1.0 / (n_t - 1)) * 1e6
+    exp6 = (np.floor(qe + 0.5) if qe >= 0 else np.ceil(qe - 0.5)) / 1e6
+    return ray.data.from_arrow(pa.table({
+        "n_tiles": pa.array([n_t], pa.int64()),
+        "w_sum": pa.array([2 * e], pa.int64()),
+        "moran_i": pa.array([float(moran6)], pa.float64()),
+        "expected_i": pa.array([float(exp6)], pa.float64())}))
+
+
+def tile_components(webpages_path: str, zoom: int = 12,
+                    max_rounds: int = 32,
+                    n_buckets: int | None = None) -> ray.data.Dataset:
+    """Connected components over the occupied-tile adjacency graph —
+    contiguous hotspot regions (urban areas, coastlines) labeled by
+    their lexicographically smallest member tile. Output (z, x, y,
+    cluster_x, cluster_y) for every tile with >= 1 occupied neighbor
+    (isolated tiles form no edge, mirroring dup_clusters' contract).
+
+    Same distributed min-label propagation as ops.dedup.dup_clusters
+    (labels start as identity; each round one bounded hash join ships
+    labels over the bidirectional edges and a bounded-bucket groupby
+    takes per-node minima; sum(label) is the monotone convergence
+    scalar). Spatial components are chains, not cliques — diameter,
+    and so round count, can reach tens for coastline-shaped regions;
+    max_rounds=32 with a loud failure, never silent truncation.
+
+    Exact DuckDB twin: oracles.tile_components_sql (recursive
+    reachability walk, min label per node)."""
+    from ..util import resolve_buckets
+    nb = resolve_buckets(n_buckets, webpages_path, 256)
+    from .dedup import _join_partitions
+
+    KX = np.int64(1) << np.int64(26)
+    pairs = tile_adjacency(webpages_path, zoom, n_buckets)
+    n_part = _join_partitions()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["xa"].to_numpy() * KX + t["ya"].to_numpy()
+        b = t["xb"].to_numpy() * KX + t["yb"].to_numpy()
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow") \
+        .repartition(n_part).materialize()
+    EMPTY = pa.table({"z": pa.array([], pa.int64()),
+                      "x": pa.array([], pa.int64()),
+                      "y": pa.array([], pa.int64()),
+                      "cluster_x": pa.array([], pa.int64()),
+                      "cluster_y": pa.array([], pa.int64())})
+    if edges.count() == 0:
+        return ray.data.from_arrow(EMPTY)
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["src"].to_numpy()).astype(np.int64)
+        return pa.table({"key": pa.array(u), "label": pa.array(u),
+                         "bucket": pa.array(bucket_of(u, nb))})
+
+    def label_merge(g: pa.Table) -> pa.Table:
+        ids = g["key"].to_numpy()
+        lab = g["label"].to_numpy()
+        uniq, inv = np.unique(ids, return_inverse=True)
+        lab_min = np.full(uniq.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(lab_min, inv, lab)
+        return pa.table({"key": pa.array(uniq.astype(np.int64)),
+                         "label": pa.array(lab_min)})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pa.array(bucket_of(t["key"].to_numpy(), nb)))
+
+    labels = edges.map_batches(node_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(label_merge, batch_format="pyarrow") \
+        .repartition(n_part).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_rounds):
+        j = edges.join(labels, "inner", n_part,
+                       on=("src",), right_on=("key",))
+
+        def msg(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t["dst"], "label": t["label"]})
+
+        cand = labels.map_batches(
+            lambda t: t.select(["key", "label"]), batch_format="pyarrow") \
+            .union(j.map_batches(msg, batch_format="pyarrow"))
+        labels = cand.map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(label_merge,
+                                          batch_format="pyarrow") \
+            .repartition(n_part).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"tile_components: labels still changing after {max_rounds} "
+            "rounds (component diameter exceeds the bound)")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy()
+        lab = t["label"].to_numpy()
+        return pa.table({
+            "z": pa.array(np.full(len(k), zoom, np.int64)),
+            "x": pa.array(k // KX), "y": pa.array(k % KX),
+            "cluster_x": pa.array(lab // KX),
+            "cluster_y": pa.array(lab % KX)})
+
+    return labels.map_batches(finalize, batch_format="pyarrow")

@@ -3081,3 +3081,70 @@ SELECT month, month_cents, n_orders,
        round((CAST(month_cents AS DOUBLE) * 12.0) / total, 6)
          AS seasonal_index
 FROM m CROSS JOIN t"""
+
+
+def tile_adjacency_sql(webpages_parquet: str, z: int = 12) -> str:
+    """Twin of ops.spatial.tile_adjacency: self-join of the per-tile
+    mention counts on 8-neighborhood contiguity, lexicographic
+    (xa, ya) < (xb, yb) so each unordered pair appears once — the same
+    ordering the engine's forward-probe emission builds in."""
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs(z=z)}, "
+            "tiles AS (SELECT z, x, y, count(*) AS n FROM localized "
+            "GROUP BY z, x, y) "
+            "SELECT a.z AS z, a.x AS xa, a.y AS ya, b.x AS xb, "
+            "b.y AS yb, a.n AS n_a, b.n AS n_b "
+            "FROM tiles a JOIN tiles b ON a.z = b.z "
+            "AND abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 "
+            "AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))")
+
+
+def tile_moran_sql(webpages_parquet: str, z: int = 12) -> str:
+    """Twin of ops.spatial.tile_moran: the same six integer aggregates
+    (N, S1, S2 over tiles; E, SC, SA over unordered adjacency edges)
+    assembled with the IDENTICAL left-associative double expressions,
+    rounded half-away-from-zero to 6."""
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs(z=z)}, "
+            "tiles AS (SELECT x, y, count(*) AS n FROM localized "
+            "GROUP BY x, y), "
+            "adj AS (SELECT a.n AS n_a, b.n AS n_b FROM tiles a "
+            "JOIN tiles b ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 "
+            "AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))), "
+            "s AS (SELECT count(*) AS nt, sum(n) AS s1, sum(n * n) AS s2 "
+            "FROM tiles), "
+            "ee AS (SELECT count(*) AS e, sum(n_a * n_b) AS sc, "
+            "sum(n_a + n_b) AS sa FROM adj), "
+            "m AS (SELECT nt, s1, s2, e, sc, sa, "
+            "CAST(s1 AS DOUBLE) / nt AS xbar FROM s, ee) "
+            "SELECT nt AS n_tiles, 2 * e AS w_sum, "
+            "round((nt / (2.0 * e)) * "
+            "(2.0 * (sc - xbar * sa + e * xbar * xbar)) / "
+            "(s2 - nt * xbar * xbar), 6) AS moran_i, "
+            "round(-1.0 / (nt - 1), 6) AS expected_i FROM m")
+
+
+def tile_components_sql(webpages_parquet: str, z: int = 12) -> str:
+    """Twin of ops.spatial.tile_components: recursive reachability
+    walk over the bidirectional tile-adjacency edges; a node's cluster
+    is the min (x * 2^26 + y) key among everything reachable."""
+    kx = 1 << 26
+    return (f"WITH RECURSIVE {mentions_cte(webpages_parquet)}, "
+            f"{_tile_exprs(z=z)}, "
+            "tiles AS (SELECT x, y, count(*) AS n FROM localized "
+            "GROUP BY x, y), "
+            f"adj AS (SELECT a.x * {kx} + a.y AS ka, "
+            f"b.x * {kx} + b.y AS kb FROM tiles a JOIN tiles b "
+            "ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 "
+            "AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))), "
+            "edges AS (SELECT ka AS src, kb AS dst FROM adj "
+            "UNION ALL SELECT kb, ka FROM adj), "
+            "nodes AS (SELECT DISTINCT src AS key FROM edges), "
+            "walk(key, label) AS ("
+            "  SELECT key, key FROM nodes"
+            "  UNION"
+            "  SELECT e.dst, w.label FROM walk w "
+            "  JOIN edges e ON e.src = w.key), "
+            "comp AS (SELECT key, min(label) AS label FROM walk "
+            "GROUP BY key) "
+            f"SELECT {z} AS z, key // {kx} AS x, key % {kx} AS y, "
+            f"label // {kx} AS cluster_x, label % {kx} AS cluster_y "
+            "FROM comp")

@@ -393,3 +393,66 @@ def test_cell_compact_invariants():
         assert (counts < 4).all()
     # at least one promotion actually happened
     assert (df["z"] < zoom).any()
+
+
+def test_tile_adjacency_invariants():
+    import numpy as np
+
+    from raytiles.ops.spatial import tile_adjacency
+    from raytiles.pipeline.synth import webpages_path
+
+    df = tile_adjacency(webpages_path("/root/testdata/sf0.001"), 12) \
+        .to_pandas()
+    assert len(df) > 0
+    dx = df["xb"] - df["xa"]
+    dy = df["yb"] - df["ya"]
+    # true 8-neighborhood, lexicographic order, each pair once
+    assert ((dx.abs() <= 1) & (dy.abs() <= 1)).all()
+    assert ((dx > 0) | ((dx == 0) & (dy > 0))).all()
+    pairs = set(zip(df["xa"], df["ya"], df["xb"], df["yb"]))
+    assert len(pairs) == len(df)
+    assert (df["n_a"] > 0).all() and (df["n_b"] > 0).all()
+
+
+def test_tile_moran_clustered_positive():
+    from raytiles.ops.spatial import tile_moran
+    from raytiles.pipeline.synth import webpages_path
+
+    row = tile_moran(webpages_path("/root/testdata/sf0.001"), 12) \
+        .to_pandas().iloc[0]
+    # synth corpus plants city-cluster skew: counts of touching tiles
+    # correlate, so Moran's I must exceed the null expectation
+    assert row["moran_i"] > row["expected_i"]
+    assert abs(row["expected_i"] - (-1.0 / (row["n_tiles"] - 1))) < 1e-6
+
+
+def test_tile_components_match_union_find():
+    import numpy as np
+
+    from raytiles.ops.spatial import tile_adjacency, tile_components
+    from raytiles.pipeline.synth import webpages_path
+
+    wp = webpages_path("/root/testdata/sf0.001")
+    edges = tile_adjacency(wp, 12).to_pandas()
+    comp = tile_components(wp, 12).to_pandas()
+
+    # local union-find oracle over the same edges
+    parent: dict = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for xa, ya, xb, yb in zip(edges["xa"], edges["ya"],
+                              edges["xb"], edges["yb"]):
+        for k in ((xa, ya), (xb, yb)):
+            parent.setdefault(k, k)
+        ra, rb = find((xa, ya)), find((xb, yb))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {k: find(k) for k in parent}
+    got = {(x, y): (cx, cy) for x, y, cx, cy in zip(
+        comp["x"], comp["y"], comp["cluster_x"], comp["cluster_y"])}
+    assert got == want
