@@ -137,3 +137,34 @@ def test_no_uint64_output_columns_in_stages():
                 if "pa.uint64()" in code:
                     offenders.append(f"{p.name}:{i}")
     assert not offenders, offenders
+
+
+def test_derive_buckets_scaling(tmp_path):
+    """Bucket-count derivation: floor at small inputs (historical
+    layouts unchanged), linear in input bytes past the floor, capped,
+    explicit override wins, env hook forces."""
+    import os
+
+    from raytiles.util import derive_buckets, resolve_buckets
+
+    f = tmp_path / "t.parquet"
+    f.write_bytes(b"x" * 1024)  # 1 KiB input
+    assert derive_buckets(str(f), floor=256) == 256   # below floor
+    # linear region: 100 buckets' worth of bytes at a tiny target
+    assert derive_buckets(str(f), floor=4, target_bytes=8) == 128
+    assert derive_buckets(str(f), floor=4, cap=64, target_bytes=8) == 64
+    # directory form sums member files
+    d = tmp_path / "dir.parquet"
+    d.mkdir()
+    (d / "a").write_bytes(b"x" * 512)
+    (d / "b").write_bytes(b"x" * 512)
+    assert derive_buckets(str(d), floor=4, target_bytes=8) == 128
+    # resolve: explicit beats derivation
+    assert resolve_buckets(17, str(f), 256) == 17
+    assert resolve_buckets(None, str(f), 256) == 256
+    # env hook (the layout-invariance gate run)
+    os.environ["RAYTILES_FORCE_BUCKETS"] = "33"
+    try:
+        assert derive_buckets(str(f), floor=256) == 33
+    finally:
+        del os.environ["RAYTILES_FORCE_BUCKETS"]
