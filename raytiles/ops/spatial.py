@@ -976,7 +976,8 @@ def tile_moran(webpages_path: str, zoom: int = 12,
 
 def tile_components(webpages_path: str, zoom: int = 12,
                     max_rounds: int = 32,
-                    n_buckets: int | None = None) -> ray.data.Dataset:
+                    n_buckets: int | None = None,
+                    aqe_max_edges: int = 2_000_000) -> ray.data.Dataset:
     """Connected components over the occupied-tile adjacency graph —
     contiguous hotspot regions (urban areas, coastlines) labeled by
     their lexicographically smallest member tile. Output (z, x, y,
@@ -1014,8 +1015,39 @@ def tile_components(webpages_path: str, zoom: int = 12,
                       "y": pa.array([], pa.int64()),
                       "cluster_x": pa.array([], pa.int64()),
                       "cluster_y": pa.array([], pa.int64())})
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(EMPTY)
+
+    # AQE (the big_orders pattern): the per-round join's fixed cost
+    # (~1.4 s actor spin-up) dwarfs the work below millions of edges,
+    # so a MEASURED small edge set collapses on the driver with a
+    # vectorized min-label fixpoint + pointer jumping (O(E) numpy per
+    # round, O(log diameter) rounds) — take_all gated behind the
+    # count, the bounded-materialization contract. Bigger graphs take
+    # the distributed propagation below.
+    if n_edges <= aqe_max_edges:
+        t = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        keys, inv = np.unique(np.concatenate([src, dst]),
+                              return_inverse=True)
+        s = inv[:len(src)]
+        d = inv[len(src):]
+        lab = np.arange(len(keys), dtype=np.int64)
+        while True:
+            before = lab.copy()
+            np.minimum.at(lab, d, lab[s])
+            lab = lab[lab]  # pointer jump: label-of-label
+            if np.array_equal(lab, before):
+                break
+        out_k = keys
+        out_l = keys[lab]
+        return ray.data.from_arrow(pa.table({
+            "z": pa.array(np.full(len(out_k), zoom, np.int64)),
+            "x": pa.array(out_k // KX), "y": pa.array(out_k % KX),
+            "cluster_x": pa.array(out_l // KX),
+            "cluster_y": pa.array(out_l % KX)}))
 
     def node_partial(t: pa.Table) -> pa.Table:
         u = np.unique(t["src"].to_numpy()).astype(np.int64)

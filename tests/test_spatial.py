@@ -456,3 +456,19 @@ def test_tile_components_match_union_find():
     got = {(x, y): (cx, cy) for x, y, cx, cy in zip(
         comp["x"], comp["y"], comp["cluster_x"], comp["cluster_y"])}
     assert got == want
+
+
+def test_tile_components_distributed_path_matches_aqe():
+    """Force the distributed min-label propagation (aqe_max_edges=0)
+    and assert it matches the driver union-find path row for row."""
+    from raytiles.ops.spatial import tile_components
+    from raytiles.pipeline.synth import webpages_path
+
+    wp = webpages_path("/root/testdata/sf0.001")
+    cols = ["z", "x", "y", "cluster_x", "cluster_y"]
+    a = tile_components(wp, 12).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    b = tile_components(wp, 12, aqe_max_edges=0).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert a.equals(b)
