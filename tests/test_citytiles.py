@@ -169,3 +169,36 @@ def test_concat_merge_equals_decode_merge(tmp_path):
     assert len(a) == len(b) > 0
     assert (a["mvt"] == b["mvt"]).all()
     assert (a["n_features"] == b["n_features"]).all()
+
+
+def test_concat_merge_same_name_fallback():
+    """Same-named layers on both sides must take the exact
+    decode-union path inside mvt_concat_merge — identical to
+    mvt_merge_layers, never a blind concat (which would decode
+    last-wins and DROP features)."""
+    import ray.data
+
+    from raytiles.codec.decode import decode_tile
+    from raytiles.pipeline.encode_stage import FastPointEncoder
+    from raytiles.pipeline.overlay import mvt_concat_merge, mvt_merge_layers
+
+    enc = FastPointEncoder()
+
+    def one_tile(lx):
+        batch = pa.table({
+            "z": pa.array([6], pa.int32()), "x": pa.array([1], pa.int32()),
+            "y": pa.array([2], pa.int32()),
+            "urls": pa.array([[f"http://h/{lx}"]], pa.list_(pa.string())),
+            "mention_idx": pa.array([[0]], pa.list_(pa.int32())),
+            "local_x": pa.array([[lx]], pa.list_(pa.int32())),
+            "local_y": pa.array([[7]], pa.list_(pa.int32()))})
+        return ray.data.from_arrow(enc(batch))
+
+    a = mvt_concat_merge(one_tile(10), one_tile(20)).to_pandas()
+    b = mvt_merge_layers(one_tile(10), one_tile(20)).to_pandas()
+    assert len(a) == len(b) == 1
+    assert bytes(a["mvt"][0]) == bytes(b["mvt"][0])
+    t = decode_tile(bytes(a["mvt"][0]))
+    # the union kept BOTH features in the one "mentions" layer
+    assert len(t.layers[b"mentions"].points) == 2
+    assert a["n_features"][0] == 2
