@@ -901,7 +901,9 @@ def tile_moran(webpages_path: str, zoom: int = 12,
     Scale shape: the count aggregates fold from per-batch partials
     (three int64s per batch); the edge aggregates fold the same way
     over tile_adjacency's bounded edge stream. No driver
-    materialization beyond six integers."""
+    materialization beyond six integers. The input parses twice (once
+    per chain) — a production job would checkpoint the assignment
+    table (pipeline/job.stage_a) and feed both from it."""
     from ray.data.aggregate import Sum
 
     from ..pipeline.flagship import assign

@@ -32,6 +32,11 @@ from .checkpoint import finished_partitions, write_partition
 from .flagship import assign, geoparse, read_webpages
 from .stages import COARSE_SHIFT
 
+# FIXED on purpose (not derive_buckets): the bucket count IS the
+# checkpoint partition layout — a data-size-derived count would give
+# the same input a different layout across runs and invalidate every
+# manifest on resume. Callers scale it explicitly per deployment;
+# checkpoint._invalidate handles a changed count safely.
 N_BUCKETS = 64
 
 
