@@ -1148,6 +1148,12 @@ def _q_tile_components(sf_dir: str):
     return tile_components(webpages_path(sf_dir), 12)
 
 
+def _q_tile_hotspots(sf_dir: str):
+    from raytiles.ops.spatial import tile_hotspots
+    from raytiles.pipeline.synth import webpages_path
+    return tile_hotspots(webpages_path(sf_dir), 12)
+
+
 def _q_host_tile_cover(sf_dir: str):
     from raytiles.ops.spatial import host_tile_cover
     from raytiles.pipeline.synth import webpages_path
@@ -2065,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_adjacency": _q_tile_adjacency,
         "tile_moran": _q_tile_moran,
         "tile_components": _q_tile_components,
+        "tile_hotspots": _q_tile_hotspots,
         "host_tile_cover": _q_host_tile_cover,
         "zonal_stats": _q_zonal_stats,
         "cell_cover": _q_cell_cover,
@@ -2280,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_adjacency": oracles.tile_adjacency_sql(wp),
         "tile_moran": oracles.tile_moran_sql(wp),
         "tile_components": oracles.tile_components_sql(wp),
+        "tile_hotspots": oracles.tile_hotspots_sql(wp),
         "host_tile_cover": oracles.host_tile_cover_sql(wp),
         "host_stats": oracles.host_stats_sql(wp),
         "cust_anti_join": oracles.customers_without_big_orders_sql(),

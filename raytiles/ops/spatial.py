@@ -1107,3 +1107,142 @@ def tile_components(webpages_path: str, zoom: int = 12,
             "cluster_y": pa.array(lab % KX)})
 
     return labels.map_batches(finalize, batch_format="pyarrow")
+
+
+def tile_hotspots(webpages_path: str, zoom: int = 12,
+                  n_buckets: int | None = None) -> ray.data.Dataset:
+    """Local hotspot lift per occupied tile (the Getis-Ord-flavored
+    complement of tile_moran's global statistic): for each tile, the
+    mean count of its occupied 8-neighbors relative to the global mean
+    — lift > 1 marks tiles embedded in dense regions, regardless of
+    their own count. Output (z, x, y, n, n_neighbors, neigh_sum,
+    lift); isolated tiles carry lift = -1.0 (documented sentinel —
+    a neighbor mean over zero neighbors has no value).
+
+    Float contract (the tile_moran pattern): lift =
+    round((neigh_sum / k) / (S1 / N), 6) with both sides evaluating
+    the identical two-division sequence on the same exact integers.
+
+    Scale shape: neighbor sums fold from tile_adjacency's edge stream
+    (each edge scatters its counterpart's count to both endpoints) in
+    ONE bounded bucket groupby that also carries each tile's own count
+    as a side row — isolated tiles survive with k = 0. The input
+    parses per chain (see tile_moran's note on checkpointing the
+    assignment table instead)."""
+    from ray.data.aggregate import Sum
+
+    from ..pipeline.flagship import assign
+    from ..util import bucket_of, resolve_buckets
+    nb = resolve_buckets(n_buckets, webpages_path, 256)
+
+    KX = np.int64(1) << np.int64(26)
+    edges = tile_adjacency(webpages_path, zoom, n_buckets)
+    ds = assign(_mentions(webpages_path), zoom, with_cells=False)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy().astype(np.int64)
+        y = b["y"].to_numpy().astype(np.int64)
+        key = x * KX + y
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "key": pa.array(u), "n": pa.array(cnt.astype(np.int64)),
+            "ns": pa.array(np.zeros(len(u), np.int64)),
+            "k": pa.array(np.zeros(len(u), np.int64)),
+            "bucket": pa.array(bucket_of(u, nb))})
+
+    def edge_scatter(b: pa.Table) -> pa.Table:
+        ka = b["xa"].to_numpy() * KX + b["ya"].to_numpy()
+        kb = b["xb"].to_numpy() * KX + b["yb"].to_numpy()
+        na = b["n_a"].to_numpy()
+        nbn = b["n_b"].to_numpy()
+        key = np.concatenate([ka, kb])
+        ns = np.concatenate([nbn, na])  # each side gets the OTHER's n
+        k_, s1, s2 = _nsum(key, ns)
+        return pa.table({
+            "key": pa.array(k_), "n": pa.array(np.zeros(len(k_), np.int64)),
+            "ns": pa.array(s1.astype(np.int64)),
+            "k": pa.array(s2.astype(np.int64)),
+            "bucket": pa.array(bucket_of(k_, nb))})
+
+    def merge(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        n = g["n"].to_numpy()[order]
+        ns = g["ns"].to_numpy()[order]
+        k_ = g["k"].to_numpy()[order]
+        if len(key) == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("key", "n", "ns", "k")})
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        return pa.table({
+            "key": pa.array(key[starts]),
+            "n": pa.array(np.add.reduceat(n, starts).astype(np.int64)),
+            "ns": pa.array(np.add.reduceat(ns, starts).astype(np.int64)),
+            "k": pa.array(np.add.reduceat(k_, starts).astype(np.int64))})
+
+    merged = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .union(edges.map_batches(edge_scatter, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+    # global N and S1: the tile_moran aggregate (bounded partials)
+    def g_partial(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy().astype(np.int64)
+        y = b["y"].to_numpy().astype(np.int64)
+        key = x * KX + y
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(bucket_of(u, nb))})
+
+    def g_merge(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key, n = key[order], n[order]
+        if len(key) == 0:
+            return pa.table({"nt": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        tot = np.add.reduceat(n, starts)
+        return pa.table({"nt": pa.array([len(starts)], pa.int64()),
+                         "s1": pa.array([int(tot.sum())], pa.int64())})
+
+    gagg = assign(_mentions(webpages_path), zoom, with_cells=False) \
+        .map_batches(g_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(g_merge, batch_format="pyarrow") \
+        .aggregate(Sum("nt", alias_name="nt"), Sum("s1", alias_name="s1"))
+    n_t = int(gagg["nt"])
+    s1 = int(gagg["s1"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy()
+        n = b["n"].to_numpy()
+        ns = b["ns"].to_numpy()
+        k_ = b["k"].to_numpy()
+        xbar = s1 / n_t
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lift = (ns / k_) / xbar
+        q = lift * 1e6
+        lift6 = np.where(q >= 0, np.floor(q + 0.5), np.ceil(q - 0.5)) / 1e6
+        lift6 = np.where(k_ == 0, -1.0, lift6)
+        return pa.table({
+            "z": pa.array(np.full(len(key), zoom, np.int64)),
+            "x": pa.array(key // KX), "y": pa.array(key % KX),
+            "n": pa.array(n.astype(np.int64)),
+            "n_neighbors": pa.array(k_.astype(np.int64)),
+            "neigh_sum": pa.array(ns.astype(np.int64)),
+            "lift": pa.array(lift6)})
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def _nsum(key: np.ndarray, val: np.ndarray):
+    """(unique sorted keys, per-key sums, per-key counts)."""
+    order = np.argsort(key, kind="stable")
+    k = key[order]
+    if len(k) == 0:
+        return k, val[:0], val[:0]
+    starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+    return (k[starts], np.add.reduceat(val[order], starts),
+            np.diff(np.append(starts, len(k))))

@@ -3148,3 +3148,28 @@ def tile_components_sql(webpages_parquet: str, z: int = 12) -> str:
             f"SELECT {z} AS z, key // {kx} AS x, key % {kx} AS y, "
             f"label // {kx} AS cluster_x, label % {kx} AS cluster_y "
             "FROM comp")
+
+
+def tile_hotspots_sql(webpages_parquet: str, z: int = 12) -> str:
+    """Twin of ops.spatial.tile_hotspots: neighbor sums via the
+    8-neighborhood self-join, lift = (ns / k) / (S1 / N) with the
+    identical two-division sequence, round 6, -1.0 sentinel for
+    isolated tiles."""
+    return (f"WITH {mentions_cte(webpages_parquet)}, {_tile_exprs(z=z)}, "
+            "tiles AS (SELECT x, y, count(*) AS n FROM localized "
+            "GROUP BY x, y), "
+            "nb AS (SELECT a.x AS x, a.y AS y, sum(b.n) AS ns, "
+            "count(*) AS k FROM tiles a JOIN tiles b "
+            "ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 "
+            "AND NOT (a.x = b.x AND a.y = b.y) GROUP BY a.x, a.y), "
+            "s AS (SELECT count(*) AS nt, sum(n) AS s1 FROM tiles) "
+            f"SELECT {z} AS z, t.x AS x, t.y AS y, t.n AS n, "
+            "coalesce(nb.k, 0) AS n_neighbors, "
+            # sum(BIGINT) is HUGEINT in DuckDB -> float64 via pandas;
+            # the engine emits int64 (dtype-strict gate)
+            "CAST(coalesce(nb.ns, 0) AS BIGINT) AS neigh_sum, "
+            "CASE WHEN coalesce(nb.k, 0) = 0 THEN -1.0 "
+            "ELSE round((nb.ns / nb.k) / (CAST(s.s1 AS DOUBLE) / s.nt), 6) "
+            "END AS lift "
+            "FROM tiles t LEFT JOIN nb ON t.x = nb.x AND t.y = nb.y "
+            "CROSS JOIN s")

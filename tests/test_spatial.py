@@ -472,3 +472,20 @@ def test_tile_components_distributed_path_matches_aqe():
         .sort_values(cols).reset_index(drop=True)
     assert len(a) == len(b) > 0
     assert a.equals(b)
+
+
+def test_tile_hotspots_lift_semantics():
+    from raytiles.ops.spatial import tile_hotspots
+    from raytiles.pipeline.synth import webpages_path
+
+    df = tile_hotspots(webpages_path("/root/testdata/sf0.001"), 12) \
+        .to_pandas()
+    assert len(df) > 0
+    iso = df["n_neighbors"] == 0
+    assert (df.loc[iso, "lift"] == -1.0).all()
+    assert (df.loc[iso, "neigh_sum"] == 0).all()
+    # city-cluster synth: some tiles sit in denser-than-average
+    # neighborhoods, some in sparser ones
+    assert (df.loc[~iso, "lift"] > 1.0).any()
+    assert (df.loc[~iso, "lift"] < 1.0).any()
+    assert (df["n"] > 0).all()
